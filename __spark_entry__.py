@@ -1,38 +1,469 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operators over the driver testdata
+(`/root/testdata/sf*/`); each SQL-expressible one has a DuckDB oracle
+in ``oracle_sql()`` (same column names, rounded floats). The span-level
+extraction semantics that need binary media payloads (stage A OCR) are
+covered by rows-only queries over deterministic generated fixtures plus
+the pytest golden gate (tests/test_pipeline_e2e.py).
+
+The flagship derives interleaved span-documents from the flat
+``documents`` table under a shared SQL-expressible rule (derive.py),
+runs the REAL pipeline operators (stage B strip, stage C translate,
+re-offset), and explodes back to flat rows for hashing.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_translation_spark import semantics as S
+from ocr_translation_spark.derive import (
+    derivation_cte_sql,
+    derive_span_documents,
+    xlate_dict_values_sql,
+)
+from ocr_translation_spark.functions.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    simhash64,
+)
+from ocr_translation_spark.functions.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from ocr_translation_spark.functions.text import (
+    add_fingerprint,
+    add_lang_id,
+    add_quality,
+    add_token_count,
+)
+from ocr_translation_spark.pipeline import extract
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# Flagship: derived span docs -> real pipeline -> flat exploded rows
+# --------------------------------------------------------------------------
+
+def _flagship_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = _read(spark, sf_dir, "documents")
+    span_docs = derive_span_documents(flat)
+    result = extract(spark, span_docs, media=None).result
+    return result.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("spans").alias("ord", "s"),
+    ).select(
+        "doc_id",
+        F.col("ord").cast("int").alias("ord"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+_BOILER_IN = ", ".join(f"'{t}'" for t in sorted(S.BOILER_TOKEN_SET))
+
+# shared strip rule on single-word derived spans: drop boiler-kind spans
+# and text spans that are pure boilerplate vocabulary (score 1.0 > 0.5)
+_KEPT_CTE = f"""
+  kept AS (
+    SELECT doc_id, i, kind, text, media_ref
+    FROM spans
+    WHERE kind <> 'boiler'
+      AND NOT (kind = 'text' AND lower(text) IN ({_BOILER_IN}))
+  )"""
+
+
+def _flagship_sql() -> str:
+    return f"""
+WITH {xlate_dict_values_sql()},{derivation_cte_sql()},{_KEPT_CTE}
+SELECT k.doc_id AS doc_id,
+       (row_number() OVER (PARTITION BY k.doc_id ORDER BY k.i) - 1)::INTEGER AS ord,
+       k.kind AS kind,
+       CASE WHEN k.kind = 'text' THEN coalesce(d.dst, k.text)
+            ELSE k.text END AS text,
+       k.media_ref AS media_ref
+FROM kept k LEFT JOIN dict d ON k.kind = 'text' AND lower(k.text) = d.src
+"""
+
+
+# --------------------------------------------------------------------------
+# Pipeline aggregate views (same derivation, grouped)
+# --------------------------------------------------------------------------
+
+def _kind_stats_df(spark, sf_dir):
+    return (
+        _flagship_df(spark, sf_dir)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def _strip_rate_df(spark, sf_dir):
+    flat = _read(spark, sf_dir, "documents")
+    span_docs = derive_span_documents(flat)
+    out = extract(spark, span_docs, media=None).result
+    per_doc = span_docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("spans").alias("n_in"),
+    ).join(
+        out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.size("spans").alias("n_kept"),
+        ),
+        "doc_id",
+    ).join(flat.select("doc_id", "source"), "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.sum("n_in").alias("spans_in"),
+        F.sum("n_kept").alias("spans_kept"),
+        F.round(1 - F.sum("n_kept") / F.sum("n_in"), 6).alias("strip_rate"),
+    )
+
+
+_STRIP_RATE_SQL = f"""
+WITH {{dict}},{{derive}},{_KEPT_CTE},
+  per_doc AS (
+    SELECT s.doc_id,
+           count(*) AS n_in,
+           sum(CASE WHEN k.i IS NOT NULL THEN 1 ELSE 0 END) AS n_kept
+    FROM spans s LEFT JOIN kept k ON s.doc_id = k.doc_id AND s.i = k.i
+    GROUP BY s.doc_id
+  )
+SELECT d.source AS source,
+       sum(p.n_in)::BIGINT AS spans_in,
+       sum(p.n_kept)::BIGINT AS spans_kept,
+       round(1 - sum(p.n_kept)::DOUBLE / sum(p.n_in), 6) AS strip_rate
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis / dedup over the flat documents table
+# --------------------------------------------------------------------------
+
+_EN = "'the','a','and','of','in','is','to','it','on','with'"
+_ES = "'el','la','de','que','y','en','un','por','con','los'"
+_DE = "'der','die','das','und','ist','von','mit','ein','zu','den'"
+_FR = "'le','la','de','et','est','un','une','du','que','pour'"
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = "string_split(trim(text), ' ')"
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable] = {}
+
+    q["extract_flagship"] = _flagship_df
+    q["extract_kind_stats"] = _kind_stats_df
+    q["boiler_strip_rate"] = _strip_rate_df
+
+    q["content_hash"] = lambda spark, sf: _read(spark, sf, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+
+    q["exact_dedup"] = lambda spark, sf: exact_dedup(
+        _read(spark, sf, "documents")
+    )
+
+    q["token_count"] = lambda spark, sf: add_token_count(
+        _read(spark, sf, "documents")
+    ).select("doc_id", "n_tokens")
+
+    q["quality_scores"] = lambda spark, sf: add_quality(
+        _read(spark, sf, "documents")
+    ).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "mean_tok_len", "quality_keep",
+    )
+
+    q["lang_id"] = lambda spark, sf: add_lang_id(
+        _read(spark, sf, "documents")
+    ).select("doc_id", "lang_guess")
+
+    q["fingerprint_sha"] = lambda spark, sf: add_fingerprint(
+        _read(spark, sf, "documents")
+    ).select("doc_id", "fp_sha256")
+
+    q["tpch_pricing_summary"] = lambda spark, sf: (
+        _read(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+    def _revenue(spark, sf):
+        orders = _read(spark, sf, "orders")
+        customer = _read(spark, sf, "customer")
+        nation = _read(spark, sf, "nation")
+        return (
+            orders.join(
+                F.broadcast(customer),
+                orders["o_custkey"] == customer["c_custkey"],
+            )
+            .join(
+                F.broadcast(nation),
+                customer["c_nationkey"] == nation["n_nationkey"],
+            )
+            .groupBy("n_name")
+            .agg(
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.count("*").alias("n_orders"),
+            )
+        )
+
+    q["revenue_by_nation"] = _revenue
+
+    q["events_hourly"] = lambda spark, sf: (
+        _read(spark, sf, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+    def _top_users(spark, sf):
+        from pyspark.sql import Window
+
+        per = (
+            _read(spark, sf, "events")
+            .groupBy("event_type", "user_id")
+            .agg(F.round(F.sum("value"), 4).alias("total"))
+        )
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("total").desc(), F.col("user_id").asc()
+        )
+        return (
+            per.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+        )
+
+    q["events_top_users"] = _top_users
+
+    def _ann(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        return brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, round_digits=4
+        )
+
+    q["ann_cosine_topk"] = _ann
+
+    # ---- rows-only (non-SQL-expressible: xxhash64 / binary payloads) ----
+
+    q["minhash_near_dup"] = lambda spark, sf: minhash_near_dup_pairs(
+        _read(spark, sf, "documents"), jaccard_threshold=0.5
+    )
+
+    q["simhash_sketch"] = lambda spark, sf: _read(spark, sf, "documents").select(
+        "doc_id", simhash64(F.col("text")).alias("simhash")
+    )
+
+    q["shingle_fingerprint"] = lambda spark, sf: add_fingerprint(
+        _read(spark, sf, "documents")
+    ).select("doc_id", "fp_min_shingle")
+
+    def _lsh_ann(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        return lsh_bucketed_topk(
+            emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6
+        )
+
+    q["lsh_ann_topk"] = _lsh_ann
+
+    def _synthetic_e2e(spark, sf):
+        """Full stages A+B+C incl. OCR over generated span fixtures
+        (binary media — verified against the golden spec in pytest;
+        here the driver checks rows + schema stability)."""
+        from ocr_translation_spark.datagen import write_fixture_parquet
+
+        fx = os.path.join(tempfile.gettempdir(), "ocr_xlate_fixtures_300")
+        if not os.path.exists(os.path.join(fx, "documents.parquet")):
+            write_fixture_parquet(fx, n_docs=300)
+        docs = spark.read.parquet(os.path.join(fx, "documents.parquet"))
+        media = spark.read.parquet(os.path.join(fx, "media.parquet"))
+        res = extract(spark, docs, media).result
+        return res.select(
+            "doc_id", F.posexplode("spans").alias("ord", "s")
+        ).select("doc_id", "ord", "s.kind", "s.text", "s.media_ref")
+
+    q["extract_synthetic_e2e"] = _synthetic_e2e
+
+    def _media_meta(spark, sf):
+        from ocr_translation_spark.datagen import write_fixture_parquet
+        from ocr_translation_spark.functions.multimodal import (
+            extract_media_metadata,
+        )
+
+        fx = os.path.join(tempfile.gettempdir(), "ocr_xlate_fixtures_300")
+        if not os.path.exists(os.path.join(fx, "media.parquet")):
+            write_fixture_parquet(fx, n_docs=300)
+        media = spark.read.parquet(os.path.join(fx, "media.parquet"))
+        return extract_media_metadata(media)
+
+    q["media_metadata"] = _media_meta
+
+    return q
+
+
+def oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["extract_flagship"] = _flagship_sql()
+
+    o["extract_kind_stats"] = f"""
+WITH {xlate_dict_values_sql()},{derivation_cte_sql()},{_KEPT_CTE}
+SELECT kind,
+       count(*)::BIGINT AS n_spans,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM kept GROUP BY kind
+"""
+
+    o["boiler_strip_rate"] = _STRIP_RATE_SQL.format(
+        dict=xlate_dict_values_sql(), derive=derivation_cte_sql()
+    )
+
+    o["content_hash"] = "SELECT doc_id, sha256(text) AS h FROM documents"
+
+    o["exact_dedup"] = f"""
+SELECT sha256({_NORM}) AS h,
+       min(doc_id)::BIGINT AS keep_id,
+       count(*)::BIGINT AS n_dups
+FROM documents GROUP BY 1
+"""
+
+    o["token_count"] = f"""
+SELECT doc_id,
+       (CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END)::INTEGER AS n_tokens
+FROM documents
+"""
+
+    o["quality_scores"] = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id,
+         (CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END)::INTEGER AS n_tokens,
+         round(CASE WHEN length(text) = 0 THEN 0.0
+               ELSE (length(text) - length(translate(text, '.,;:!?''"()-', '')))::DOUBLE / length(text) END, 6) AS punct_ratio,
+         round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE len(list_filter(toks, t -> list_contains([{_EN}], lower(t))))::DOUBLE / len(toks) END, 6) AS stopword_ratio,
+         round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) END, 6) AS mean_tok_len
+  FROM base
+)
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_tok_len,
+       (n_tokens >= 5 AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+        AND punct_ratio <= 0.3) AS quality_keep
+FROM feat
+"""
+
+    o["lang_id"] = f"""
+WITH scores AS (
+  SELECT doc_id,
+         len(list_filter({_TOKS}, t -> list_contains([{_DE}], lower(t)))) AS s_de,
+         len(list_filter({_TOKS}, t -> list_contains([{_EN}], lower(t)))) AS s_en,
+         len(list_filter({_TOKS}, t -> list_contains([{_ES}], lower(t)))) AS s_es,
+         len(list_filter({_TOKS}, t -> list_contains([{_FR}], lower(t)))) AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM scores
+"""
+
+    o["fingerprint_sha"] = f"SELECT doc_id, sha256({_NORM}) AS fp_sha256 FROM documents"
+
+    o["tpch_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["revenue_by_nation"] = """
+SELECT n_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    o["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+    o["events_top_users"] = """
+WITH per AS (
+  SELECT event_type, user_id, round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, total, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY total DESC, user_id ASC) AS rank
+  FROM per
+) WHERE rank <= 3
+"""
+
+    o["ann_cosine_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS sim
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+    return o
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
-
-
-def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _flagship_df(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  SPARK_GRAFT_SYN_DOCS synthetic extraction corpus size (default 8000)
+
+Each query is forced end-to-end with the noop sink (count() would let
+Catalyst prune the very expressions being measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ocr_translation_spark.datagen import write_fixture_parquet  # noqa: E402
+from ocr_translation_spark.pipeline import extract  # noqa: E402
+from ocr_translation_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYN_DOCS = int(os.environ.get("SPARK_GRAFT_SYN_DOCS", "8000"))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def synthetic_dir() -> str:
+    d = os.path.join("/tmp", f"ocr_xlate_bench_{SYN_DOCS}")
+    marker = os.path.join(d, "documents.parquet")
+    if not os.path.exists(marker):
+        write_fixture_parquet(d, n_docs=SYN_DOCS)
+    return d
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    syn = synthetic_dir()
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+    )
+    queries = entry_mod.queries()
+
+    docs = spark.read.parquet(os.path.join(syn, "documents.parquet"))
+    media = spark.read.parquet(os.path.join(syn, "media.parquet"))
+    n_docs = docs.count()
+    n_spans = docs.agg(F.sum(F.size("spans"))).collect()[0][0]
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # headline: full synthetic extraction (stages A+B+C incl. OCR)
+    timed("extract_synthetic", lambda: _force(extract(spark, docs, media).result))
+    # flagship derived-span pipeline over the driver corpus
+    timed("extract_flagship", lambda: _force(queries["extract_flagship"](spark, SF_DIR)))
+    for name in (
+        "exact_dedup",
+        "minhash_near_dup",
+        "simhash_sketch",
+        "ann_cosine_topk",
+        "tpch_pricing_summary",
+        "events_hourly",
+        "quality_scores",
+        "lang_id",
+    ):
+        timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))
+
+    total = round(sum(timings.values()), 3)
+    ext_sec = timings["extract_synthetic"]
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "synthetic_docs": n_docs,
+        "synthetic_spans": int(n_spans),
+        "docs_per_sec": round(n_docs / ext_sec, 1),
+        "spans_per_sec": round(n_spans / ext_sec, 1),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

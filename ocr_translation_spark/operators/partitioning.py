@@ -52,7 +52,10 @@ def salted_repartition(
         F.lit(salt_buckets),
         F.greatest(F.lit(1), F.ceil(F.log2(F.col(weight_col) + F.lit(1)))),
     )
-    salt = F.pmod(F.xxhash64(F.col(key_col), F.lit("salt")), buckets)
+    # the salt must vary WITHIN a hot key's rows — a key-derived salt
+    # would be constant per key and split nothing. Row id is fine: the
+    # salt only decides placement, never results.
+    salt = F.pmod(F.monotonically_increasing_id(), buckets)
     return df.repartition(num_partitions, key_hash, salt)
 
 

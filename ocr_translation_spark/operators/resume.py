@@ -1,0 +1,159 @@
+"""Checkpointed, resumable runs with per-partition lineage + metrics.
+
+North-rule requirement (conceptual ancestor: BullMQ's persistent
+jobId-keyed jobs surviving restarts, reference ``OCRQueue.js:47``;
+progress checkpoints 0..100 at ``OCRQueue.js:70-113``).
+
+Protocol (SURVEY.md section 4.2):
+
+* Input is bucketed by ``pmod(xxhash64(doc_id), n_buckets)`` — a pure
+  function of the key, so bucket membership is stable across runs and
+  cluster sizes.
+* Each bucket is processed as one commit unit: extract -> write
+  ``out_dir/bucket=K/`` (partition-dir overwrite, idempotent on retry)
+  -> append one lineage row. The lineage append is the commit point;
+  a crash between data write and lineage append re-does that bucket
+  (idempotent because the data write is a directory overwrite, never
+  a blind append).
+* A resumed run lists committed lineage rows and processes only the
+  remaining buckets (anti-join at bucket granularity).
+* Metrics rows (stage-level doc/span counts + wall time) land beside
+  lineage — the batch replacement for the reference's SSE progress
+  stream (``controllers/pdf.js:30-47``).
+
+At 100 TB: n_buckets scales to O(1000); each bucket is a full
+distributed job over ~1/n_buckets of the corpus, so the driver loop is
+cheap relative to the work, and a preempted cluster loses at most one
+bucket of progress.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..pipeline import extract
+
+LINEAGE_SCHEMA = (
+    "run_id string, bucket int, n_docs long, n_spans long, "
+    "wall_ms long, status string, committed_at string"
+)
+METRICS_SCHEMA = (
+    "run_id string, bucket int, stage string, metric string, value double"
+)
+
+
+def _bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+
+
+def committed_buckets(spark: SparkSession, state_dir: str) -> set[int]:
+    lineage_path = os.path.join(state_dir, "lineage")
+    try:
+        rows = (
+            spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path)
+            .filter(F.col("status") == "committed")
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+    except Exception:
+        return set()
+    return {r["bucket"] for r in rows}
+
+
+class ResumableRun:
+    """Drive a resumable extraction over bucketed input."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        state_dir: str,
+        n_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.state_dir = state_dir
+        self.n_buckets = n_buckets
+        self.run_id = uuid.uuid4().hex[:12]
+
+    def _append_state(self, name: str, rows, schema: str):
+        df = self.spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.state_dir, name)
+        )
+
+    def run(
+        self,
+        docs: DataFrame,
+        media: DataFrame | None,
+        *,
+        fail_after_buckets: int | None = None,
+        **extract_kwargs,
+    ) -> list[int]:
+        """Process all pending buckets; returns the buckets processed.
+
+        ``fail_after_buckets`` simulates a mid-run crash (tests).
+        """
+        done = committed_buckets(self.spark, self.state_dir)
+        pending = [b for b in range(self.n_buckets) if b not in done]
+        bucketed = docs.withColumn("_bucket", _bucket_col(self.n_buckets))
+
+        processed: list[int] = []
+        for i, b in enumerate(pending):
+            if fail_after_buckets is not None and i >= fail_after_buckets:
+                raise RuntimeError(f"simulated crash before bucket {b}")
+            t0 = time.monotonic()
+            subset = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
+            result = extract(self.spark, subset, media, **extract_kwargs).result
+            bucket_dir = os.path.join(self.out_dir, f"bucket={b}")
+            result.write.mode("overwrite").parquet(bucket_dir)
+
+            stats = (
+                self.spark.read.parquet(bucket_dir)
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
+                )
+                .collect()[0]
+            )
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+            self._append_state(
+                "lineage",
+                [
+                    (
+                        self.run_id, b, stats["n_docs"], stats["n_spans"],
+                        wall_ms, "committed", now,
+                    )
+                ],
+                LINEAGE_SCHEMA,
+            )
+            self._append_state(
+                "metrics",
+                [
+                    (self.run_id, b, "extract", "docs", float(stats["n_docs"])),
+                    (self.run_id, b, "extract", "spans", float(stats["n_spans"])),
+                    (self.run_id, b, "extract", "wall_ms", float(wall_ms)),
+                ],
+                METRICS_SCHEMA,
+            )
+            processed.append(b)
+        return processed
+
+    def read_output(self) -> DataFrame:
+        return self.spark.read.parquet(self.out_dir)
+
+    def read_lineage(self) -> DataFrame:
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
+            os.path.join(self.state_dir, "lineage")
+        )
+
+    def read_metrics(self) -> DataFrame:
+        return self.spark.read.schema(METRICS_SCHEMA).parquet(
+            os.path.join(self.state_dir, "metrics")
+        )

@@ -1,0 +1,85 @@
+"""Mirror of the driver's correctness gate: run every queries() entry
+and compare against its DuckDB oracle on the same parquet tables
+(row count, column names, order-insensitive values)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0:
+                    v = 0.0
+            vals.append((c, v))
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    odf = ddb.execute(ORACLES[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)} rows"
+    cols = sorted(sdf.columns)
+    s_rows = _normalize(sdf.to_dict("records"), cols)
+    o_rows = _normalize(odf.to_dict("records"), cols)
+    mism = [i for i, (a, b) in enumerate(zip(s_rows, o_rows)) if repr(a) != repr(b)]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: "
+        f"{s_rows[mism[0]]} vs {o_rows[mism[0]]}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,164 @@
+"""Tests for text-analysis / dedup / similarity / multimodal operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_translation_spark.functions import (
+    add_fingerprint,
+    add_lang_id,
+    add_quality,
+    add_token_count,
+    brute_force_topk,
+    exact_dedup,
+    lsh_bucketed_topk,
+    minhash_near_dup_pairs,
+    simhash64,
+)
+from ocr_translation_spark.functions.dedup import simhash_hamming
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the fast spark engine runs the fast query plan today"),
+        (2, "the fast spark engine runs the fast query plan today"),  # exact dup
+        (3, "the fast spark engine runs the fast query plan tonight"),  # near dup
+        (4, "completely different words about rivers and mountains here"),
+        (5, ""),
+        (6, "der hund und die katze ist von dem haus"),
+        (7, "el gato y el perro en la casa por que"),
+        (8, "a b c d e f g h i j k l m n o p"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in add_token_count(docs).collect()}
+    assert got[1] == 10 and got[5] == 0 and got[8] == 16
+
+
+def test_quality(spark, docs):
+    got = {r["doc_id"]: r for r in add_quality(docs).collect()}
+    assert got[1]["quality_keep"] is True
+    assert got[5]["quality_keep"] is False  # empty
+    assert got[8]["quality_keep"] is False  # mean token length 1
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["lang_guess"] for r in add_lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[6] == "de"
+    assert got[7] == "es"
+    assert got[5] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "The  Fast   Spark"), (2, "the fast spark")], "doc_id long, text string"
+    )
+    rows = add_fingerprint(df).collect()
+    assert rows[0]["fp_sha256"] == rows[1]["fp_sha256"]
+    assert rows[0]["fp_min_shingle"] == rows[1]["fp_min_shingle"]
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in out}
+    assert by_keep[1] == 2  # docs 1+2 collapse, survivor = min id
+    assert 2 not in by_keep
+    assert by_keep[3] == 1
+
+
+def test_minhash_near_dup(spark, docs):
+    pairs = minhash_near_dup_pairs(
+        docs.filter("doc_id <= 4"), jaccard_threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # exact dup always found
+    assert (1, 3) in got or (2, 3) in got  # near dup caught by some band
+    assert all(4 not in p for p in got)  # unrelated doc never pairs
+    for r in pairs:
+        if (r["id_a"], r["id_b"]) == (1, 2):
+            assert r["jaccard"] == 1.0
+
+
+def test_simhash(spark, docs):
+    out = docs.select(
+        "doc_id", simhash64(F.col("text")).alias("sh")
+    ).collect()
+    sh = {r["doc_id"]: r["sh"] for r in out}
+    assert sh[1] == sh[2]
+    df = spark.createDataFrame(
+        [(sh[1], sh[3]), (sh[1], sh[4])], "a long, b long"
+    )
+    d = df.select(simhash_hamming(F.col("a"), F.col("b")).alias("d")).collect()
+    near, far = d[0]["d"], d[1]["d"]
+    assert near < far  # near-dup is closer in hamming space
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8).astype("float32")
+    base[1] = base[0] + 0.01 * rng.randn(8).astype("float32")  # near-neighbor pair
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, embeddings):
+    out = brute_force_topk(
+        embeddings, embeddings.filter("vec_id = 0"), k=3, round_digits=6
+    ).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["neighbor_id"] == 1  # the planted neighbor
+    assert out[0]["sim"] > 0.99
+    # rank ordering is by sim desc
+    sims = [r["sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recall_of_planted_neighbor(spark, embeddings):
+    out = lsh_bucketed_topk(
+        embeddings, embeddings.filter("vec_id = 0"), dim=8, k=3, n_planes=4
+    ).collect()
+    # the planted near-identical vector lands in the same SRP bucket
+    assert any(r["neighbor_id"] == 1 for r in out)
+
+
+def test_media_metadata_and_features(spark, fixture_dir):
+    from ocr_translation_spark.functions.multimodal import (
+        FEATURE_DIM,
+        extract_media_features,
+        extract_media_metadata,
+    )
+    from tests.conftest import load_fixture
+
+    media = load_fixture(spark, fixture_dir, "media")
+    meta = extract_media_metadata(media)
+    rows = meta.collect()
+    assert all(r["decode_ok"] for r in rows)  # SYNTHIMG decodes for real
+    assert all(r["n_tokens"] >= 3 for r in rows)
+    feats = extract_media_features(media).collect()
+    assert all(len(r["features"]) == FEATURE_DIM for r in feats)
+    for r in feats:
+        assert math.isclose(sum(r["features"]), 1.0, rel_tol=1e-5)
+
+
+def test_real_codec_is_stubbed(spark):
+    """Non-SYNTHIMG payloads route through the NotImplementedError stub
+    and surface as decode_ok=false (never a job failure)."""
+    from ocr_translation_spark.functions.multimodal import extract_media_metadata
+
+    df = spark.createDataFrame(
+        [("img_x", bytearray(b"\x89PNG\r\n\x1a\nfakepngbytes"), "png")],
+        "media_ref string, media_bytes binary, media_kind string",
+    )
+    row = extract_media_metadata(df).collect()[0]
+    assert row["decode_ok"] is False
+    assert row["n_bytes"] == 20

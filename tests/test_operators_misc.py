@@ -1,0 +1,143 @@
+"""Tests for partitioning, dedup_cache, catalog, translate parity,
+and the streaming wrapper."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_translation_spark import datagen as G
+from ocr_translation_spark import semantics as S
+from ocr_translation_spark.operators.dedup_cache import dedup_compute_with_cache
+from ocr_translation_spark.operators.partitioning import (
+    media_weight,
+    salted_repartition,
+)
+from ocr_translation_spark.operators.stage_c_translate import (
+    translate_series,
+    translate_text_col,
+)
+from ocr_translation_spark.sources.catalog import Catalog
+from tests.conftest import load_fixture
+
+
+def test_salted_repartition_spreads_heavy_keys(spark):
+    # 1000 rows of one hot key with heavy weight + 1000 unique light keys
+    hot = spark.range(1000).select(
+        F.lit("hot").alias("doc_id"), F.lit(4096).alias("w")
+    )
+    light = spark.range(1000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("doc_id"), F.lit(1).alias("w")
+    )
+    df = hot.unionByName(light)
+    unsalted = df.repartition(8, F.xxhash64("doc_id"))
+    n_unsalted = (
+        unsalted.groupBy(F.spark_partition_id().alias("p"))
+        .count().agg(F.max("count")).collect()[0][0]
+    )
+    salted = salted_repartition(df, 8, weight_col="w", salt_buckets=8)
+    n_salted = (
+        salted.groupBy(F.spark_partition_id().alias("p"))
+        .count().agg(F.max("count")).collect()[0][0]
+    )
+    # hot key concentrated ~1000+ rows unsalted; salted splits across buckets
+    assert n_unsalted >= 1000
+    assert n_salted < n_unsalted
+
+
+def test_media_weight(spark, fixture_dir):
+    docs = load_fixture(spark, fixture_dir, "documents")
+    row = docs.filter(F.col("doc_id") == G.EDGE_MEDIA_ONLY).select(
+        media_weight("spans").alias("w")
+    ).collect()[0]
+    assert row["w"] == 2
+
+
+def test_dedup_cache_computes_once_per_distinct(spark):
+    calls = spark.sparkContext.accumulator(0)
+
+    def fn(series):
+        calls.add(len(series))
+        return series.map(lambda s: s.upper())
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("a",), ("b",)], "payload string"
+    )
+    out, new_cache = dedup_compute_with_cache(df, "payload", fn)
+    rows = out.collect()
+    assert {(r["payload"], r["result"]) for r in rows} == {
+        ("a", "A"), ("b", "B"),
+    }
+    assert len(rows) == 5
+    assert calls.value == 2  # one compute per distinct payload
+
+    # warm cache run computes nothing
+    cache = new_cache.cache()
+    cache.count()
+    calls2 = spark.sparkContext.accumulator(0)
+
+    def fn2(series):
+        calls2.add(len(series))
+        return series.map(lambda s: s.upper())
+
+    out2, _ = dedup_compute_with_cache(df, "payload", fn2, cache_df=cache)
+    out2.collect()
+    assert calls2.value == 0
+
+
+def test_catalog_merge_idempotent(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    df1 = spark.createDataFrame([("h1", "r1"), ("h2", "r2")], "h string, v string")
+    cat.merge_by_key(df1, "cache", "h")
+    # second merge with an overlapping key: existing row wins
+    df2 = spark.createDataFrame([("h2", "CHANGED"), ("h3", "r3")], "h string, v string")
+    cat.merge_by_key(df2, "cache", "h")
+    got = {r["h"]: r["v"] for r in cat.load("cache").collect()}
+    assert got == {"h1": "r1", "h2": "r2", "h3": "r3"}
+
+
+def test_translate_native_equals_pandas(spark):
+    texts = [
+        "the fast spark", "", None, "UNKNOWN words HERE",
+        "The  Fast   batch", "a of in on with",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    native = [
+        r["out"]
+        for r in df.select(translate_text_col(F.col("text")).alias("out")).collect()
+    ]
+    pandas_side = list(translate_series(texts))
+    assert native == pandas_side
+    # and both equal the golden function
+    for t, n in zip(texts, native):
+        if t is not None:
+            assert n == S.translate_text(t)
+
+
+def test_stream_extract_availablenow(spark, fixture_dir, tmp_path):
+    from ocr_translation_spark.pipeline import extract
+    from ocr_translation_spark.streaming import stream_extract
+
+    docs = load_fixture(spark, fixture_dir, "documents")
+    media = load_fixture(spark, fixture_dir, "media")
+    in_dir = str(tmp_path / "in")
+    docs.write.parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_extract(spark, in_dir, out_dir, ckpt, media=media)
+    q.awaitTermination(300)
+
+    batch = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in extract(spark, docs, media).result.collect()
+    }
+    streamed = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed == batch
+
+    # restart with same checkpoint: no new data -> no duplicate output
+    q2 = stream_extract(spark, in_dir, out_dir, ckpt, media=media)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == len(batch)
