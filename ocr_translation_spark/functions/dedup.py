@@ -48,19 +48,28 @@ def exact_dedup(
 
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles of normalized text (short texts
-    fall back to the whole normalized string as one shingle)."""
+    fall back to the whole normalized string as one shingle).
+
+    Built with zip_with over shifted slices rather than per-index
+    element_at lambdas: zip_with evaluates its array arguments ONCE,
+    while expressions referenced inside a lambda body are re-evaluated
+    per element (Catalyst has no CSE across lambda boundaries) — the
+    naive form re-tokenizes the text O(n*k) times per row.
+    """
     norm = normalized_text(text)
     toks = F.split(norm, " ")
     n = F.size(toks)
-    grams = F.when(n < k, F.array(norm)).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
-            ),
+    grams = toks
+    for j in range(1, k):
+        shifted = F.when(n > j, F.slice(toks, j + 1, n - j)).otherwise(
+            F.array().cast("array<string>")
         )
-    )
-    return F.array_distinct(grams)
+        # F.concat (not concat_ws): a null operand must null the gram
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    grams = F.filter(grams, lambda g: g.isNotNull())
+    return F.array_distinct(F.when(n < k, F.array(norm)).otherwise(grams))
 
 
 def minhash_signature(sh: Column, n_hashes: int = 32) -> Column:
@@ -99,9 +108,11 @@ def minhash_near_dup_pairs(
         shingles(F.col(text_col), shingle_k).alias("sh"),
     ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
 
+    # Band join on ids ONLY — shingle arrays must not ride through the
+    # band shuffle (they would be duplicated `bands` times); they are
+    # joined back just for the candidate pairs, which are few.
     banded = base.select(
         "_id",
-        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -113,17 +124,21 @@ def minhash_near_dup_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    left = banded.select(
-        F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "band_hash"
-    )
-    right = banded.select(
-        F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "band_hash"
-    )
-    cand = (
+    left = banded.select(F.col("_id").alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col("_id").alias("id_b"), "band", "band_hash")
+    cand_ids = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_tbl = base.select("_id", "sh")
+    cand = cand_ids.join(
+        sh_tbl.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh_tbl.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -148,25 +163,46 @@ def simhash64(text: Column) -> Column:
 
     For each bit position, tokens vote +1/-1 by their xxhash64 bit;
     the output bit is 1 when the vote sum is positive.
+
+    Single-pass shape: one aggregate with an array<long>[64] vote
+    accumulator. (64 separate aggregates would each recompute the
+    token-hash array -- Catalyst does not CSE across them.) Bits are
+    tested with mask literals because shift functions take only
+    Python-int shift amounts. Project the result ONCE (withColumn)
+    rather than referencing it repeatedly.
     """
     toks = F.split(normalized_text(text), " ")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    def _vote(i):
-        # closure factory: a default-arg lambda would change the arity
-        # Spark inspects for higher-order functions
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bits = [
-        F.aggregate(hashes, F.lit(0).cast("long"), _vote(i)) for i in range(64)
-    ]
-    out = F.lit(0).cast("long")
-    for i, vote in enumerate(bits):
-        out = out.bitwiseOR(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-        )
-    return out
+    masks = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(2 ** 63)).cast("long")
+            for i in range(64)
+        ]
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(
+                    h.bitwiseAND(m) != 0, F.lit(1).cast("long")
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:

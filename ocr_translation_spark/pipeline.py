@@ -5,23 +5,25 @@ span-sequence equality ``(kind, text, media_ref, order)`` per doc.
 
 Physical shape (what .explain should show, and why it scales):
 
-  documents ──┬─ no-media docs:   stage B+C as pure codegen array
-              │                   expressions — ZERO shuffles, never
-              │                   leaves the JVM.
-              └─ media docs:      posexplode -> left join the per-ref
-                                  OCR results (broadcast when small,
-                                  AQE skew-join otherwise) -> groupBy
-                                  doc_id collect -> order restore ->
-                                  stage B+C codegen.
-  media side table ── semi-join to referenced refs only -> sha2 dedup
-                      -> (optional cache join) -> mapInPandas OCR over
-                      DISTINCT payloads (stage A).
+  main path   documents -> salted repartition -> LEFT JOIN the per-doc
+              OCR map (broadcast when the distinct-media set is small,
+              sort-merge + AQE skew-join otherwise) -> one codegen
+              stage: patch OCR text into the span array (element_at),
+              stage B strip (array filter), stage C translate (map
+              literal), re-offset. Span arrays never explode.
 
-Shuffle budget: distinct(media_ref) + the per-doc regroup on the
-media-docs branch only. Text-only docs (the overwhelming majority of a
-web corpus) take the shuffle-free branch. OCR cost is per distinct
-payload — document fan-in and media-heavy skew cannot concentrate
-compute (see operators/partitioning.py for the salting discussion).
+  OCR side    documents -> project media REFS only (a few per doc) ->
+              explode -> distinct -> semi-join the media side table ->
+              sha2 dedup (+ optional cache join) -> mapInPandas OCR
+              over DISTINCT payloads (stage A) -> regroup to a per-doc
+              ref->text map (tiny rows).
+
+Shuffle budget: distinct(media_ref) + the tiny per-doc map regroup +
+the explicit entry repartition. With a broadcastable OCR map the main
+path is a single narrow codegen stage after the repartition; text-only
+docs pay one broadcast-probe and nothing else. OCR cost is per
+distinct payload — document fan-in and media-heavy skew cannot
+concentrate compute (see operators/partitioning.py for salting).
 """
 
 from __future__ import annotations
@@ -45,12 +47,13 @@ class ExtractResult(NamedTuple):
 
 
 def _sort_spans_by_offset(spans_col):
-    return F.array_sort(
-        spans_col,
-        lambda a, b: F.when(a["offset"] < b["offset"], -1)
-        .when(a["offset"] > b["offset"], 1)
-        .otherwise(0),
+    # sort on an (offset, span) key-prefix struct: natural struct
+    # ordering is codegen'd, unlike a comparator lambda which is
+    # evaluated interpreted per comparison
+    keyed = F.transform(
+        spans_col, lambda s: F.struct(s["offset"].alias("o"), s.alias("s"))
     )
+    return F.transform(F.array_sort(keyed), lambda x: x["s"])
 
 
 def _reoffset(spans_col):
@@ -64,10 +67,6 @@ def _reoffset(spans_col):
             i.cast("int").alias("offset"),
         ),
     )
-
-
-def _has_media(spans_col="spans"):
-    return F.exists(F.col(spans_col), lambda s: s["kind"] == F.lit("media"))
 
 
 def extract(
@@ -95,66 +94,84 @@ def extract(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     docs = docs.select("doc_id", _sort_spans_by_offset(F.col("spans")).alias("spans"))
+
+    if media is None:
+        resolved = None
+        new_cache = spark.createDataFrame([], "h string, ocr_text string")
+    else:
+        # OCR side: explode ONLY the media refs (a few per doc) from the
+        # un-repartitioned input — text spans never leave their array.
+        refs_per_doc = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.filter(
+                            F.col("spans"),
+                            lambda s: (s["kind"] == F.lit("media"))
+                            & s["media_ref"].isNotNull(),
+                        ),
+                        lambda s: s["media_ref"],
+                    )
+                )
+            ).alias("media_ref"),
+        )
+        needed_refs = refs_per_doc.select("media_ref").distinct()
+        media_needed = media.join(needed_refs, "media_ref", "left_semi")
+        ocr_results, new_cache = ocr_distinct_media(
+            media_needed, ocr_cache_df=ocr_cache, use_cache=use_cache
+        )
+        ocr_side = ocr_results.select("media_ref", "ocr_text")
+        if broadcast_ocr:
+            ocr_side = F.broadcast(ocr_side)
+        # Per-doc ref->text map: tiny rows through the regroup shuffle.
+        resolved = (
+            refs_per_doc.join(ocr_side, "media_ref", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("media_ref", "ocr_text"))
+                ).alias("_ocr")
+            )
+        )
+        if broadcast_ocr:
+            resolved = F.broadcast(resolved)
+
     # Explicit shuffle boundary (the reference's queue hop): balances
-    # byte-skewed inputs before the branch split.
-    docs = salted_repartition(
+    # byte-skewed inputs for the codegen stage and the output write.
+    main = salted_repartition(
         docs.withColumn("_w", media_weight("spans")),
         num_partitions,
         key_col="doc_id",
         weight_col="_w",
         salt_buckets=salt_buckets,
-    )
+    ).select("doc_id", "spans")
 
-    text_docs = docs.filter(~_has_media()).select("doc_id", "spans")
-
-    if media is None:
-        media_docs_out = docs.filter(_has_media()).select("doc_id", "spans")
-        new_cache = spark.createDataFrame([], "h string, ocr_text string")
+    if resolved is None:
+        all_docs = main
     else:
-        media_docs = docs.filter(_has_media()).select("doc_id", "spans")
-        ex = media_docs.select(
-            "doc_id", F.posexplode("spans").alias("pos", "s")
-        )
-        needed_refs = (
-            ex.filter(F.col("s.kind") == "media")
-            .select(F.col("s.media_ref").alias("media_ref"))
-            .where(F.col("media_ref").isNotNull())
-            .distinct()
-        )
-        media_needed = media.join(needed_refs, "media_ref", "left_semi")
-        ocr_results, new_cache = ocr_distinct_media(
-            media_needed, ocr_cache_df=ocr_cache, use_cache=use_cache
-        )
-        ocr_join = ocr_results.select("media_ref", "ocr_text")
-        if broadcast_ocr:
-            ocr_join = F.broadcast(ocr_join)
-        joined = ex.join(
-            ocr_join,
-            (F.col("s.kind") == "media")
-            & (F.col("s.media_ref") == ocr_join["media_ref"]),
-            "left",
-        )
-        enriched = joined.select(
+        all_docs = main.join(resolved, "doc_id", "left").select(
             "doc_id",
-            "pos",
-            F.struct(
-                F.col("s.kind").alias("kind"),
-                F.coalesce(F.col("ocr_text"), F.col("s.text")).alias("text"),
-                F.col("s.media_ref").alias("media_ref"),
-                F.col("s.offset").alias("offset"),
-            ).alias("s"),
-        )
-        regrouped = enriched.groupBy("doc_id").agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "s"))
-            ).alias("_ps")
-        )
-        media_docs_out = regrouped.select(
-            "doc_id",
-            F.transform(F.col("_ps"), lambda x: x["s"]).alias("spans"),
+            F.transform(
+                F.col("spans"),
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    F.when(
+                        (s["kind"] == F.lit("media"))
+                        & s["media_ref"].isNotNull(),
+                        F.coalesce(
+                            F.element_at(F.col("_ocr"), s["media_ref"]),
+                            s["text"],
+                        ),
+                    )
+                    .otherwise(s["text"])
+                    .alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
         )
 
-    all_docs = text_docs.unionByName(media_docs_out)
     stripped = strip_boilerplate(all_docs)
     translated = translate_spans(stripped)
     result = translated.select(
