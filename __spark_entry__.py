@@ -271,6 +271,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_topk"] = _ann
 
+    def _emb_neardup(spark, sf):
+        """Embedding-cosine near-dup pairs (exact all-pairs baseline;
+        the LSH-bucketed scale path is lsh_ann_topk)."""
+        from ocr_translation_spark.functions.similarity import cosine
+
+        emb = _read(spark, sf, "embeddings")
+        a = emb.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").cast("array<double>").alias("va"),
+        )
+        b = emb.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").cast("array<double>").alias("vb"),
+        )
+        return (
+            F.broadcast(a)
+            .crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
+            )
+            .filter(F.col("sim") >= 0.42)
+        )
+
+    q["embedding_neardup"] = _emb_neardup
+
+    def _rendered(spark, sf):
+        from ocr_translation_spark.operators.render import render_documents
+
+        flat = _read(spark, sf, "documents")
+        span_docs = derive_span_documents(flat)
+        out = extract(spark, span_docs, media=None).result
+        return render_documents(out).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "rendered_text",
+            "render_ok",
+        )
+
+    q["extract_rendered_text"] = _rendered
+
+    q["events_percentiles"] = lambda spark, sf: (
+        _read(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+        )
+    )
+
     # ---- rows-only (non-SQL-expressible: xxhash64 / binary payloads) ----
 
     q["minhash_near_dup"] = lambda spark, sf: minhash_near_dup_pairs(
@@ -440,6 +494,47 @@ SELECT event_type, user_id, total, rank::INTEGER AS rank FROM (
     PARTITION BY event_type ORDER BY total DESC, user_id ASC) AS rank
   FROM per
 ) WHERE rank <= 3
+"""
+
+    o["embedding_neardup"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.42
+"""
+
+    o["extract_rendered_text"] = f"""
+WITH {xlate_dict_values_sql()},{derivation_cte_sql()},{_KEPT_CTE},
+  xl AS (
+    SELECT k.doc_id, k.i,
+           CASE WHEN k.kind = 'text' THEN coalesce(d.dst, k.text)
+                ELSE k.text END AS text
+    FROM kept k LEFT JOIN dict d ON k.kind = 'text' AND lower(k.text) = d.src
+  ),
+  agg AS (
+    SELECT doc_id, string_agg(text, ' ' ORDER BY i) AS t
+    FROM xl GROUP BY doc_id
+  )
+SELECT d.doc_id AS doc_id,
+       coalesce(a.t, '') AS rendered_text,
+       coalesce(length(trim(a.t)) > 0, false) AS render_ok
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+    o["events_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(min(value), 4) AS min_v,
+       round(max(value), 4) AS max_v,
+       round(stddev_samp(value), 4) AS sd
+FROM events GROUP BY event_type
 """
 
     o["ann_cosine_topk"] = """

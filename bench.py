@@ -60,16 +60,37 @@ def main() -> None:
     n_spans = docs.agg(F.sum(F.size("spans"))).collect()[0][0]
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
 
     def timed(name, fn):
+        # first run warms JIT/codegen (a freshly generated class executes
+        # interpreted; observed 13x slower) and the Python workers —
+        # steady-state throughput is the metric, cold times are reported
+        # separately
+        t0 = time.monotonic()
+        fn()
+        cold[name] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    only = os.environ.get("SPARK_GRAFT_ONLY")  # comma list to subset
+
+    def want(name):
+        return only is None or name in only.split(",")
+
     # headline: full synthetic extraction (stages A+B+C incl. OCR)
-    timed("extract_synthetic", lambda: _force(extract(spark, docs, media).result))
+    if want("extract_synthetic"):
+        timed(
+            "extract_synthetic",
+            lambda: _force(extract(spark, docs, media).result),
+        )
     # flagship derived-span pipeline over the driver corpus
-    timed("extract_flagship", lambda: _force(queries["extract_flagship"](spark, SF_DIR)))
+    if want("extract_flagship"):
+        timed(
+            "extract_flagship",
+            lambda: _force(queries["extract_flagship"](spark, SF_DIR)),
+        )
     for name in (
         "exact_dedup",
         "minhash_near_dup",
@@ -80,7 +101,8 @@ def main() -> None:
         "quality_scores",
         "lang_id",
     ):
-        timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))
+        if want(name):
+            timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))
 
     total = round(sum(timings.values()), 3)
     ext_sec = timings["extract_synthetic"]
@@ -95,6 +117,7 @@ def main() -> None:
         "synthetic_spans": int(n_spans),
         "docs_per_sec": round(n_docs / ext_sec, 1),
         "spans_per_sec": round(n_spans / ext_sec, 1),
+        "cold_queries": cold,
     }
     spark.stop()
     print(json.dumps(out))

@@ -2,9 +2,18 @@
 """Scaling-efficiency evidence: the same job at N and 4N parallelism.
 
 Sandbox substitute for the north rule's two-cluster-size criterion
-(no real cluster available): run bench.py in separate processes at
-local[N] and local[4N] on identical input, report throughput at both
-plus efficiency = (throughput_4N / throughput_N) / 4.
+(no real cluster available): run the extraction job at local[N] and
+local[4N] on identical input, report throughput at both plus
+efficiency = (throughput_4N / throughput_N) / 4.
+
+Method notes (this environment is noisy — see BENCH/BASELINE.md):
+* one subprocess per parallelism level (a JVM cannot change master);
+* per level: 1 cold run (JIT/codegen warmup, discarded) + R timed
+  runs, BEST warm taken — run-to-run variance on this host reaches
+  3x under high thread counts (kernel-time spikes), and steady-state
+  throughput is the metric;
+* extraction job only (the relational queries have their own absolute
+  timings in bench.py's output).
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
@@ -18,27 +27,86 @@ import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
-SYN_DOCS = os.environ.get("SPARK_GRAFT_SYN_DOCS", "20000")
+SYN_DOCS = int(os.environ.get("SPARK_GRAFT_SYN_DOCS", "60000"))
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+
+PROBE = r"""
+import json, sys, time
+
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from ocr_translation_spark.pipeline import extract
+from ocr_translation_spark.session import get_spark
+
+cpus, base, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+spark = get_spark("scale", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8))
+docs = spark.read.parquet(f"{{base}}/documents.parquet")
+media = spark.read.parquet(f"{{base}}/media.parquet")
+n_docs = docs.count()
+n_spans = docs.agg(F.sum(F.size("spans"))).collect()[0][0]
 
 
-def run_bench(cpus: int) -> dict:
-    env = dict(os.environ)
-    env["SPARK_GRAFT_CPUS"] = str(cpus)
-    env["SPARK_GRAFT_SYN_DOCS"] = SYN_DOCS
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+runs = []
+for i in range(reps + 1):  # +1 cold run, discarded
+    t0 = time.monotonic()
+    # broadcast_ocr=False: at this corpus size the per-doc OCR map is
+    # large enough that a driver-side broadcast build is a SERIAL cost
+    # that pollutes the N-vs-4N comparison; sort-merge + AQE is the
+    # cluster-scale plan shape anyway
+    force(extract(spark, docs, media, broadcast_ocr=False).result)
+    runs.append(round(time.monotonic() - t0, 2))
+print(json.dumps({{"cpus": cpus, "runs": runs, "best_warm": min(runs[1:]),
+                  "n_docs": n_docs, "n_spans": int(n_spans)}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, base: str) -> dict:
+    script = PROBE.format(repo=REPO)
+    # Pin the WHOLE process tree (JVM GC/netty threads + Python workers
+    # included) to exactly `cpus` CPUs — otherwise local[N]'s auxiliary
+    # threads spill onto all cores and "N" understates the resources,
+    # corrupting the N-vs-4N comparison.
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", script,
+           str(cpus), base, str(REPS)]
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, env=env, cwd=REPO, check=True,
+        cmd, capture_output=True, text=True, check=True,
+        env={**os.environ, "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "48g")},
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
-    small = run_bench(N)
-    large = run_bench(4 * N)
-    thr_n = small["docs_per_sec"]
-    thr_4n = large["docs_per_sec"]
+    sys.path.insert(0, REPO)
+
+    base = os.path.join("/tmp", f"ocr_xlate_bench_{SYN_DOCS}")
+    if not os.path.exists(os.path.join(base, "documents.parquet")):
+        if SYN_DOCS > 100_000:
+            # big corpora generate in parallel through Spark itself
+            from ocr_translation_spark.datagen import (
+                write_fixture_parquet_spark,
+            )
+            from ocr_translation_spark.session import get_spark
+
+            spark = get_spark("gen", master="local[*]")
+            write_fixture_parquet_spark(spark, base, n_docs=SYN_DOCS)
+            spark.stop()
+        else:
+            from ocr_translation_spark.datagen import write_fixture_parquet
+
+            write_fixture_parquet(base, n_docs=SYN_DOCS)
+
+    small = run_level(N, base)
+    large = run_level(4 * N, base)
+    thr_n = round(small["n_docs"] / small["best_warm"], 1)
+    thr_4n = round(large["n_docs"] / large["best_warm"], 1)
+    sp_n = round(small["n_spans"] / small["best_warm"], 1)
+    sp_4n = round(large["n_spans"] / large["best_warm"], 1)
     eff = round((thr_4n / thr_n) / 4, 3)
-    span_eff = round((large["spans_per_sec"] / small["spans_per_sec"]) / 4, 3)
     result = {
         "metric": "scaling_efficiency",
         "value": eff,
@@ -46,10 +114,11 @@ def main() -> None:
         "n_cores": N,
         "throughput_docs_per_sec_N": thr_n,
         "throughput_docs_per_sec_4N": thr_4n,
-        "spans_per_sec_N": small["spans_per_sec"],
-        "spans_per_sec_4N": large["spans_per_sec"],
-        "span_scaling_efficiency": span_eff,
-        "synthetic_docs": small["synthetic_docs"],
+        "spans_per_sec_N": sp_n,
+        "spans_per_sec_4N": sp_4n,
+        "runs_N": small["runs"],
+        "runs_4N": large["runs"],
+        "synthetic_docs": small["n_docs"],
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -57,21 +126,23 @@ def main() -> None:
             f"""# BENCH — scaling-efficiency evidence
 
 Two-parallelism substitute for the north rule's two-cluster-size
-criterion (same job, same input, local[{N}] vs local[{4 * N}]):
+criterion (same extraction job, same input, local[{N}] vs
+local[{4 * N}]; 1 discarded cold run + best of {REPS} warm runs per
+level — this host shows up to 3x run-to-run noise at high thread
+counts, raw runs below):
 
-| parallelism | docs/sec | spans/sec | extract wall (s) |
-|---|---|---|---|
-| local[{N}] (N) | {thr_n} | {small['spans_per_sec']} | {small['queries']['extract_synthetic']} |
-| local[{4 * N}] (4N) | {thr_4n} | {large['spans_per_sec']} | {large['queries']['extract_synthetic']} |
+| parallelism | docs/sec | spans/sec | best warm wall (s) | raw runs (s, first=cold) |
+|---|---|---|---|---|
+| local[{N}] (N) | {thr_n} | {sp_n} | {small['best_warm']} | {small['runs']} |
+| local[{4 * N}] (4N) | {thr_4n} | {sp_4n} | {large['best_warm']} | {large['runs']} |
 
-**Scaling efficiency (docs/sec): {eff}** — spans/sec: {span_eff}
-(target >= 0.8). Corpus: {small['synthetic_docs']} synthetic interleaved
-docs ({small['synthetic_spans']} spans), stages A+B+C incl. OCR.
-
-Full per-query timings (local[{4 * N}]):
+**Scaling efficiency (docs/sec): {eff}** (target >= 0.8).
+Corpus: {small['n_docs']} synthetic interleaved docs
+({small['n_spans']} spans, ~3.4 media refs/doc, media-heavy skew docs
+included), stages A+B+C incl. OCR, forced end-to-end via the noop sink.
 
 ```json
-{json.dumps(large, indent=2)}
+{json.dumps(result, indent=2)}
 ```
 """
         )

@@ -242,11 +242,17 @@ def golden_extracted(docs, media_rows) -> dict[str, list[dict]]:
 # Parquet writers (used by tests and bench to materialize fixtures)
 # --------------------------------------------------------------------------
 
-def write_fixture_parquet(out_dir: str, n_docs: int) -> dict[str, str]:
+def write_fixture_parquet(
+    out_dir: str, n_docs: int, n_files: int = 16
+) -> dict[str, str]:
     """Write documents/media/xlate_dict parquet under ``out_dir``.
 
     Uses pyarrow directly (no Spark needed) so unit tests and the bench
     can generate inputs cheaply. Returns {table_name: path}.
+
+    Tables are written as DIRECTORIES of ``n_files`` part files —
+    a single pyarrow file is one row group, i.e. ONE Spark input split,
+    which serializes the scan stage and wrecks scaling measurements.
     """
     import os
 
@@ -266,37 +272,53 @@ def write_fixture_parquet(out_dir: str, n_docs: int) -> dict[str, str]:
             ]
         )
     )
-    doc_tbl = pa.table(
-        {
-            "doc_id": pa.array([d for d, _ in docs], pa.string()),
-            "spans": pa.array(
-                [
+
+    def _write_parts(name: str, rows: list, to_table) -> str:
+        path = os.path.join(out_dir, f"{name}.parquet")
+        os.makedirs(path, exist_ok=True)
+        k = max(1, min(n_files, len(rows)))
+        chunk = -(-len(rows) // k)
+        for i in range(k):
+            part = rows[i * chunk : (i + 1) * chunk]
+            if not part:
+                break
+            pq.write_table(
+                to_table(part), os.path.join(path, f"part-{i:05d}.parquet")
+            )
+        return path
+
+    def _docs_table(part):
+        return pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in part], pa.string()),
+                "spans": pa.array(
                     [
-                        (s["kind"], s["text"], s["media_ref"], s["offset"])
-                        for s in spans
-                    ]
-                    for _, spans in docs
-                ],
-                span_type,
-            ),
-        }
-    )
+                        [
+                            (s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in spans
+                        ]
+                        for _, spans in part
+                    ],
+                    span_type,
+                ),
+            }
+        )
+
     paths = {}
-    p = os.path.join(out_dir, "documents.parquet")
-    pq.write_table(doc_tbl, p)
-    paths["documents"] = p
+    paths["documents"] = _write_parts("documents", docs, _docs_table)
 
     media_rows = gen_media_table(collect_media_refs(docs))
-    media_tbl = pa.table(
-        {
-            "media_ref": pa.array([r for r, _, _ in media_rows], pa.string()),
-            "media_bytes": pa.array([b for _, b, _ in media_rows], pa.binary()),
-            "media_kind": pa.array([k for _, _, k in media_rows], pa.string()),
-        }
-    )
-    p = os.path.join(out_dir, "media.parquet")
-    pq.write_table(media_tbl, p)
-    paths["media"] = p
+
+    def _media_table(part):
+        return pa.table(
+            {
+                "media_ref": pa.array([r for r, _, _ in part], pa.string()),
+                "media_bytes": pa.array([b for _, b, _ in part], pa.binary()),
+                "media_kind": pa.array([k for _, _, k in part], pa.string()),
+            }
+        )
+
+    paths["media"] = _write_parts("media", media_rows, _media_table)
 
     dict_rows = gen_xlate_dict_table()
     dict_tbl = pa.table(
@@ -310,3 +332,74 @@ def write_fixture_parquet(out_dir: str, n_docs: int) -> dict[str, str]:
     pq.write_table(dict_tbl, p)
     paths["xlate_dict"] = p
     return paths
+
+
+def write_fixture_parquet_spark(
+    spark, out_dir: str, n_docs: int, n_files: int = 64
+) -> dict[str, str]:
+    """Spark-parallel fixture generator for bench-scale corpora.
+
+    Same pure function of (SEED, doc_id) as the pyarrow writer — each
+    partition generates its own doc_id range independently (exactly how
+    a 10^12-doc corpus would be materialized on a cluster). Media
+    payloads are emitted once per distinct ref via a distinct+generate
+    pass.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    ids = [(d,) for d in doc_ids(n_docs)]
+    id_df = spark.createDataFrame(ids, "doc_id string").repartition(n_files)
+
+    span_schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+
+    def gen_docs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                rows.append(
+                    (
+                        d,
+                        [
+                            (s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in spans_for(d)
+                        ],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    docs_df = id_df.mapInPandas(gen_docs, schema=span_schema)
+    doc_path = os.path.join(out_dir, "documents.parquet")
+    docs_df.write.mode("overwrite").parquet(doc_path)
+
+    refs = (
+        spark.read.parquet(doc_path)
+        .select(F.explode(F.col("spans.media_ref")).alias("media_ref"))
+        .where(F.col("media_ref").isNotNull())
+        .distinct()
+    )
+
+    def gen_media(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (r, media_bytes_for(r), _pick(MEDIA_KINDS, "mkind", r))
+                for r in pdf["media_ref"]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "media_bytes", "media_kind"]
+            )
+
+    media_path = os.path.join(out_dir, "media.parquet")
+    refs.repartition(max(8, n_files // 4)).mapInPandas(
+        gen_media,
+        schema="media_ref string, media_bytes binary, media_kind string",
+    ).write.mode("overwrite").parquet(media_path)
+    return {"documents": doc_path, "media": media_path}

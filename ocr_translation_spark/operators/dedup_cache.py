@@ -46,10 +46,8 @@ def dedup_compute_with_cache(
     new_cache_entries has columns (hash_col, result_col).
     """
     payload = F.col(payload_col)
-    hashed_payload = F.sha2(
-        F.when(payload.cast("string").isNotNull(), payload.cast("binary"))
-        .otherwise(F.lit(b"")), 256,
-    )
+    # null payloads hash to sha2("") so they still dedup/join cleanly
+    hashed_payload = F.sha2(F.coalesce(payload.cast("binary"), F.lit(b"")), 256)
     hashed = df.withColumn(hash_col, hashed_payload)
     distinct = hashed.select(hash_col, payload_col).dropDuplicates([hash_col])
 

@@ -74,3 +74,39 @@ def translate_series(texts):
         return S.translate_text(t)
 
     return pd.Series([one(t) for t in texts])
+
+
+def translate_texts_with_cache(
+    df: DataFrame,
+    text_col: str = "text",
+    cache_df: DataFrame | None = None,
+    use_cache: bool = True,
+    lang: str = "vi",
+):
+    """Cached-compute variant of stage C (reference parity: the
+    ``translate:<sha256(text+lang)>`` Redis cache at
+    ``TranslationQueue.js:53-83``).
+
+    With the offline dictionary the compute is cheap enough that the
+    plain columnar path wins; this variant exists for the reference's
+    cache semantics (and for rule classes priced like the original
+    network call). Hash domain is ``sha256(text || lang)`` — WITHOUT
+    reproducing the reference's quirk of concatenating the literal
+    string "undefined" (SURVEY.md T5).
+
+    Returns (df with ``translated`` column, new_cache_entries).
+    """
+    from .dedup_cache import dedup_compute_with_cache
+
+    tagged = df.withColumn("_payload", F.concat(F.col(text_col), F.lit(lang)))
+    out, new_cache = dedup_compute_with_cache(
+        tagged,
+        "_payload",
+        lambda series: series.map(
+            lambda p: None if p is None else S.translate_text(p[: -len(lang)])
+        ),
+        result_col="translated",
+        cache_df=cache_df,
+        use_cache=use_cache,
+    )
+    return out.drop("_payload"), new_cache

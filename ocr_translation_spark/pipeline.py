@@ -35,7 +35,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .operators.partitioning import media_weight, salted_repartition
 from .operators.stage_a_ocr import ocr_distinct_media
 from .operators.stage_b_boiler import strip_boilerplate
-from .operators.stage_c_translate import translate_spans
 
 SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
 OUT_SCHEMA = f"doc_id string, spans array<{SPAN_STRUCT}>"
@@ -173,8 +172,20 @@ def extract(
         )
 
     stripped = strip_boilerplate(all_docs)
-    translated = translate_spans(stripped)
-    result = translated.select(
-        "doc_id", _reoffset(F.col("spans")).alias("spans")
+    # stage C + re-offset fused into ONE transform (each transform
+    # materializes a new array per row; fusing halves that cost)
+    from .operators.stage_c_translate import translate_text_col
+
+    result = stripped.select(
+        "doc_id",
+        F.transform(
+            F.col("spans"),
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                translate_text_col(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
     )
     return ExtractResult(result, new_cache)
