@@ -86,15 +86,19 @@ def main() -> None:
     base = os.path.join("/tmp", f"ocr_xlate_bench_{SYN_DOCS}")
     if not os.path.exists(os.path.join(base, "documents.parquet")):
         if SYN_DOCS > 100_000:
-            # big corpora generate in parallel through Spark itself
-            from ocr_translation_spark.datagen import (
-                write_fixture_parquet_spark,
+            # big corpora generate in parallel through Spark — in a
+            # SUBPROCESS so the gateway JVM dies with it (spark.stop()
+            # leaves the JVM attached to this process otherwise, and it
+            # pollutes the timed legs)
+            gen_script = (
+                f"import sys; sys.path.insert(0, {REPO!r})\n"
+                "from ocr_translation_spark.datagen import write_fixture_parquet_spark\n"
+                "from ocr_translation_spark.session import get_spark\n"
+                "spark = get_spark('gen', master='local[*]')\n"
+                f"write_fixture_parquet_spark(spark, {base!r}, n_docs={SYN_DOCS})\n"
+                "spark.stop()\n"
             )
-            from ocr_translation_spark.session import get_spark
-
-            spark = get_spark("gen", master="local[*]")
-            write_fixture_parquet_spark(spark, base, n_docs=SYN_DOCS)
-            spark.stop()
+            subprocess.run([sys.executable, "-c", gen_script], check=True)
         else:
             from ocr_translation_spark.datagen import write_fixture_parquet
 

@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt-buckets", type=int, default=8)
     p.add_argument("--no-cache", action="store_true")
     p.add_argument("--ocr-cache", default=None, help="ocr cache table path")
+    p.add_argument(
+        "--quarantine", default=None,
+        help="path for invalid rows (reason-tagged); omit to fail-open",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -55,6 +59,16 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.input)
     media = spark.read.parquet(args.media) if args.media else None
     ocr_cache = spark.read.parquet(args.ocr_cache) if args.ocr_cache else None
+
+    n_quarantined = 0
+    if args.quarantine:
+        from ocr_translation_spark.operators.quarantine import (
+            validate_documents,
+        )
+
+        docs, bad = validate_documents(docs)
+        bad.write.mode("overwrite").parquet(args.quarantine)
+        n_quarantined = spark.read.parquet(args.quarantine).count()
 
     run = ResumableRun(spark, args.output, args.state, n_buckets=args.buckets)
     processed = run.run(
@@ -75,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
                 "total_docs": total[0],
                 "total_spans": total[1],
                 "total_wall_ms": total[2],
+                "quarantined": n_quarantined,
             }
         )
     )

@@ -38,13 +38,37 @@ def _dict_map() -> Column:
     )
 
 
+def _dict_map_two_level() -> Column:
+    """map<first_char, map<word, translation>> — GetMapValue on a map
+    literal is a LINEAR scan, so one flat 202-entry map costs ~200
+    string compares per token; bucketing by first character cuts that
+    to ~26 + bucket size (~6x less compare work in the hot loop)."""
+    buckets: dict[str, dict[str, str]] = {}
+    for k, v in S.XLATE_DICT.items():
+        buckets.setdefault(k[0], {})[k] = v
+    pairs = []
+    for c in sorted(buckets):
+        inner = F.create_map(
+            *[
+                F.lit(x)
+                for x in itertools.chain.from_iterable(sorted(buckets[c].items()))
+            ]
+        )
+        pairs += [F.lit(c), inner]
+    return F.create_map(*pairs)
+
+
 def translate_text_col(text: Column) -> Column:
     """Columnar twin of ``semantics.translate_text`` (null-safe)."""
-    dict_map = _dict_map()
+    dict_map = _dict_map_two_level()
     toks = F.split(F.trim(text), r"\s+")
-    translated = F.transform(
-        toks, lambda t: F.coalesce(F.element_at(dict_map, F.lower(t)), t)
-    )
+
+    def xlate(t):
+        low = F.lower(t)
+        inner = F.element_at(dict_map, F.substring(low, 1, 1))
+        return F.coalesce(F.element_at(inner, low), t)
+
+    translated = F.transform(toks, xlate)
     return F.when(text.isNull(), None).otherwise(F.array_join(translated, " "))
 
 
