@@ -39,7 +39,17 @@ from ocr_translation_spark.pipeline import extract
 from ocr_translation_spark.session import get_spark
 
 cpus, base, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
-spark = get_spark("scale", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8))
+# shuffle through tmpfs: on a real cluster aggregate shuffle bandwidth
+# scales with node count; a single shared spinning /tmp serializes the
+# 4N leg and corrupts the comparison (documented in BENCH/BASELINE.md)
+import os
+os.makedirs("/dev/shm/spark-local", exist_ok=True)
+spark = get_spark(
+    "scale",
+    master=f"local[{{cpus}}]",
+    shuffle_partitions=max(cpus, 8),
+    extra_conf={{"spark.local.dir": "/dev/shm/spark-local"}},
+)
 docs = spark.read.parquet(f"{{base}}/documents.parquet")
 media = spark.read.parquet(f"{{base}}/media.parquet")
 n_docs = docs.count()
