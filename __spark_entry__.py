@@ -263,6 +263,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_top_users"] = _top_users
 
+    def _sessionize(spark, sf):
+        """Gap-based sessionization (10-min inactivity): lag -> new-
+        session flag -> running sum = session id, per user."""
+        from pyspark.sql import Window
+
+        ev = _read(spark, sf, "events")
+        # microsecond-exact gap compare (a whole-seconds cast truncates
+        # and disagrees with the oracle's epoch_us on ~600.x s gaps);
+        # session TZ is UTC so ntz -> timestamp is wall-time faithful
+        epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        flagged = ev.withColumn(
+            "_new",
+            F.when(
+                epoch_us - F.lag(epoch_us).over(w) > 600 * 1_000_000,
+                1,
+            )
+            .otherwise(0)
+            + F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+        )
+        sess = flagged.withColumn(
+            "session_id", F.sum("_new").over(w).cast("int")
+        )
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+
+    q["events_sessionize"] = _sessionize
+
     def _ann(spark, sf):
         emb = _read(spark, sf, "embeddings")
         return brute_force_topk(
@@ -535,6 +566,28 @@ SELECT event_type,
        round(max(value), 4) AS max_v,
        round(stddev_samp(value), 4) AS sd
 FROM events GROUP BY event_type
+"""
+
+    o["events_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600 * 1000000
+                THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id))::INTEGER
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+       round(sum(value), 4) AS total_value
+FROM sess GROUP BY user_id, session_id
 """
 
     o["ann_cosine_topk"] = """
