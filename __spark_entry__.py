@@ -263,6 +263,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_top_users"] = _top_users
 
+    def _ngram_jaccard_pairs(spark, sf):
+        """Exact 3-gram Jaccard between consecutive doc ids — the
+        verify metric of the MinHash pipeline, oracle-checked."""
+        from ocr_translation_spark.functions.dedup import shingles
+
+        docs = _read(spark, sf, "documents")
+        a = docs.select(
+            F.col("doc_id").alias("id_a"),
+            shingles(F.col("text"), 3).alias("sh_a"),
+        )
+        b = docs.select(
+            (F.col("doc_id") - 1).alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            shingles(F.col("text"), 3).alias("sh_b"),
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        return a.join(b, "id_a").select(
+            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        )
+
+    q["ngram_jaccard_pairs"] = _ngram_jaccard_pairs
+
     def _sessionize(spark, sf):
         """Gap-based sessionization (10-min inactivity): lag -> new-
         session flag -> running sum = session id, per user."""
@@ -566,6 +589,24 @@ SELECT event_type,
        round(max(value), 4) AS max_v,
        round(stddev_samp(value), 4) AS sd
 FROM events GROUP BY event_type
+"""
+
+    o["ngram_jaccard_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         END AS g
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.g, b.g))::DOUBLE /
+             len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 """
 
     o["events_sessionize"] = """

@@ -116,14 +116,32 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share an SRP bucket, exact cosine
     re-rank within bucket. Recall grows with fewer planes / multiprobe;
-    cost shrinks with more planes. Returns same schema as brute force."""
+    cost shrinks with more planes. Returns same schema as brute force.
+
+    ``multiprobe``: additionally probe buckets reachable by flipping
+    each of the first ``multiprobe`` sign bits of the query's bucket
+    (near-boundary vectors land one bit away; probing 1-bit flips
+    recovers most of that recall for (multiprobe+1)x the candidates).
+    """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("bucket", srp_bucket(F.col("qv"), dim, n_planes))
+    if multiprobe > 0:
+        probes = F.array_distinct(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(min(multiprobe, n_planes))
+                ],
+            )
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -136,6 +154,8 @@ def lsh_bucketed_topk(
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("sim"),
         )
+        # multiprobe can reach the same neighbor via several buckets
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
