@@ -5,6 +5,10 @@ Env:
   SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
   SPARK_GRAFT_SYN_DOCS synthetic extraction corpus size (default 8000)
+  SPARK_GRAFT_REPEATS  warm runs per query (default 3; p50 is the
+                       headline because this host shows 3-18x
+                       run-to-run noise — single samples mislead)
+  SPARK_GRAFT_ONLY     comma list to subset the queries
 
 Each query is forced end-to-end with the noop sink (count() would let
 Catalyst prune the very expressions being measured).
@@ -14,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,6 +34,7 @@ from ocr_translation_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SYN_DOCS = int(os.environ.get("SPARK_GRAFT_SYN_DOCS", "8000"))
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
 
 
 def _force(df) -> None:
@@ -60,19 +66,26 @@ def main() -> None:
     n_spans = docs.agg(F.sum(F.size("spans"))).collect()[0][0]
 
     timings: dict[str, float] = {}
+    p95s: dict[str, float] = {}
     cold: dict[str, float] = {}
 
     def timed(name, fn):
         # first run warms JIT/codegen (a freshly generated class executes
         # interpreted; observed 13x slower) and the Python workers —
         # steady-state throughput is the metric, cold times are reported
-        # separately
+        # separately. p50 over REPEATS warm runs is the headline: this
+        # host shows 3-18x run-to-run noise, single samples mislead.
         t0 = time.monotonic()
         fn()
         cold[name] = round(time.monotonic() - t0, 3)
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        warm = []
+        for _ in range(REPEATS):
+            t0 = time.monotonic()
+            fn()
+            warm.append(time.monotonic() - t0)
+        warm.sort()
+        timings[name] = round(statistics.median(warm), 3)
+        p95s[name] = round(warm[min(len(warm) - 1, int(0.95 * len(warm)))], 3)
 
     only = os.environ.get("SPARK_GRAFT_ONLY")  # comma list to subset
 
@@ -105,7 +118,6 @@ def main() -> None:
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))
 
     total = round(sum(timings.values()), 3)
-    ext_sec = timings["extract_synthetic"]
     out = {
         "metric": "headline_total",
         "value": total,
@@ -115,10 +127,16 @@ def main() -> None:
         "cpus": CPUS,
         "synthetic_docs": n_docs,
         "synthetic_spans": int(n_spans),
-        "docs_per_sec": round(n_docs / ext_sec, 1),
-        "spans_per_sec": round(n_spans / ext_sec, 1),
+        "repeats": REPEATS,
+        "queries_p95": p95s,
         "cold_queries": cold,
     }
+    # throughput only when the headline extraction query actually ran
+    # (SPARK_GRAFT_ONLY subsets may exclude it)
+    ext_sec = timings.get("extract_synthetic")
+    if ext_sec:
+        out["docs_per_sec"] = round(n_docs / ext_sec, 1)
+        out["spans_per_sec"] = round(n_spans / ext_sec, 1)
     spark.stop()
     print(json.dumps(out))
 

@@ -63,11 +63,10 @@ def force(df):
 runs = []
 for i in range(reps + 1):  # +1 cold run, discarded
     t0 = time.monotonic()
-    # broadcast_ocr=False: at this corpus size the per-doc OCR map is
-    # large enough that a driver-side broadcast build is a SERIAL cost
-    # that pollutes the N-vs-4N comparison; sort-merge + AQE is the
-    # cluster-scale plan shape anyway
-    force(extract(spark, docs, media, broadcast_ocr=False).result)
+    # DEFAULT arguments: the per-doc resolved map is never broadcast
+    # anymore (pipeline.py), so the serial driver-side broadcast build
+    # that used to pollute this comparison is gone from the default plan
+    force(extract(spark, docs, media).result)
     runs.append(round(time.monotonic() - t0, 2))
 print(json.dumps({{"cpus": cpus, "runs": runs, "best_warm": min(runs[1:]),
                   "n_docs": n_docs, "n_spans": int(n_spans)}}))

@@ -40,7 +40,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--salt-buckets", type=int, default=8)
     p.add_argument("--no-cache", action="store_true")
-    p.add_argument("--ocr-cache", default=None, help="ocr cache table path")
+    p.add_argument(
+        "--ocr-cache", default=None,
+        help="WRITABLE dir holding the persisted ocr_cache table: read "
+        "at start (unreadable/corrupt degrades to recompute, never "
+        "aborts), grown crash-safely after every bucket (store-always)",
+    )
     p.add_argument(
         "--quarantine", default=None,
         help="path for invalid rows (reason-tagged); omit to fail-open",
@@ -58,7 +63,6 @@ def main(argv: list[str] | None = None) -> int:
 
     docs = spark.read.parquet(args.input)
     media = spark.read.parquet(args.media) if args.media else None
-    ocr_cache = spark.read.parquet(args.ocr_cache) if args.ocr_cache else None
 
     n_quarantined = 0
     if args.quarantine:
@@ -70,12 +74,14 @@ def main(argv: list[str] | None = None) -> int:
         bad.write.mode("overwrite").parquet(args.quarantine)
         n_quarantined = spark.read.parquet(args.quarantine).count()
 
-    run = ResumableRun(spark, args.output, args.state, n_buckets=args.buckets)
+    run = ResumableRun(
+        spark, args.output, args.state,
+        n_buckets=args.buckets, cache_dir=args.ocr_cache,
+    )
     processed = run.run(
         docs,
         media,
         use_cache=not args.no_cache,
-        ocr_cache=ocr_cache,
         num_partitions=args.partitions,
         salt_buckets=args.salt_buckets,
     )

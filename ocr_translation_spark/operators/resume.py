@@ -51,17 +51,23 @@ def _bucket_col(n_buckets: int):
 
 
 def committed_buckets(spark: SparkSession, state_dir: str) -> set[int]:
+    """Buckets with a committed lineage row.
+
+    MISSING lineage (fresh run) reads as the empty set; a BROKEN
+    lineage dir raises — a resume protocol that silently reads
+    corruption as "nothing committed" would reprocess the world and
+    lose its memory without telling anyone.
+    """
     lineage_path = os.path.join(state_dir, "lineage")
-    try:
-        rows = (
-            spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path)
-            .filter(F.col("status") == "committed")
-            .select("bucket")
-            .distinct()
-            .collect()
-        )
-    except Exception:
+    if not os.path.exists(lineage_path):
         return set()
+    rows = (
+        spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path)
+        .filter(F.col("status") == "committed")
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
     return {r["bucket"] for r in rows}
 
 
@@ -74,12 +80,25 @@ class ResumableRun:
         out_dir: str,
         state_dir: str,
         n_buckets: int = 16,
+        cache_dir: str | None = None,
     ):
+        """``cache_dir``: optional directory holding a persisted
+        ``ocr_cache`` table that GROWS across buckets and runs
+        (store-always semantics, reference ``OCRQueue.js:85``): each
+        bucket's new OCR results are merged in crash-safely after the
+        bucket commits, and later buckets / later runs read them as
+        cache hits instead of re-OCRing."""
         self.spark = spark
         self.out_dir = out_dir
         self.state_dir = state_dir
         self.n_buckets = n_buckets
         self.run_id = uuid.uuid4().hex[:12]
+        if cache_dir is not None:
+            from ..sources.catalog import Catalog
+
+            self.cache_catalog = Catalog(spark, cache_dir)
+        else:
+            self.cache_catalog = None
 
     def _append_state(self, name: str, rows, schema: str):
         df = self.spark.createDataFrame(rows, schema)
@@ -103,13 +122,24 @@ class ResumableRun:
         pending = [b for b in range(self.n_buckets) if b not in done]
         bucketed = docs.withColumn("_bucket", _bucket_col(self.n_buckets))
 
+        if self.cache_catalog is not None and "ocr_cache" not in extract_kwargs:
+            # error-fallback load: unreadable cache -> recompute, not abort
+            extract_kwargs["ocr_cache"] = self.cache_catalog.load_or_none(
+                "ocr_cache"
+            )
+
         processed: list[int] = []
         for i, b in enumerate(pending):
             if fail_after_buckets is not None and i >= fail_after_buckets:
                 raise RuntimeError(f"simulated crash before bucket {b}")
             t0 = time.monotonic()
             subset = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-            result = extract(self.spark, subset, media, **extract_kwargs).result
+            res = extract(self.spark, subset, media, **extract_kwargs)
+            result = res.result
+            # persist BEFORE the output write: the write materializes
+            # the OCR mapInPandas subtree into the cache, so the cache
+            # merge below reuses it instead of re-OCRing every miss
+            new_cache = res.new_ocr_cache.persist()
             bucket_dir = os.path.join(self.out_dir, f"bucket={b}")
             result.write.mode("overwrite").parquet(bucket_dir)
 
@@ -142,6 +172,15 @@ class ResumableRun:
                 ],
                 METRICS_SCHEMA,
             )
+            if self.cache_catalog is not None and media is not None:
+                # store-always (OCRQueue.js:85): grow the persisted
+                # cache crash-safely; later buckets hit instead of
+                # re-OCRing. Reads the persisted subtree, no recompute.
+                self.cache_catalog.merge_cache(new_cache, "ocr_cache", "h")
+                extract_kwargs["ocr_cache"] = self.cache_catalog.load_or_none(
+                    "ocr_cache"
+                )
+            new_cache.unpersist()
             processed.append(b)
         return processed
 

@@ -84,10 +84,11 @@ def extract(
     ``media(media_ref, media_bytes)`` is the side table for stage A;
     pass None for corpora with no media payloads (stage A is skipped,
     media spans keep text=null — same as an unresolvable ref).
-    ``broadcast_ocr``: hint the per-ref OCR result join as broadcast.
-    Right at any scale where distinct-media x avg-text fits an executor
-    (typical); set False to let sort-merge + AQE handle a huge distinct
-    media set.
+    ``broadcast_ocr``: hint the DISTINCT-media ocr_side join as
+    broadcast — right whenever distinct-media x avg-text fits an
+    executor (typical); set False for a huge distinct media set. The
+    per-doc resolved map is never broadcast (it scales with the
+    corpus); AQE upgrades that join at runtime when it is small.
     """
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -124,6 +125,11 @@ def extract(
         if broadcast_ocr:
             ocr_side = F.broadcast(ocr_side)
         # Per-doc ref->text map: tiny rows through the regroup shuffle.
+        # NEVER broadcast `resolved` — it has one row per media-bearing
+        # document, so its size scales with the CORPUS, not with the
+        # distinct-media set; a driver-side broadcast build OOMs at
+        # scale. It goes through a shuffle join; AQE still picks a
+        # broadcast join at runtime when the map is genuinely small.
         resolved = (
             refs_per_doc.join(ocr_side, "media_ref", "left")
             .groupBy("doc_id")
@@ -133,8 +139,6 @@ def extract(
                 ).alias("_ocr")
             )
         )
-        if broadcast_ocr:
-            resolved = F.broadcast(resolved)
 
     # Explicit shuffle boundary (the reference's queue hop): balances
     # byte-skewed inputs for the codegen stage and the output write.
