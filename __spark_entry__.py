@@ -28,6 +28,7 @@ from ocr_translation_spark.derive import (
     xlate_dict_values_sql,
 )
 from ocr_translation_spark.functions.dedup import (
+    derive_banding,
     exact_dedup,
     minhash_near_dup_pairs,
     simhash64,
@@ -35,6 +36,8 @@ from ocr_translation_spark.functions.dedup import (
 from ocr_translation_spark.functions.similarity import (
     brute_force_topk,
     lsh_bucketed_topk,
+    srp_near_dup_pairs,
+    srp_plane_signs,
 )
 from ocr_translation_spark.functions.text import (
     add_fingerprint,
@@ -160,6 +163,78 @@ _FR = "'le','la','de','et','est','un','une','du','que','pour'"
 
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKS = "string_split(trim(text), ' ')"
+
+# normalized 3-gram shingles — the DuckDB twin of dedup.shingles()
+_SH_CTES = f"""toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         END AS g
+  FROM toks
+)"""
+
+
+def _srp_plane_lit(dim: int, plane: int) -> str:
+    """The SAME deterministic Rademacher plane the Spark side uses
+    (functions/similarity.srp_plane_signs), as a DuckDB list literal —
+    both engines agree by construction, so the LSH queries are
+    value-checked end to end."""
+    return (
+        "["
+        + ",".join(
+            "1.0" if v > 0 else "-1.0" for v in srp_plane_signs(dim, plane)
+        )
+        + "]::DOUBLE[]"
+    )
+
+
+def _srp_bucket_sql(vexpr: str, dim: int, plane_indices: list[int]) -> str:
+    """Bucket id = sign pattern of the listed planes (bit j = plane
+    plane_indices[j]). list_dot_product folds sequentially, matching
+    Spark's aggregate fold bit-for-bit (±1.0 products are exact)."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vexpr}, {_srp_plane_lit(dim, pi)})"
+        f" >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, pi in enumerate(plane_indices)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _minhash_oracle_sql(
+    threshold: float = 0.5, n_hashes: int = 32
+) -> str:
+    """DuckDB twin of minhash_near_dup_pairs: identical shingles,
+    identical sha256-prefix signature, identical derived banding,
+    identical exact-Jaccard verify."""
+    bands, rpb = derive_banding(n_hashes, threshold)
+    band_cat = " || '|' || ".join(
+        f"sig[{rpb}*t.band + {r + 1}]" for r in range(rpb)
+    )
+    return f"""
+WITH {_SH_CTES}, sig AS (
+  SELECT doc_id, g,
+         list_transform(range(0, {n_hashes}), i ->
+           list_min(list_transform(g, s -> substr(sha256(i::VARCHAR || ':' || s), 1, 16)))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, t.band AS band,
+         substr(sha256({band_cat}), 1, 16) AS band_hash
+  FROM sig, range(0, {bands}) t(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(sa.g, sb.g))::DOUBLE /
+               (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))), 6) AS jaccard
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -379,7 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
-    # ---- rows-only (non-SQL-expressible: xxhash64 / binary payloads) ----
+    # ---- sketch/LSH family: sha256-derived hashes & planes, so every
+    # one of these is DuckDB-reproducible and value-oracle-checked ----
 
     q["minhash_near_dup"] = lambda spark, sf: minhash_near_dup_pairs(
         _read(spark, sf, "documents"), jaccard_threshold=0.5
@@ -396,10 +472,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _lsh_ann(spark, sf):
         emb = _read(spark, sf, "embeddings")
         return lsh_bucketed_topk(
-            emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6
+            emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6,
+            multiprobe=2,
         )
 
     q["lsh_ann_topk"] = _lsh_ann
+
+    def _emb_neardup_lsh(spark, sf):
+        """Scale path for embedding_neardup: banded SRP buckets (8
+        tables x 4 planes), candidate pairs share a bucket — NO cross
+        join anywhere in the plan; exact cosine verify on candidates."""
+        emb = _read(spark, sf, "embeddings")
+        return srp_near_dup_pairs(
+            emb, dim=64, threshold=0.42, n_tables=8, planes_per_table=4
+        )
+
+    q["embedding_neardup_lsh"] = _emb_neardup_lsh
+
+    def _q3(spark, sf):
+        """TPC-H q3-shaped multi-join: filtered fact-dim-dim join with
+        a broadcast of the small filtered dim, top-10 by revenue."""
+        cust = _read(spark, sf, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = _read(spark, sf, "orders").filter(
+            F.col("o_orderdate") < "1998-01-01"
+        )
+        li = _read(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") > "1998-01-01"
+        )
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue")
+            )
+            .select(
+                "o_orderkey",
+                "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            )
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10)
+        )
+
+    q["tpch_q3_shipping"] = _q3
+
+    def _cust_no_recent(spark, sf):
+        """LEFT ANTI join: customers with no order on/after 2001-01-01."""
+        cust = _read(spark, sf, "customer")
+        recent = _read(spark, sf, "orders").filter(
+            F.col("o_orderdate") >= "2001-01-01"
+        )
+        return cust.join(
+            recent, cust["c_custkey"] == recent["o_custkey"], "left_anti"
+        ).select("c_custkey", "c_mktsegment")
+
+    q["customers_no_recent_order"] = _cust_no_recent
+
+    def _big_spenders(spark, sf):
+        """LEFT SEMI join: customers with >=1 order over 400k."""
+        cust = _read(spark, sf, "customer")
+        big = _read(spark, sf, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        return cust.join(
+            big, cust["c_custkey"] == big["o_custkey"], "left_semi"
+        ).select("c_custkey", "c_name")
+
+    q["big_spender_customers"] = _big_spenders
+
+    # ---- rows-only (binary payloads; golden-tested in pytest) ----
 
     def _synthetic_e2e(spark, sf):
         """Full stages A+B+C incl. OCR over generated span fixtures
@@ -589,6 +736,116 @@ SELECT event_type,
        round(max(value), 4) AS max_v,
        round(stddev_samp(value), 4) AS sd
 FROM events GROUP BY event_type
+"""
+
+    o["minhash_near_dup"] = _minhash_oracle_sql(threshold=0.5, n_hashes=32)
+
+    # simhash: token hash = 16-hex-char sha256 prefix; bit i lives in
+    # hex char 16 - i//4 at in-digit position i%4 (matches the Spark
+    # hi/lo conv() parse); final int64 assembled with bit63 as the sign
+    o["simhash_sketch"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), votes AS (
+  SELECT doc_id,
+    list_transform(range(0, 64), i ->
+      list_sum(list_transform(t, tok ->
+        CASE WHEN ((strpos('0123456789abcdef', substr(sha256(tok), 16 - i // 4, 1)) - 1) >> (i % 4)) & 1 = 1
+             THEN 1 ELSE -1 END))) AS v
+  FROM toks
+)
+SELECT doc_id,
+  (list_sum(list_transform(range(0, 63), i -> CASE WHEN v[i+1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END))::BIGINT
+   + CASE WHEN v[64] > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)::BIGINT AS simhash
+FROM votes
+"""
+
+    o["shingle_fingerprint"] = f"""
+WITH {_SH_CTES}
+SELECT doc_id, list_min(list_transform(g, s -> substr(sha256(s), 1, 16))) AS fp_min_shingle
+FROM sh
+"""
+
+    _b6 = _srp_bucket_sql("v", 64, list(range(6)))
+    o["lsh_ann_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, {_b6} AS bucket FROM e),
+q0 AS (SELECT vec_id AS query_id, v AS qv, {_b6} AS bucket FROM e WHERE vec_id < 10),
+q AS (SELECT query_id, qv,
+             unnest(list_distinct([bucket, xor(bucket, 1), xor(bucket, 2)])) AS bucket
+      FROM q0),
+s AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS sim
+  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+    _nt, _h = 8, 4
+    _bcols = ",\n       ".join(
+        f"{_srp_bucket_sql('v', 64, list(range(t * _h, t * _h + _h)))} AS b{t}"
+        for t in range(_nt)
+    )
+    _bcase = " ".join(f"WHEN {t} THEN b{t}" for t in range(_nt))
+    o["embedding_neardup_lsh"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+       {_bcols}
+      FROM e),
+banded AS (
+  SELECT vec_id, t.tbl AS tbl, CASE t.tbl {_bcase} END AS bucket
+  FROM b, range(0, {_nt}) t(tbl)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM banded a JOIN banded c USING (tbl, bucket)
+  WHERE a.vec_id < c.vec_id
+),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+         round(list_dot_product(ea.v, eb.v) /
+               (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS sim
+  FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.42
+"""
+
+    o["tpch_q3_shipping"] = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+    o["customers_no_recent_order"] = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+"""
+
+    o["big_spender_customers"] = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
 """
 
     o["ngram_jaccard_pairs"] = f"""

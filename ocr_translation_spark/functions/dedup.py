@@ -73,11 +73,21 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(sh: Column, n_hashes: int = 32) -> Column:
-    """K independent minhashes: min over xxhash64(shingle, seed_i)."""
+    """K independent minhashes: lexicographic min over the 16-hex-char
+    (64-bit) prefix of ``sha256(seed || ':' || shingle)``.
+
+    Fixed-length lowercase hex strings order exactly like the unsigned
+    64-bit values they encode, so lexicographic min == numeric min.
+    sha256 (not xxhash64) so DuckDB can reproduce the signature
+    byte-for-byte — the near-dup query gets a REAL value oracle instead
+    of a rows-only check.
+    """
     def _seeded(i):
         # closure factory: a (s, i=i) lambda has arity 2, which transform
         # treats as (element, array_index) — the seed would be clobbered
-        return lambda s: F.xxhash64(s, F.lit(i))
+        return lambda s: F.substring(
+            F.sha2(F.concat(F.lit(f"{i}:"), s), 256), 1, 16
+        )
 
     return F.array(
         *[
@@ -87,26 +97,76 @@ def minhash_signature(sh: Column, n_hashes: int = 32) -> Column:
     )
 
 
+def derive_banding(
+    n_hashes: int, jaccard_threshold: float, min_recall: float = 0.95
+) -> tuple[int, int]:
+    """(bands, rows_per_band) for a requested Jaccard threshold.
+
+    Candidate recall at similarity t with b bands of r rows is
+    1 - (1 - t^r)^b. Pick the LARGEST r (sharpest banding = fewest
+    false candidates) whose theoretical recall at the threshold still
+    clears ``min_recall``. A fixed 8x4 banding at t=0.5 recalls only
+    ~40% of true pairs — a silently incomplete answer; this derivation
+    makes the contract explicit (>=95% by default).
+    """
+    best_r = 1
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+        if 1 - (1 - jaccard_threshold**r) ** b >= min_recall:
+            best_r = r
+    return n_hashes // best_r, best_r
+
+
+def band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
+    """64-bit hex bucket key for one band's minhash slice (sha256 so
+    the oracle can reproduce it)."""
+    return F.substring(
+        F.sha2(
+            F.concat_ws(
+                "|", *[sig[band * rows_per_band + r] for r in range(rows_per_band)]
+            ),
+            256,
+        ),
+        1,
+        16,
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = None,
     jaccard_threshold: float = 0.7,
     shingle_k: int = 3,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact Jaccard >= threshold.
 
-    LSH banding: rows_per_band = n_hashes // bands; a pair is a
-    candidate iff some band's minhash slice matches exactly.
+    LSH banding: a pair is a candidate iff some band's minhash slice
+    matches exactly; candidates are verified against TRUE shingle
+    Jaccard. ``bands=None`` derives the banding from the requested
+    threshold (>=95% theoretical candidate recall — see
+    ``derive_banding``); pass it explicitly to trade recall for cost.
     """
-    assert n_hashes % bands == 0
-    rpb = n_hashes // bands
+    if bands is None:
+        bands, rpb = derive_banding(n_hashes, jaccard_threshold)
+    else:
+        assert n_hashes % bands == 0
+        rpb = n_hashes // bands
     base = df.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), shingle_k).alias("sh"),
     ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    # The normalize->shingle->K-hash subtree feeds THREE consumers (the
+    # band explode and both candidate-verify joins); without a persist
+    # Spark recomputes it per consumer — the single most expensive
+    # recompute in the whole bench. MEMORY_AND_DISK: spills, never OOMs.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Band join on ids ONLY — shingle arrays must not ride through the
     # band shuffle (they would be duplicated `bands` times); they are
@@ -114,14 +174,7 @@ def minhash_near_dup_pairs(
     banded = base.select(
         "_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col("sig")[b * rpb + r] for r in range(rpb)]
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[band_hash(F.col("sig"), b, rpb) for b in range(bands)])
         ).alias("band", "band_hash"),
     )
     left = banded.select(F.col("_id").alias("id_a"), "band", "band_hash")
@@ -161,21 +214,40 @@ def ngram_jaccard(
 def simhash64(text: Column) -> Column:
     """64-bit SimHash of the token multiset, fully columnar.
 
-    For each bit position, tokens vote +1/-1 by their xxhash64 bit;
-    the output bit is 1 when the vote sum is positive.
+    For each bit position, tokens vote +1/-1 by bit i of their 64-bit
+    token hash; the output bit is 1 when the vote sum is positive.
+
+    Token hash = the 16-hex-char prefix of sha256(token), carried as
+    two 32-bit halves (hi = hex chars 1-8, lo = chars 9-16, parsed with
+    ``conv``) — sha256 so DuckDB reproduces the exact same sketch and
+    the query gets a value oracle; two halves because an unsigned
+    64-bit value doesn't fit a signed long through ``conv``.
 
     Single-pass shape: one aggregate with an array<long>[64] vote
-    accumulator. (64 separate aggregates would each recompute the
-    token-hash array -- Catalyst does not CSE across them.) Bits are
-    tested with mask literals because shift functions take only
-    Python-int shift amounts. Project the result ONCE (withColumn)
-    rather than referencing it repeatedly.
+    accumulator (64 separate aggregates would each recompute the
+    token-hash array — Catalyst does not CSE across them); sha256 runs
+    once per token in the `hashes` transform, and the per-bit lambda
+    only references the bound struct element (cheap attribute access,
+    not a re-evaluated subtree).
     """
     toks = F.split(normalized_text(text), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # two-stage transform: sha256 materializes ONCE per token in the
+    # inner array; the outer lambda assembles the signed 64-bit value
+    # from the two 32-bit halves (shiftleft(hi,32)|lo — conv can't
+    # parse an unsigned 64-bit hex into a signed long directly). The
+    # per-bit vote stays a single lambda over the masks array (a
+    # compact runtime loop); unrolling it into 64 expressions blows up
+    # the codegen and measures ~2x slower.
+    hexes = F.transform(toks, lambda t: F.substring(F.sha2(t, 256), 1, 16))
+    hashes = F.transform(
+        hexes,
+        lambda h: F.shiftleft(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), 32
+        ).bitwiseOR(F.conv(F.substring(h, 9, 8), 16, 10).cast("long")),
+    )
     masks = F.array(
         *[
-            F.lit((1 << i) if i < 63 else -(2 ** 63)).cast("long")
+            F.lit((1 << i) if i < 63 else -(2**63)).cast("long")
             for i in range(64)
         ]
     )

@@ -7,15 +7,17 @@
   once; only queries are broadcast.
 * ``lsh_bucketed_topk`` — the scale path: sign-random-projection LSH
   (Charikar '02). Both sides are bucketed by the sign pattern of H
-  fixed pseudo-random hyperplanes (deterministic: hyperplane components
-  derive from xxhash64(dim, plane) — no RNG state, reproducible on any
-  cluster). Candidates = bucket equi-join (optionally with multi-probe
-  on single-bit flips), exact cosine re-rank inside buckets only.
+  fixed pseudo-random Rademacher hyperplanes (deterministic, derived
+  from sha256 of the plane/dim coordinates — no RNG state,
+  reproducible on any cluster AND by the DuckDB oracle). Candidates =
+  bucket equi-join (optionally with multi-probe on single-bit flips),
+  exact cosine re-rank inside buckets only.
+* ``srp_near_dup_pairs`` — embedding near-dup at scale: same SRP
+  buckets, candidate PAIRS share a bucket (never an all-pairs cross
+  join), exact cosine verify >= threshold.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -77,34 +79,124 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int) -> list[float]:
-    """Deterministic pseudo-random unit-ish hyperplane component list.
+def srp_plane_signs(dim: int, plane: int) -> list[float]:
+    """Deterministic Rademacher (+1/-1) hyperplane components.
 
-    Component (d, p) = centered hash in [-1, 1) — pure function, no RNG
-    state, identical on every executor and every run.
+    Sign (d, p) = low bit of sha256("plane:<p>:<d>") — a pure function
+    of the coordinates, no RNG state, identical on every executor and
+    every run, and trivially re-computable by an external oracle
+    (``__spark_entry__.py`` embeds the same signs as SQL literals, so
+    the LSH queries are value-checked end to end). Rademacher planes
+    are a standard SRP instantiation (Achlioptas '01 sparse random
+    projections; signs suffice for Charikar '02 sign-LSH).
     """
-    import numpy as np
+    import hashlib
 
-    # xxhash-free python twin: use a stable integer mix
-    vals = []
-    for d in range(dim):
-        h = (d * 2654435761 + plane * 40503 + 12345) & 0xFFFFFFFF
-        h ^= h >> 16
-        h = (h * 2246822519) & 0xFFFFFFFF
-        h ^= h >> 13
-        vals.append((h / 2**31) - 1.0)
-    n = math.sqrt(sum(v * v for v in vals)) or 1.0
-    return list(np.array(vals) / n)
+    return [
+        1.0
+        if hashlib.sha256(f"plane:{plane}:{d}".encode()).digest()[0] & 1
+        else -1.0
+        for d in range(dim)
+    ]
 
 
 def srp_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Sign-random-projection bucket id (int, 2**n_planes buckets)."""
     out = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(v) for v in srp_plane_signs(dim, p)])
         out = out + F.when(_dot(vec.cast("array<double>"), plane) >= 0,
                            F.lit(1 << p)).otherwise(0)
     return out
+
+
+def srp_table_bucket(
+    vec: Column, dim: int, table: int, planes_per_table: int
+) -> Column:
+    """Bucket id within hash table ``table`` — the sign pattern of that
+    table's own slice of the global plane sequence (planes
+    ``table*planes_per_table ..+planes_per_table``)."""
+    out = F.lit(0)
+    for p in range(planes_per_table):
+        plane = F.array(
+            *[
+                F.lit(v)
+                for v in srp_plane_signs(dim, table * planes_per_table + p)
+            ]
+        )
+        out = out + F.when(
+            _dot(vec.cast("array<double>"), plane) >= 0, F.lit(1 << p)
+        ).otherwise(0)
+    return out
+
+
+def srp_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    n_tables: int = 8,
+    planes_per_table: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold)
+    via banded SRP-LSH — the SCALE path for what the all-pairs
+    baseline (``embedding_neardup``) does in O(n^2).
+
+    OR-amplification across L hash tables of H planes each (the SRP
+    analogue of MinHash banding): a pair is a candidate iff it shares
+    a bucket in ANY table; recall at cosine s is 1-(1-p^H)^L with
+    p = 1 - arccos(s)/pi. Defaults (L=8, H=6) give ~0.98 at s=0.9.
+    Candidates come from a (table, bucket) equi-join — never an
+    all-pairs cross join — and are verified with exact cosine; cost is
+    sum over buckets of bucket_size^2.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "buckets",
+        F.array(
+            *[
+                srp_table_bucket(F.col("v"), dim, t, planes_per_table)
+                for t in range(n_tables)
+            ]
+        ),
+    )
+    # candidate generation carries ids only (vectors do not ride the
+    # L-way band explode shuffle); vectors join back for the few pairs
+    banded = base.select(
+        "_id", F.posexplode("buckets").alias("tbl", "bucket")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = base.select("_id", "v")
+    return (
+        cand.join(
+            vecs.select(F.col("_id").alias("id_a"), F.col("v").alias("va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("_id").alias("id_b"), F.col("v").alias("vb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 def lsh_bucketed_topk(

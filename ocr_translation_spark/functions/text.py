@@ -126,24 +126,24 @@ def normalized_text(text: Column) -> Column:
 
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: whole-doc sha256 over normalized text plus
-    a 64-bit rolling-style shingle fingerprint (min over 3-gram hashes
-    — a 1-hash MinHash, the document-fingerprinting primitive)."""
+    a 64-bit shingle fingerprint (min over 3-gram hashes — a 1-hash
+    MinHash, the document-fingerprinting primitive).
+
+    Shingles come from ``dedup.shingles`` (zip_with over shifted
+    slices): the old sequence+element_at form re-evaluated the token
+    split per element — O(n^2) re-tokenization per row (Catalyst has
+    no CSE across lambda boundaries). The min-shingle hash is the
+    16-hex-char sha256 prefix (orders like the unsigned 64-bit value;
+    DuckDB-reproducible, so the query has a value oracle).
+    """
+    from .dedup import shingles  # late import: dedup imports this module
+
     t = F.col(text_col)
     norm = normalized_text(t)
-    toks = F.split(norm, " ")
-    n = F.size(toks)
-    shingles = F.when(n < 3, F.array(norm)).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
-    )
+    sh = shingles(t, 3)
     return df.withColumn("fp_sha256", F.sha2(norm, 256)).withColumn(
         "fp_min_shingle",
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))),
+        F.array_min(
+            F.transform(sh, lambda s: F.substring(F.sha2(s, 256), 1, 16))
+        ),
     )

@@ -187,6 +187,34 @@ class ResumableRun:
     def read_output(self) -> DataFrame:
         return self.spark.read.parquet(self.out_dir)
 
+    def job_result(self, doc_id: str):
+        """Point lookup: one document's extracted spans plus its run
+        state — the batch twin of ``GET /result/:jobId`` (reference
+        ``controllers/pdf.js:272-303``: completed -> payload, failed ->
+        reason, else -> pending).
+
+        Returns ``(status, spans_or_none)`` with status one of
+        ``completed`` (bucket committed, doc present), ``failed``
+        (bucket committed but the doc was dropped — e.g. quarantined
+        upstream or null spans), or ``pending`` (bucket not committed
+        yet). Bucket membership is a pure function of the key, so the
+        lineage check is a metadata read, not a table scan.
+        """
+        bucket = F.pmod(F.xxhash64(F.lit(doc_id)), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+        b = self.spark.range(1).select(bucket.alias("b")).collect()[0]["b"]
+        if b not in committed_buckets(self.spark, self.state_dir):
+            return ("pending", None)
+        rows = (
+            self.spark.read.parquet(os.path.join(self.out_dir, f"bucket={b}"))
+            .filter(F.col("doc_id") == doc_id)
+            .collect()
+        )
+        if not rows:
+            return ("failed", None)
+        return ("completed", rows[0]["spans"])
+
     def read_lineage(self) -> DataFrame:
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
             os.path.join(self.state_dir, "lineage")

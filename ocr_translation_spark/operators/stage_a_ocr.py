@@ -45,39 +45,70 @@ def ocr_distinct_media(
     media_df: DataFrame,
     ocr_cache_df: DataFrame | None = None,
     use_cache: bool = True,
+    fresh_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """OCR each distinct media payload once.
 
     ``media_df``: (media_ref, media_bytes, ...) — one row per ref.
     ``ocr_cache_df``: optional persisted cache (h string, ocr_text string).
+    ``fresh_col``: optional boolean column on media_df — True when some
+    referencing request asked for a FRESH compute (the reference's
+    per-request ``cached`` flag, ``controllers/pdf.js:38``): those
+    payloads are recomputed even on a cache hit, and the result rows
+    carry BOTH values (``ocr_text`` = cache-preferred,
+    ``ocr_text_fresh`` = recomputed) so the caller can route per
+    request. Store stays unconditional (OCRQueue.js:85).
 
     Returns ``(results, new_cache_entries)`` where results is
-    (media_ref, h, ocr_text) covering every input ref, and
-    new_cache_entries is (h, ocr_text) for the cache misses (the caller
-    MERGEs them into the cache table — store-always semantics,
-    reference OCRQueue.js:85).
+    (media_ref, h, ocr_text[, ocr_text_fresh]) covering every input
+    ref, and new_cache_entries is (h, ocr_text) for every payload that
+    was computed this run (the caller MERGEs them into the cache table;
+    existing entries win on collision).
     """
-    hashed = media_df.select(
-        "media_ref", "media_bytes", F.sha2("media_bytes", 256).alias("h")
-    )
-    # Two refs with identical bytes -> one compute (hash-level dedup).
-    distinct_payloads = hashed.select("h", "media_bytes").dropDuplicates(["h"])
+    cols = ["media_ref", "media_bytes", F.sha2("media_bytes", 256).alias("h")]
+    if fresh_col is not None:
+        cols.append(F.coalesce(F.col(fresh_col), F.lit(False)).alias("_fresh"))
+    hashed = media_df.select(*cols)
+    # Two refs with identical bytes -> one compute (hash-level dedup);
+    # a payload needs a fresh compute if ANY referencing request said so.
+    if fresh_col is not None:
+        distinct_payloads = hashed.groupBy("h").agg(
+            F.first("media_bytes").alias("media_bytes"),
+            F.max("_fresh").alias("_fresh"),
+        )
+    else:
+        distinct_payloads = hashed.select("h", "media_bytes").dropDuplicates(
+            ["h"]
+        )
 
     if use_cache and ocr_cache_df is not None:
         cache = ocr_cache_df.select("h", F.col("ocr_text").alias("_cached"))
         with_cache = distinct_payloads.join(cache, "h", "left")
         hits = with_cache.filter(F.col("_cached").isNotNull()).select(
-            "h", F.col("_cached").alias("ocr_text")
+            "h", F.col("_cached").alias("cached_text")
         )
-        misses = with_cache.filter(F.col("_cached").isNull()).select(
-            "h", "media_bytes"
-        )
+        need_compute = F.col("_cached").isNull()
+        if fresh_col is not None:
+            need_compute = need_compute | F.col("_fresh")
+        misses = with_cache.filter(need_compute).select("h", "media_bytes")
     else:
         hits = None
-        misses = distinct_payloads
+        misses = distinct_payloads.select("h", "media_bytes")
 
     computed = misses.mapInPandas(_ocr_batches, schema=OCR_OUT_SCHEMA)
-    per_hash = computed if hits is None else hits.unionByName(computed)
+    fresh = computed.select("h", F.col("ocr_text").alias("fresh_text"))
+    if hits is None:
+        per_hash = fresh.withColumn("cached_text", F.lit(None).cast("string"))
+    else:
+        # full outer: a hash can be a hit AND freshly recomputed
+        per_hash = hits.join(fresh, "h", "full_outer")
 
     results = hashed.select("media_ref", "h").join(per_hash, "h", "left")
-    return results.select("media_ref", "h", "ocr_text"), computed
+    out_cols = [
+        "media_ref",
+        "h",
+        F.coalesce("cached_text", "fresh_text").alias("ocr_text"),
+    ]
+    if fresh_col is not None:
+        out_cols.append(F.col("fresh_text").alias("ocr_text_fresh"))
+    return results.select(*out_cols), computed

@@ -75,6 +75,7 @@ def extract(
     *,
     ocr_cache: DataFrame | None = None,
     use_cache: bool = True,
+    cache_flag_col: str | None = None,
     num_partitions: int | None = None,
     salt_buckets: int = 8,
     broadcast_ocr: bool = True,
@@ -89,11 +90,25 @@ def extract(
     executor (typical); set False for a huge distinct media set. The
     per-doc resolved map is never broadcast (it scales with the
     corpus); AQE upgrades that join at runtime when it is small.
+    ``cache_flag_col``: optional per-doc boolean column — the
+    reference's per-request ``cached`` flag (controllers/pdf.js:38):
+    docs with False get FRESHLY computed OCR even on a cache hit (and
+    never a possibly-stale cached value); the store stays
+    unconditional either way.
     """
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    docs = docs.select("doc_id", _sort_spans_by_offset(F.col("spans")).alias("spans"))
+    flag = (
+        F.coalesce(F.col(cache_flag_col), F.lit(True))
+        if cache_flag_col is not None
+        else F.lit(True)
+    )
+    docs = docs.select(
+        "doc_id",
+        _sort_spans_by_offset(F.col("spans")).alias("spans"),
+        flag.alias("_use_cache"),
+    )
 
     if media is None:
         resolved = None
@@ -103,6 +118,7 @@ def extract(
         # un-repartitioned input — text spans never leave their array.
         refs_per_doc = docs.select(
             "doc_id",
+            "_use_cache",
             F.explode(
                 F.array_distinct(
                     F.transform(
@@ -116,12 +132,39 @@ def extract(
                 )
             ).alias("media_ref"),
         )
-        needed_refs = refs_per_doc.select("media_ref").distinct()
-        media_needed = media.join(needed_refs, "media_ref", "left_semi")
-        ocr_results, new_cache = ocr_distinct_media(
-            media_needed, ocr_cache_df=ocr_cache, use_cache=use_cache
-        )
-        ocr_side = ocr_results.select("media_ref", "ocr_text")
+        if cache_flag_col is None:
+            needed_refs = refs_per_doc.select("media_ref").distinct()
+            media_needed = media.join(needed_refs, "media_ref", "left_semi")
+            ocr_results, new_cache = ocr_distinct_media(
+                media_needed, ocr_cache_df=ocr_cache, use_cache=use_cache
+            )
+            ocr_side = ocr_results.select("media_ref", "ocr_text")
+            pick = F.struct(
+                "media_ref", F.col("ocr_text").alias("_text")
+            )
+        else:
+            # a ref needs a fresh compute if ANY doc using it opted out
+            needed_refs = refs_per_doc.groupBy("media_ref").agg(
+                F.max(~F.col("_use_cache")).alias("_fresh")
+            )
+            media_needed = media.join(needed_refs, "media_ref")
+            ocr_results, new_cache = ocr_distinct_media(
+                media_needed,
+                ocr_cache_df=ocr_cache,
+                use_cache=use_cache,
+                fresh_col="_fresh",
+            )
+            ocr_side = ocr_results.select(
+                "media_ref", "ocr_text", "ocr_text_fresh"
+            )
+            # per-request routing: cached=True docs take the
+            # cache-preferred value, cached=False docs the fresh one
+            pick = F.struct(
+                "media_ref",
+                F.when(F.col("_use_cache"), F.col("ocr_text"))
+                .otherwise(F.col("ocr_text_fresh"))
+                .alias("_text"),
+            )
         if broadcast_ocr:
             ocr_side = F.broadcast(ocr_side)
         # Per-doc ref->text map: tiny rows through the regroup shuffle.
@@ -134,9 +177,7 @@ def extract(
             refs_per_doc.join(ocr_side, "media_ref", "left")
             .groupBy("doc_id")
             .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("media_ref", "ocr_text"))
-                ).alias("_ocr")
+                F.map_from_entries(F.collect_list(pick)).alias("_ocr")
             )
         )
 

@@ -91,3 +91,19 @@ def test_quarantine_routing(spark):
         "media_no_ref": "media_span_without_ref",
         "null_off": "null_offset",
     }
+
+
+def test_job_result_point_lookup(spark, fixture_dir, tmp_path):
+    """GET /result/:jobId twin: completed/failed/pending states."""
+    docs = load_fixture(spark, fixture_dir, "documents")
+    media = load_fixture(spark, fixture_dir, "media")
+    run = ResumableRun(spark, str(tmp_path / "o"), str(tmp_path / "s"),
+                       n_buckets=2)
+    some_id = docs.select("doc_id").limit(1).collect()[0]["doc_id"]
+    assert run.job_result(some_id) == ("pending", None)
+    run.run(docs, media)
+    status, spans = run.job_result(some_id)
+    assert status == "completed" and spans is not None and len(spans) >= 0
+    # a doc_id that never existed reads as failed (bucket committed,
+    # no output row) — the reference's 500-with-reason analogue
+    assert run.job_result("no-such-doc-zzz") == ("failed", None)
