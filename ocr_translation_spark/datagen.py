@@ -403,3 +403,62 @@ def write_fixture_parquet_spark(
         schema="media_ref string, media_bytes binary, media_kind string",
     ).write.mode("overwrite").parquet(media_path)
     return {"documents": doc_path, "media": media_path}
+
+
+# --------------------------------------------------------------------------
+# Bucketed storage layout (the 100 TB deployment shape)
+# --------------------------------------------------------------------------
+
+SPAN_DDL = (
+    "doc_id STRING, spans ARRAY<STRUCT<kind: STRING, text: STRING, "
+    "media_ref: STRING, offset: INT>>"
+)
+
+
+def bucketed_documents_ddl(table: str, location: str, n_buckets: int) -> str:
+    """DDL that re-registers an on-disk bucketed documents table in a
+    FRESH session (bucket metadata lives in the catalog, not the files;
+    with in-memory catalogs each session re-creates it — on a real
+    cluster this is a one-time Iceberg/metastore entry)."""
+    return (
+        f"CREATE TABLE {table} ({SPAN_DDL}) USING parquet "
+        f"CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )
+
+
+def write_bucketed_documents(
+    spark, base_dir: str, n_buckets: int = 128, table: str = "documents_bucketed"
+) -> str:
+    """One-time re-layout of ``{base_dir}/documents.parquet`` into a
+    doc_id-bucketed, per-bucket-sorted parquet table (one file per
+    bucket). A bucketed source makes the extraction pipeline
+    shuffle-free on the big side: the entry repartition disappears
+    (``extract(pre_partitioned=True)``) and the per-doc OCR-map join
+    needs neither shuffle nor sort for the corpus — the layout an
+    Iceberg ``bucket(N, doc_id)`` partitioning gives a 100 TB table.
+
+    Returns the location; register in later sessions with
+    ``bucketed_documents_ddl``.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    location = os.path.join(base_dir, f"{table}")
+    docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        # pre-shuffle on the SAME hash the bucketing uses -> each task
+        # holds exactly one bucket -> one file per bucket (SMJ can then
+        # skip both shuffle and sort on read)
+        docs.repartition(n_buckets, F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .option("path", location)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return location

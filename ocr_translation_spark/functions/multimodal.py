@@ -35,10 +35,98 @@ FEATURE_DIM = 16
 FEATURE_SCHEMA = f"media_ref string, features array<float>"
 
 
+def parse_image_header(b: bytes):
+    """Pure-Python container-header parse for REAL image formats
+    (reference accepts png/jpg/jpeg/gif/webp/tiff, test/multiImage.js:105).
+    Returns ``(format, width, height)`` or None if unrecognized. This
+    is the dependency-free slice of real-media support: dimensions and
+    format detection work on genuine files; pixel decode + OCR still
+    need PIL/tesseract (see ``_decode_real``).
+    """
+    if len(b) < 16:
+        return None
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        return ("png", int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"))
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return ("gif", int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"))
+    if b[:2] == b"BM" and len(b) >= 26:
+        return ("bmp", int.from_bytes(b[18:22], "little"),
+                int.from_bytes(b[22:26], "little", signed=True))
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 30:
+        chunk = b[12:16]
+        if chunk == b"VP8X":
+            return ("webp",
+                    int.from_bytes(b[24:27], "little") + 1,
+                    int.from_bytes(b[27:30], "little") + 1)
+        if chunk == b"VP8 ":
+            return ("webp",
+                    int.from_bytes(b[26:28], "little") & 0x3FFF,
+                    int.from_bytes(b[28:30], "little") & 0x3FFF)
+        return ("webp", None, None)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return _parse_tiff_dims(b)
+    if b[:2] == b"\xff\xd8":
+        # JPEG: walk the segment chain to the first SOFn marker
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return ("jpeg", None, None)
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return ("jpeg", int.from_bytes(b[i + 7:i + 9], "big"),
+                        int.from_bytes(b[i + 5:i + 7], "big"))
+            i += 2 + seg_len
+        return ("jpeg", None, None)
+    return None
+
+
+def _parse_tiff_dims(b: bytes):
+    endian = "little" if b[:2] == b"II" else "big"
+    try:
+        ifd = int.from_bytes(b[4:8], endian)
+        n = int.from_bytes(b[ifd:ifd + 2], endian)
+        w = h = None
+        for k in range(n):
+            e = ifd + 2 + 12 * k
+            tag = int.from_bytes(b[e:e + 2], endian)
+            typ = int.from_bytes(b[e + 2:e + 4], endian)
+            size = 2 if typ == 3 else 4
+            val = int.from_bytes(b[e + 8:e + 8 + size], endian)
+            if tag == 256:
+                w = val
+            elif tag == 257:
+                h = val
+        return ("tiff", w, h)
+    except (IndexError, ValueError):
+        return ("tiff", None, None)
+
+
 def _decode_real(media_bytes: bytes, media_kind: str):
-    """Hook for real codecs (PIL / libvips / ffmpeg) — NOT AVAILABLE in
-    this container. The Spark plumbing around it is real; swap this
-    body for the library call in production."""
+    """Real-format decode: PIL when importable (full pixel decode);
+    otherwise the pure-Python header parse above yields format +
+    dimensions with an empty token list (token extraction needs an OCR
+    engine — tesseract in the reference — which this container lacks).
+    Raises NotImplementedError only for unrecognizable payloads."""
+    try:
+        from PIL import Image  # optional; absent in this container
+        import io
+
+        img = Image.open(io.BytesIO(media_bytes))
+        img.load()
+        return [], img.size[0], img.size[1]
+    except ImportError:
+        pass
+    except Exception:
+        raise NotImplementedError(f"undecodable {media_kind} payload")
+    parsed = parse_image_header(bytes(media_bytes))
+    if parsed is not None and parsed[1] is not None:
+        return [], parsed[1], parsed[2]
     raise NotImplementedError(
         f"real {media_kind} decoding requires an image library "
         "not present in this environment"

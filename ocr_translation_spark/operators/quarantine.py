@@ -50,3 +50,22 @@ def validate_documents(docs: DataFrame) -> SplitResult:
     valid = tagged.filter(F.col("reason").isNull()).drop("reason")
     quarantined = tagged.filter(F.col("reason").isNotNull())
     return SplitResult(valid, quarantined)
+
+
+def quarantine_metrics(quarantined: DataFrame) -> DataFrame:
+    """Machine-readable quarantine summary: one row per reject reason
+    (the batch twin of the reference's per-request 400 counters).
+    Append beside the lineage/metrics tables for dashboards."""
+    return quarantined.groupBy("reason").agg(F.count("*").alias("n_docs"))
+
+
+def redrive_quarantine(spark, quarantine_path: str) -> SplitResult:
+    """Dead-letter re-drive: re-validate previously quarantined rows
+    (after an upstream fix or a validator change) and split them into
+    rows now fit for reprocessing vs still-dead. The caller feeds
+    ``valid`` back through ``extract``/``ResumableRun`` and overwrites
+    the quarantine dir with ``quarantined`` — the same
+    read-validate-route operator, applied to its own output, so the
+    dead-letter queue only ever shrinks."""
+    rows = spark.read.parquet(quarantine_path).drop("reason")
+    return validate_documents(rows)

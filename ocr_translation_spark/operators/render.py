@@ -44,3 +44,125 @@ def render_documents(df: DataFrame, spans_col: str = "spans") -> DataFrame:
         .withColumn("render_ok", F.length(F.trim(txt)) > 0)
         .withColumn("doc_bytes", F.encode(body, "UTF-8"))
     )
+
+
+# --------------------------------------------------------------------------
+# Real PDF artifact (reference parity: src/utils/pdf.js:11-44 emits
+# actual PDF bytes via pdfkit). No layout library exists in this
+# container, so the emitter below assembles a minimal-but-VALID PDF 1.4
+# by hand: catalog -> pages -> one page -> text content stream (14pt,
+# origin near (100, top) like the reference's draw position), correct
+# xref offsets, %%EOF. Text is emitted as UTF-16BE hex strings so any
+# code point (vi diacritics included) is representable without escape
+# handling; a production renderer would embed a unicode font like the
+# reference's Roboto — the reference's own correctness gate was only
+# "starts with %PDF-1." + parseability (test/singleImage.js:102-118),
+# which these bytes satisfy for real.
+# --------------------------------------------------------------------------
+
+PDF_FONT_SIZE = 14
+PDF_LINE_WIDTH = 80
+
+
+def _pdf_text_lines(text: str) -> list[str]:
+    out: list[str] = []
+    for raw in (text or "").split("\n"):
+        while len(raw) > PDF_LINE_WIDTH:
+            cut = raw.rfind(" ", 0, PDF_LINE_WIDTH)
+            cut = cut if cut > 0 else PDF_LINE_WIDTH
+            out.append(raw[:cut])
+            raw = raw[cut:].lstrip(" ")
+        out.append(raw)
+    return out or [""]
+
+
+def pdf_document_bytes(doc_id: str, text: str) -> bytes:
+    """Deterministic single-page PDF with the document's text."""
+    content = ["BT", f"/F1 {PDF_FONT_SIZE} Tf", f"{PDF_FONT_SIZE + 2} TL",
+               "100 692 Td"]
+    for i, line in enumerate(_pdf_text_lines(text)):
+        if i:
+            content.append("T*")
+        hexs = line.encode("utf-16-be").hex().upper()
+        content.append(f"<FEFF{hexs}> Tj")
+    content.append("ET")
+    stream = "\n".join(content).encode("ascii")
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+        + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += f"xref\n0 {len(objs) + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for off in offsets:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(buf)
+
+
+def check_pdf_bytes(b: bytes) -> bool:
+    """Heir of the reference's checkPdfBytes + a structural check:
+    header magic, EOF marker, and startxref pointing at the xref."""
+    if not b.startswith(b"%PDF-1.") or b"%%EOF" not in b:
+        return False
+    try:
+        tail = b[b.rindex(b"startxref"):]
+        xref_at = int(tail.split()[1])
+    except (ValueError, IndexError):
+        return False
+    return b[xref_at:xref_at + 4] == b"xref"
+
+
+def pdf_extract_text(b: bytes) -> str:
+    """Round-trip helper (tests): decode the UTF-16BE hex text-show
+    operands back to the page text."""
+    import re
+
+    lines = [
+        bytes.fromhex(m.decode()).decode("utf-16-be")
+        for m in re.findall(rb"<FEFF([0-9A-F]*)> Tj", b)
+    ]
+    return "\n".join(lines)
+
+
+def render_documents_pdf(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """``render_documents`` + real ``pdf_bytes``. PDF assembly is
+    per-row Python, so it crosses to Python ONCE via mapInPandas over
+    the already-columnar (doc_id, rendered_text) projection — span
+    arrays never enter the Python worker."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    base = render_documents(df, spans_col)
+
+    def _pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pdf_bytes": [
+                        pdf_document_bytes(d, t)
+                        for d, t in zip(pdf["doc_id"], pdf["rendered_text"])
+                    ],
+                }
+            )
+
+    pdfs = base.select("doc_id", "rendered_text").mapInPandas(
+        _pdf_batches, schema="doc_id string, pdf_bytes binary"
+    )
+    return base.join(pdfs, "doc_id", "left")

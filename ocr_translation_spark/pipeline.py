@@ -78,18 +78,24 @@ def extract(
     cache_flag_col: str | None = None,
     num_partitions: int | None = None,
     salt_buckets: int = 8,
-    broadcast_ocr: bool = True,
+    broadcast_ocr: bool = False,
+    pre_partitioned: bool = False,
 ) -> ExtractResult:
     """Run the full extraction over ``docs(doc_id, spans)``.
 
     ``media(media_ref, media_bytes)`` is the side table for stage A;
     pass None for corpora with no media payloads (stage A is skipped,
     media spans keep text=null — same as an unresolvable ref).
-    ``broadcast_ocr``: hint the DISTINCT-media ocr_side join as
-    broadcast — right whenever distinct-media x avg-text fits an
-    executor (typical); set False for a huge distinct media set. The
-    per-doc resolved map is never broadcast (it scales with the
-    corpus); AQE upgrades that join at runtime when it is small.
+    ``broadcast_ocr``: optional explicit broadcast HINT for the
+    DISTINCT-media ocr_side join. Default False — the scale-safe
+    declarative plan: AQE auto-upgrades the join to broadcast at
+    runtime when the side is genuinely small, while an explicit hint
+    on a large distinct-media set forces a single-threaded driver
+    build (a fixed serial cost that caps scaling efficiency — measured
+    ~10s at 1M distinct media). Set True only when you KNOW the
+    distinct-media set is small and want to skip AQE's first shuffle
+    pass. The per-doc resolved map is never broadcast (it scales with
+    the corpus).
     ``cache_flag_col``: optional per-doc boolean column — the
     reference's per-request ``cached`` flag (controllers/pdf.js:38):
     docs with False get FRESHLY computed OCR even on a cache hit (and
@@ -183,13 +189,21 @@ def extract(
 
     # Explicit shuffle boundary (the reference's queue hop): balances
     # byte-skewed inputs for the codegen stage and the output write.
-    main = salted_repartition(
-        docs.withColumn("_w", media_weight("spans")),
-        num_partitions,
-        key_col="doc_id",
-        weight_col="_w",
-        salt_buckets=salt_buckets,
-    ).select("doc_id", "spans")
+    # ``pre_partitioned``: the input is ALREADY hash-distributed on
+    # doc_id (a bucketed table / Iceberg bucket partition) — skip the
+    # full-corpus repartition entirely; with a bucketed source the
+    # per-doc OCR-map join needs no shuffle and no sort on the big
+    # side, which is the layout a 100 TB deployment would use.
+    if pre_partitioned:
+        main = docs.select("doc_id", "spans")
+    else:
+        main = salted_repartition(
+            docs.withColumn("_w", media_weight("spans")),
+            num_partitions,
+            key_col="doc_id",
+            weight_col="_w",
+            salt_buckets=salt_buckets,
+        ).select("doc_id", "spans")
 
     if resolved is None:
         all_docs = main

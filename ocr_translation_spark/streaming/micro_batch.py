@@ -31,21 +31,41 @@ def stream_extract(
     checkpoint_dir: str,
     media: DataFrame | None = None,
     available_now: bool = True,
+    cache_dir: str | None = None,
     **extract_kwargs,
 ):
     """Run the extraction as a stream; returns the StreamingQuery.
 
     With ``available_now=True`` the query drains existing input files
     and stops (use ``query.awaitTermination()``).
+    ``cache_dir``: optional persisted ``ocr_cache`` table maintained
+    INCREMENTALLY — each micro-batch's new OCR results are merged in
+    crash-safely after the batch's output lands, and the next
+    micro-batch reads them as hits (the streaming twin of
+    ``ResumableRun``'s per-bucket store-always wiring; an unreadable
+    cache degrades to recompute, never aborts the query).
     """
     stream = (
         spark.readStream.schema(OUT_SCHEMA)  # input shares the span schema
         .parquet(input_dir)
     )
+    if cache_dir is not None:
+        from ..sources.catalog import Catalog
+
+        cache_cat = Catalog(spark, cache_dir)
+    else:
+        cache_cat = None
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        result = extract(spark, batch_df, media, **extract_kwargs).result
-        result.write.mode("append").parquet(output_dir)
+        kwargs = dict(extract_kwargs)
+        if cache_cat is not None and "ocr_cache" not in kwargs:
+            kwargs["ocr_cache"] = cache_cat.load_or_none("ocr_cache")
+        res = extract(spark, batch_df, media, **kwargs)
+        new_cache = res.new_ocr_cache.persist()
+        res.result.write.mode("append").parquet(output_dir)
+        if cache_cat is not None and media is not None:
+            cache_cat.merge_cache(new_cache, "ocr_cache", "h")
+        new_cache.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -110,3 +110,29 @@ def test_preseeded_cache_overrides_compute(spark, fixture_dir):
     res2 = extract(spark, docs, media, ocr_cache=poisoned, use_cache=False).result
     spans2 = _collect_spans(res2)[G.EDGE_MEDIA_ONLY]
     assert all(t != "POISON" for _, t, _ in spans2)
+
+
+def test_pre_partitioned_bucketed_input_equals_default(
+    spark, fixture_dir, tmp_path
+):
+    """The shuffle-free bucketed-input plan (extract(pre_partitioned=
+    True) over a CLUSTERED BY doc_id table) must produce byte-identical
+    span sequences to the default salted-repartition plan."""
+    from ocr_translation_spark.datagen import write_bucketed_documents
+
+    docs = load_fixture(spark, fixture_dir, "documents")
+    media = load_fixture(spark, fixture_dir, "media")
+    golden = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in extract(spark, docs, media).result.collect()
+    }
+
+    write_bucketed_documents(spark, fixture_dir, n_buckets=8)
+    bdocs = spark.table("documents_bucketed")
+    out = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in extract(
+            spark, bdocs, media, pre_partitioned=True
+        ).result.collect()
+    }
+    assert out == golden
