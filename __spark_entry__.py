@@ -478,6 +478,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_ann_topk"] = _lsh_ann
 
+    def _ivf_ann(spark, sf):
+        """IVF-Flat-shaped ANN: k-medians coarse quantizer (medians are
+        order-independent, so the oracle reproduces the centroids
+        bit-for-bit), n_probe inverted lists per query, exact re-rank."""
+        from ocr_translation_spark.functions.ivf import ivf_topk
+
+        emb = _read(spark, sf, "embeddings")
+        return ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
+            n_clusters=8, iters=2, n_probe=2,
+        )
+
+    q["ivf_ann_topk"] = _ivf_ann
+
     def _emb_neardup_lsh(spark, sf):
         """Scale path for embedding_neardup: banded SRP buckets (8
         tables x 4 planes), candidate pairs share a bucket — NO cross
@@ -545,6 +559,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("c_custkey", "c_name")
 
     q["big_spender_customers"] = _big_spenders
+
+    def _q5(spark, sf):
+        """TPC-H q5-shaped 6-way join: region-filtered star join with
+        broadcast dims, revenue by nation."""
+        region = _read(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+        nation = _read(spark, sf, "nation")
+        supplier = _read(spark, sf, "supplier")
+        customer = _read(spark, sf, "customer")
+        orders = _read(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        li = _read(spark, sf, "lineitem")
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(
+                F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"]
+            )
+            .join(
+                F.broadcast(customer),
+                (orders["o_custkey"] == customer["c_custkey"])
+                & (customer["c_nationkey"] == supplier["s_nationkey"]),
+            )
+            .join(
+                F.broadcast(nation),
+                supplier["s_nationkey"] == nation["n_nationkey"],
+            )
+            .join(
+                F.broadcast(region),
+                nation["n_regionkey"] == region["r_regionkey"],
+            )
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    q["tpch_q5_region_revenue"] = _q5
+
+    q["orders_priority_rollup"] = lambda spark, sf: (
+        _read(spark, sf, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total",
+        )
+    )
+
+    def _mavg(spark, sf):
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-4, 0)
+        )
+        return _read(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            F.round(F.avg("value").over(w), 6).alias("mavg5"),
+        )
+
+    q["events_moving_avg"] = _mavg
+
+    q["events_json_props"] = lambda spark, sf: (
+        _read(spark, sf, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high"),
+        )
+    )
+
+    def _clickers_no_purchase(spark, sf):
+        """Set op: users who clicked EXCEPT users with a big purchase."""
+        ev = _read(spark, sf, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+        buys = ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 90)
+        ).select("user_id")
+        return clicks.subtract(buys)  # EXCEPT (distinct) semantics
+
+    q["clickers_without_purchase"] = _clickers_no_purchase
 
     # ---- rows-only (binary payloads; golden-tested in pytest) ----
 
@@ -787,6 +895,72 @@ SELECT query_id, neighbor_id, sim, rank::INTEGER AS rank FROM (
 ) WHERE rank <= 5
 """
 
+    # IVF k-medians, unrolled Lloyd iterations. COS() is the same
+    # sequential-fold cosine the Spark side computes; quantile_cont ==
+    # Spark percentile (value-matched elsewhere); ties to smaller cid.
+    def _cos_sql(a, b):
+        return (
+            f"(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))))"
+        )
+
+    def _ivf_iter(i):
+        return f"""
+r{i} AS (
+  SELECT e.vec_id, e.v, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC, c.cid ASC) AS rnk
+  FROM e CROSS JOIN cent{i - 1} c
+),
+a{i} AS (SELECT vec_id, v, cid FROM r{i} WHERE rnk = 1),
+m{i} AS (
+  SELECT cid, t.dim AS dim, quantile_cont(v[t.dim], 0.5) AS m
+  FROM a{i}, range(1, 65) t(dim)
+  GROUP BY cid, t.dim
+),
+g{i} AS (SELECT cid, list(m ORDER BY dim) AS cvec FROM m{i} GROUP BY cid),
+cent{i} AS (
+  SELECT c0.cid, coalesce(g.cvec, c0.cvec) AS cvec
+  FROM cent{i - 1} c0 LEFT JOIN g{i} g USING (cid)
+)"""
+
+    o["ivf_ann_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid, v AS cvec
+  FROM e ORDER BY vec_id LIMIT 8
+),{_ivf_iter(1)},{_ivf_iter(2)},
+inv AS (
+  SELECT vec_id AS neighbor_id, v AS cv, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC, c.cid ASC) AS rnk
+    FROM e CROSS JOIN cent2 c
+  ) WHERE rnk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC, c.cid ASC) AS rnk
+    FROM e CROSS JOIN cent2 c
+    WHERE e.vec_id < 10
+  ) WHERE rnk <= 2
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         round({_cos_sql('qv', 'cv')}, 4) AS sim
+  FROM probes JOIN inv USING (cid)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
     _nt, _h = 8, 4
     _bcols = ",\n       ".join(
         f"{_srp_bucket_sql('v', 64, list(range(t * _h, t * _h + _h)))} AS b{t}"
@@ -846,6 +1020,53 @@ FROM customer c
 WHERE EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+    o["tpch_q5_region_revenue"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+    o["orders_priority_rollup"] = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+    o["events_moving_avg"] = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mavg5
+FROM events
+"""
+
+    o["events_json_props"] = """
+SELECT event_type,
+       round(avg((props->>'k')::INTEGER), 6) AS avg_k,
+       sum(CASE WHEN (props->>'k')::INTEGER > 50 THEN 1 ELSE 0 END)::BIGINT AS n_high
+FROM events GROUP BY event_type
+"""
+
+    o["clickers_without_purchase"] = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND value > 90
 """
 
     o["ngram_jaccard_pairs"] = f"""

@@ -112,3 +112,34 @@ def test_srp_neardup_recall_vs_exact_all_pairs(spark):
     # (p = 1 - arccos(0.42)/pi ~ 0.637; 1-(1-p^4)^8 ~ 0.77 theoretical);
     # the deterministic corpus measures above it
     assert recall >= 0.7, f"recall {recall:.3f}"
+
+
+@needs_testdata
+def test_ivf_recall_vs_brute_force(spark):
+    from ocr_translation_spark.functions.ivf import ivf_topk
+    from ocr_translation_spark.functions.similarity import brute_force_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    # (no _no_cross_join here: IVF deliberately cross-joins every
+    # vector against the EIGHT centroids — cost n*k, the quantizer —
+    # while neighbor candidates still come from the inverted-list
+    # equi-join, never an n*n pairing)
+    ivf_df = ivf_topk(emb, queries, dim=64, k=5, n_clusters=8, iters=2,
+                      n_probe=2)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf_df.collect()}
+    recall = len(got & exact) / len(exact)
+    # probing 2/8 inverted lists: recall < 1 by design; the
+    # deterministic corpus measures well above the floor
+    assert recall >= 0.5, f"IVF recall {recall:.3f}"
+    # determinism: same inputs -> identical result set
+    got2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, dim=64, k=5, n_clusters=8,
+                          iters=2, n_probe=2).collect()
+    }
+    assert got2 == got
