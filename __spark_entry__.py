@@ -654,6 +654,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["clickers_without_purchase"] = _clickers_no_purchase
 
+    def _purchase_attribution(spark, sf):
+        """AS-OF join: each purchase attributed to the user's latest
+        click at-or-before it (union-tag + running last — one shuffle,
+        no range fan-out; oracle = DuckDB's native ASOF LEFT JOIN)."""
+        from ocr_translation_spark.functions.timeseries import asof_backward
+
+        ev = _read(spark, sf, "events")
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select("user_id", "ts")
+            .distinct()
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        joined = asof_backward(purchases, clicks, "user_id", "ts")
+        pts = F.unix_micros(F.col("ts").cast("timestamp"))
+        cts = F.unix_micros(F.col("ts_asof").cast("timestamp"))
+        return joined.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            (pts - cts).alias("gap_us"),
+        )
+
+    q["purchase_attribution_asof"] = _purchase_attribution
+
     # ---- rows-only (binary payloads; golden-tested in pytest) ----
 
     def _synthetic_e2e(spark, sf):
@@ -1067,6 +1095,20 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
 EXCEPT
 SELECT DISTINCT user_id FROM events
 WHERE event_type = 'purchase' AND value > 90
+"""
+
+    o["purchase_attribution_asof"] = """
+WITH clicks AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS gap_us
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
     o["ngram_jaccard_pairs"] = f"""

@@ -57,7 +57,10 @@ def main(argv: list[str] | None = None) -> int:
     from ocr_translation_spark.operators.resume import ResumableRun
 
     # under spark-submit the session config (master, executors, AQE
-    # flags from --conf) comes from the launcher; just attach
+    # flags from --conf) comes from the launcher; just attach. Only
+    # stop the session if WE created it (embedded callers — tests,
+    # notebooks — keep theirs).
+    pre_existing = SparkSession.getActiveSession() is not None
     spark = SparkSession.builder.appName("ocr-translation-extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -99,7 +102,8 @@ def main(argv: list[str] | None = None) -> int:
             }
         )
     )
-    spark.stop()
+    if not pre_existing:
+        spark.stop()
     return 0
 
 

@@ -141,3 +141,57 @@ def test_stream_extract_availablenow(spark, fixture_dir, tmp_path):
     q2 = stream_extract(spark, in_dir, out_dir, ckpt, media=media)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == len(batch)
+
+
+def test_asof_backward_edges(spark):
+    """Backward as-of: inclusive ties, no-prior -> NULL, per-key
+    isolation, carried value columns."""
+    from ocr_translation_spark.functions.timeseries import asof_backward
+
+    left = spark.createDataFrame(
+        [("u1", 10, "p1"), ("u1", 20, "p2"), ("u1", 5, "p0"),
+         ("u2", 10, "q1")],
+        "user string, t int, pid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1.5), ("u1", 18, 2.5), ("u3", 1, 9.9)],
+        "user string, t int, v double",
+    )
+    out = {
+        r["pid"]: (r["t_asof"], r["v_asof"])
+        for r in asof_backward(
+            left, right, "user", "t", value_cols=["v"]
+        ).collect()
+    }
+    assert out["p1"] == (10, 1.5)   # tie at t=10 is INCLUSIVE
+    assert out["p2"] == (18, 2.5)   # latest at-or-before 20
+    assert out["p0"] == (None, None)  # nothing precedes t=5
+    assert out["q1"] == (None, None)  # u3's rows never leak to u2
+
+
+def test_run_extract_cli_with_cache(spark, fixture_dir, tmp_path):
+    """spark-submit-shaped CLI smoke: quarantine + growing cache +
+    resume state wiring through jobs/run_extract.py main()."""
+    import json
+    import sys
+
+    from jobs.run_extract import main
+
+    out = str(tmp_path / "out")
+    argv = [
+        "--input", f"{fixture_dir}/documents.parquet",
+        "--media", f"{fixture_dir}/media.parquet",
+        "--output", out,
+        "--state", str(tmp_path / "state"),
+        "--buckets", "2",
+        "--ocr-cache", str(tmp_path / "cache"),
+        "--quarantine", str(tmp_path / "quar"),
+    ]
+    assert main(argv) == 0
+    import os
+    assert os.path.exists(os.path.join(str(tmp_path / "cache"), "ocr_cache"))
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    # second run: fully resumed (no pending buckets), output unchanged
+    assert main(argv) == 0
+    assert spark.read.parquet(out).count() == n1
