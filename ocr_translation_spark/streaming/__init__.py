@@ -1,1 +1,3 @@
 from .micro_batch import stream_extract  # noqa: F401
+from .windowed import stream_windowed_counts  # noqa: F401
+from .stateful import stream_sessionize  # noqa: F401
