@@ -252,6 +252,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(spark, sf, "documents")
     )
 
+    def _dedup_best_quality(spark, sf):
+        """Dedup survivor policy a curation pipeline actually uses:
+        keep the LONGEST duplicate (ties to smallest doc_id) instead of
+        the arbitrary min-id — max_by over the duplicate group."""
+        docs = _read(spark, sf, "documents")
+        from ocr_translation_spark.functions.dedup import content_hash
+
+        return (
+            docs.select(
+                "doc_id",
+                content_hash(F.col("text")).alias("h"),
+                F.length("text").alias("_len"),
+            )
+            .groupBy("h")
+            .agg(
+                F.expr("max_by(doc_id, struct(_len, -doc_id))").alias(
+                    "keep_id"
+                ),
+                F.max("_len").alias("keep_len"),
+                F.count("*").alias("n_dups"),
+            )
+        )
+
+    q["dedup_best_quality"] = _dedup_best_quality
+
     q["token_count"] = lambda spark, sf: add_token_count(
         _read(spark, sf, "documents")
     ).select("doc_id", "n_tokens")
@@ -743,6 +768,18 @@ SELECT sha256({_NORM}) AS h,
        min(doc_id)::BIGINT AS keep_id,
        count(*)::BIGINT AS n_dups
 FROM documents GROUP BY 1
+"""
+
+    o["dedup_best_quality"] = f"""
+SELECT h, doc_id::BIGINT AS keep_id, len::INTEGER AS keep_len,
+       n_dups::BIGINT AS n_dups
+FROM (
+  SELECT sha256({_NORM}) AS h, doc_id, length(text) AS len,
+         row_number() OVER (PARTITION BY sha256({_NORM})
+           ORDER BY length(text) DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY sha256({_NORM})) AS n_dups
+  FROM documents
+) WHERE rn = 1
 """
 
     o["token_count"] = f"""
