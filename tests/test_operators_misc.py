@@ -195,3 +195,39 @@ def test_run_extract_cli_with_cache(spark, fixture_dir, tmp_path):
     # second run: fully resumed (no pending buckets), output unchanged
     assert main(argv) == 0
     assert spark.read.parquet(out).count() == n1
+
+
+def test_asof_backward_matches_brute_force(spark):
+    """Property check: the union-tag as-of equals the quadratic
+    definition (latest right at-or-before, per key) on deterministic
+    pseudo-random data with planted ties and empty keys."""
+    from ocr_translation_spark.datagen import stable_int
+    from ocr_translation_spark.functions.timeseries import asof_backward
+
+    lrows = [
+        (f"u{stable_int('lk', i) % 7}", stable_int("lt", i) % 100, f"L{i}")
+        for i in range(120)
+    ]
+    rrows = list(
+        {
+            (f"u{stable_int('rk', i) % 5}", stable_int("rt", i) % 100): (
+                float(i),
+            )
+            for i in range(60)
+        }.items()
+    )
+    rrows = [(k, t, v[0]) for (k, t), v in rrows]
+    left = spark.createDataFrame(lrows, "k string, t int, lid string")
+    right = spark.createDataFrame(rrows, "k string, t int, v double")
+
+    got = {
+        r["lid"]: (r["t_asof"], r["v_asof"])
+        for r in asof_backward(left, right, "k", "t", ["v"]).collect()
+    }
+    rmap: dict[str, list[tuple[int, float]]] = {}
+    for k, t, v in rrows:
+        rmap.setdefault(k, []).append((t, v))
+    for k, t, lid in lrows:
+        prior = [(rt, rv) for rt, rv in rmap.get(k, []) if rt <= t]
+        expect = max(prior) if prior else (None, None)
+        assert got[lid] == expect, (lid, got[lid], expect)
