@@ -62,7 +62,14 @@ def _session_fn(gap_us: int):
                 cur = None
             if cur is None:
                 cur = [ts_us, ts_us, 0, 0.0]
-            cur[1] = ts_us
+            # extend bounds, never regress them: a watermark-admitted
+            # LATE event (older than the stored last event of a session
+            # carried over from a previous micro-batch) merges into the
+            # open session instead of rewinding session_end / the
+            # event-time timeout (which would close it prematurely and
+            # split one session into two)
+            cur[0] = min(cur[0], ts_us)
+            cur[1] = max(cur[1], ts_us)
             cur[2] += 1
             cur[3] += float(val)
         state.update(tuple(cur))

@@ -158,3 +158,128 @@ def test_stateful_sessionize_closes_on_gap_and_timeout(spark, tmp_path):
     assert rows[(2, "2025-01-01 12:00:00")] == (1, 9.0, "2025-01-01 12:00:00")
     # the open tail (u2 @ 12:30) is NOT emitted
     assert (2, "2025-01-01 12:30:00") not in rows
+
+
+def test_stateful_sessionize_late_event_across_batches(spark, tmp_path):
+    """A watermark-admitted LATE event (older than the session's stored
+    last event, arriving in a later micro-batch) must merge into the
+    open session without regressing session_end / the event-time
+    timeout. Regression test: the pre-fix code assigned last_us
+    unconditionally, so the late 10:04 event rewound the session end
+    from 10:08 to 10:04 and the 10:16 event then (wrongly) split the
+    session."""
+    from ocr_translation_spark.streaming import stream_sessionize
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    now = time.time()
+    # batch 1: u1 at 10:00 and 10:08 (one open session)
+    _write_events(
+        os.path.join(in_dir, "a.parquet"),
+        [
+            (1, "2025-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2025-01-01 10:08:00", 1, "click", 2.0, "{}"),
+        ],
+        now - 50,
+    )
+    # batch 2: LATE event at 10:04 (within the 30-min watermark delay)
+    _write_events(
+        os.path.join(in_dir, "b.parquet"),
+        [(3, "2025-01-01 10:04:00", 1, "click", 4.0, "{}")],
+        now - 40,
+    )
+    # batch 3: 10:16 — 8 min after the TRUE last event (10:08), so it
+    # belongs to the same session (gap = 10 min)
+    _write_events(
+        os.path.join(in_dir, "c.parquet"),
+        [(4, "2025-01-01 10:16:00", 1, "click", 8.0, "{}")],
+        now - 30,
+    )
+    # batches 4+5: u2 far ahead, advancing the watermark so u1's open
+    # session times out and is emitted
+    _write_events(
+        os.path.join(in_dir, "d.parquet"),
+        [(5, "2025-01-01 12:00:00", 2, "view", 1.0, "{}")],
+        now - 20,
+    )
+    _write_events(
+        os.path.join(in_dir, "e.parquet"),
+        [(6, "2025-01-01 12:30:00", 2, "view", 1.0, "{}")],
+        now - 10,
+    )
+
+    out_dir = str(tmp_path / "out")
+    q = stream_sessionize(
+        spark, in_dir, out_dir, str(tmp_path / "ck"),
+        gap_minutes=10, watermark_delay="30 minutes",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    u1 = [
+        r for r in spark.read.parquet(out_dir).collect() if r["user_id"] == 1
+    ]
+    # ONE session covering all four events, not a premature split
+    assert len(u1) == 1, u1
+    r = u1[0]
+    assert str(r["session_start"]) == "2025-01-01 10:00:00"
+    assert str(r["session_end"]) == "2025-01-01 10:16:00"
+    assert (r["n_events"], r["total_value"]) == (4, 15.0)
+
+
+def test_stream_sessionize_parity_with_batch(spark, tmp_path):
+    """Strong stream==batch oracle (VERDICT r2 item 7): drain the fixed
+    sf0.001 events corpus through the stateful stream and assert the
+    CLOSED-session set equals the batch events_sessionize result modulo
+    each user's open tail session (which stays in state)."""
+    import shutil
+
+    import __spark_entry__ as E
+    from ocr_translation_spark.streaming import stream_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    shutil.copy(
+        os.path.join(sf, "events.parquet"), str(in_dir / "events.parquet")
+    )
+
+    out_dir = str(tmp_path / "out")
+    q = stream_sessionize(
+        spark, str(in_dir), out_dir, str(tmp_path / "ck"), gap_minutes=10
+    )
+    q.awaitTermination(300)
+
+    batch = E.queries()["events_sessionize"](spark, sf).collect()
+    last_sid = {}
+    for r in batch:
+        last_sid[r["user_id"]] = max(
+            last_sid.get(r["user_id"], 0), r["session_id"]
+        )
+    all_sessions = {
+        (r["user_id"], r["start_ts"]): (r["n_events"], r["total_value"])
+        for r in batch
+    }
+    closed = {
+        k
+        for r in batch
+        if r["session_id"] != last_sid[r["user_id"]]  # the open tails
+        for k in [(r["user_id"], r["start_ts"])]
+    }
+    got = {
+        (
+            r["user_id"],
+            r["session_start"].strftime("%Y-%m-%d %H:%M:%S"),
+        ): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # every definitely-closed batch session is emitted; tail sessions
+    # MAY also appear when their event-time timeout fired before the
+    # final watermark — but only with batch-identical values
+    assert closed <= set(got), sorted(closed - set(got))
+    assert set(got) <= set(all_sessions), sorted(set(got) - set(all_sessions))
+    for k, (n, total) in got.items():
+        assert all_sessions[k][0] == n, k
+        # float sum order differs between engines; rounding to 4 dp on
+        # both sides leaves at most a last-digit wobble
+        assert abs(all_sessions[k][1] - total) <= 5e-4, (k, got[k])
