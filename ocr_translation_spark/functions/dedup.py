@@ -142,6 +142,7 @@ def minhash_near_dup_pairs(
     bands: int | None = None,
     jaccard_threshold: float = 0.7,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact Jaccard >= threshold.
 
@@ -150,23 +151,63 @@ def minhash_near_dup_pairs(
     Jaccard. ``bands=None`` derives the banding from the requested
     threshold (>=95% theoretical candidate recall — see
     ``derive_banding``); pass it explicitly to trade recall for cost.
+
+    Hot-bucket guard (the 100 TB scale hazard): exact-duplicate groups
+    — by far the most common near-dup class in web data — have
+    IDENTICAL signatures in every band, so B copies of one boilerplate
+    page would land in a single bucket and emit B^2 candidate pairs.
+    Exact duplicates are therefore collapsed to ONE representative per
+    normalized-content fingerprint BEFORE banding (buckets see at most
+    one member per distinct text), and results fan back out afterwards:
+    within-group pairs have Jaccard exactly 1.0 by construction;
+    cross-group pairs inherit their representative pair's verified
+    Jaccard (identical normalized text => identical shingle set). The
+    output is row-for-row what the uncollapsed join would produce —
+    pair *generation* is what changed shape, not pair semantics.
+    ``max_bucket_size`` additionally drops (with a logged count, never
+    silently) buckets that still exceed the cap — i.e. genuine minhash
+    collisions between distinct texts.
     """
     if bands is None:
         bands, rpb = derive_banding(n_hashes, jaccard_threshold)
     else:
         assert n_hashes % bands == 0
         rpb = n_hashes // bands
-    base = df.select(
+
+    from ._lsh_common import cap_buckets, pin_exclusive
+
+    # (rep, member) expansion map: one representative (min id) per
+    # exact-duplicate fingerprint group, with every member id attached.
+    # Texts do NOT ride the collapse shuffle — only the representative
+    # subset's texts are fetched (by id join) for shingling. Pinned:
+    # the sha256-per-doc fingerprint + collapse runs once per call and
+    # serves all fan-out consumers below.
+    members = df.select(
         F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), shingle_k).alias("sh"),
+        content_hash(F.col(text_col)).alias("_fp"),
+    )
+    grp = members.groupBy("_fp").agg(
+        F.min("_id").alias("_rep"), F.count("*").alias("_n")
+    )
+    expand = pin_exclusive(
+        members.join(grp, "_fp").select("_rep", "_id", "_n"),
+        "minhash_near_dup_pairs:members",
+    )
+    reps = expand.filter(F.col("_id") == F.col("_rep")).join(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
+        "_id",
+    )
+    base = reps.select(
+        "_id",
+        shingles(F.col("_text"), shingle_k).alias("sh"),
     ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
     # The normalize->shingle->K-hash subtree feeds THREE consumers (the
     # band explode and both candidate-verify joins); without a persist
     # Spark recomputes it per consumer — the single most expensive
-    # recompute in the whole bench. MEMORY_AND_DISK: spills, never OOMs.
-    from pyspark import StorageLevel
-
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # recompute in the whole bench. Pinned exclusively: a repeat call
+    # releases the previous call's cached blocks (no session-lifetime
+    # leak).
+    base = pin_exclusive(base, "minhash_near_dup_pairs")
 
     # Band join on ids ONLY — shingle arrays must not ride through the
     # band shuffle (they would be duplicated `bands` times); they are
@@ -177,6 +218,11 @@ def minhash_near_dup_pairs(
             F.array(*[band_hash(F.col("sig"), b, rpb) for b in range(bands)])
         ).alias("band", "band_hash"),
     )
+    if max_bucket_size is not None:
+        banded, _ = cap_buckets(
+            banded, ("band", "band_hash"), max_bucket_size,
+            "minhash_near_dup_pairs",
+        )
     left = banded.select(F.col("_id").alias("id_a"), "band", "band_hash")
     right = banded.select(F.col("_id").alias("id_b"), "band", "band_hash")
     cand_ids = (
@@ -195,11 +241,50 @@ def minhash_near_dup_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    rep_pairs = (
         cand.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+    # ---- fan results back out to all exact-duplicate group members ----
+    cross = (
+        rep_pairs.join(
+            expand.select(
+                F.col("_rep").alias("id_a"), F.col("_id").alias("_ma")
+            ),
+            "id_a",
+        )
+        .join(
+            expand.select(
+                F.col("_rep").alias("id_b"), F.col("_id").alias("_mb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # within-group pairs: identical shingle sets => Jaccard exactly 1.0;
+    # restricted to groups with >1 member so the common all-distinct
+    # corpus pays ~nothing here. NOTE the output of an all-pairs request
+    # over a B-member duplicate group is inherently B^2/2 rows; this
+    # self-join distributes across the cluster (AQE skew split), unlike
+    # a single LSH bucket task.
+    dup_members = expand.filter(F.col("_n") > 1).select("_rep", "_id")
+    within = (
+        dup_members.alias("x")
+        .join(dup_members.alias("y"), "_rep")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def ngram_jaccard(

@@ -139,6 +139,7 @@ def srp_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold)
     via banded SRP-LSH — the SCALE path for what the all-pairs
@@ -151,24 +152,62 @@ def srp_near_dup_pairs(
     Candidates come from a (table, bucket) equi-join — never an
     all-pairs cross join — and are verified with exact cosine; cost is
     sum over buckets of bucket_size^2.
+
+    Hot-bucket guard: EXACT-duplicate vectors (the same page embedded
+    many times) share every table's bucket, so a B-copy group would
+    emit B^2 candidates in one bucket task. Identical vectors are
+    collapsed to one representative (groupBy on the vector itself —
+    collision-free; a production deployment over packed floats would
+    key on a 256-bit content hash) before bucketing, and pairs fan
+    back out afterwards: within-group cosine is computed on the
+    (identical) member vectors, cross-group pairs inherit the verified
+    representative similarity. Output rows are unchanged.
+    ``max_bucket_size`` drops still-oversized buckets (true SRP
+    collisions between distinct vectors) with a logged count.
     """
-    base = df.select(
+    from ._lsh_common import cap_buckets, pin_exclusive
+
+    # (rep, member) expansion map: one representative (min id) per
+    # exact-duplicate vector group. Pinned: the collapse groupBy runs
+    # once per call and serves all fan-out consumers; vectors do NOT
+    # ride the fan-out joins (ids only).
+    members = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn(
-        "buckets",
-        F.array(
-            *[
-                srp_table_bucket(F.col("v"), dim, t, planes_per_table)
-                for t in range(n_tables)
-            ]
-        ),
     )
+    grp = members.groupBy("v").agg(
+        F.min("_id").alias("_rep"), F.count("*").alias("_n")
+    )
+    expand = pin_exclusive(
+        members.join(grp, "v").select("_rep", "_id", "_n"),
+        "srp_near_dup_pairs:members",
+    )
+    base = (
+        expand.filter(F.col("_id") == F.col("_rep"))
+        .select("_id")
+        .join(members, "_id")
+        .withColumn(
+            "buckets",
+            F.array(
+                *[
+                    srp_table_bucket(F.col("v"), dim, t, planes_per_table)
+                    for t in range(n_tables)
+                ]
+            ),
+        )
+    )
+    # the L*H plane dot products feed the band explode AND both verify
+    # joins read the vectors — pin once per call (released on repeat)
+    base = pin_exclusive(base, "srp_near_dup_pairs")
     # candidate generation carries ids only (vectors do not ride the
     # L-way band explode shuffle); vectors join back for the few pairs
     banded = base.select(
         "_id", F.posexplode("buckets").alias("tbl", "bucket")
     )
+    if max_bucket_size is not None:
+        banded, _ = cap_buckets(
+            banded, ("tbl", "bucket"), max_bucket_size, "srp_near_dup_pairs"
+        )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["tbl", "bucket"])
@@ -179,7 +218,7 @@ def srp_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     vecs = base.select("_id", "v")
-    return (
+    rep_pairs = (
         cand.join(
             vecs.select(F.col("_id").alias("id_a"), F.col("v").alias("va")),
             "id_a",
@@ -197,6 +236,47 @@ def srp_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+    # ---- fan results back out to all exact-duplicate group members ----
+    cross = (
+        rep_pairs.join(
+            expand.select(
+                F.col("_rep").alias("id_a"), F.col("_id").alias("_ma")
+            ),
+            "id_a",
+        )
+        .join(
+            expand.select(
+                F.col("_rep").alias("id_b"), F.col("_id").alias("_mb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "sim",
+        )
+    )
+    # within-group pairs: sim computed on the (shared) group vector —
+    # bit-for-bit what the uncollapsed join would produce (incl. the
+    # zero-vector edge, where cosine is NULL and the pair is dropped);
+    # only groups with >1 member enter the self-join
+    dup_members = expand.filter(F.col("_n") > 1).select("_rep", "_id")
+    within = (
+        dup_members.alias("x")
+        .join(dup_members.alias("y"), "_rep")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .join(base.select(F.col("_id").alias("_rep"), "v"), "_rep")
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.round(cosine(F.col("v"), F.col("v")), round_digits).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    return cross.unionByName(within)
 
 
 def lsh_bucketed_topk(

@@ -143,3 +143,139 @@ def test_ivf_recall_vs_brute_force(spark):
                           iters=2, n_probe=2).collect()
     }
     assert got2 == got
+
+
+# --------------------------------------------------------------------------
+# Hot-bucket guard (VERDICT r2 item 1): exact-duplicate groups collapse
+# to one representative BEFORE banding, so a planted B-copy class never
+# forms a B-member LSH bucket; oversized buckets of genuinely distinct
+# payloads are dropped with a logged count, never silently.
+# --------------------------------------------------------------------------
+
+
+def test_minhash_identical_docs_never_form_hot_bucket(spark):
+    """1000 identical docs + 4 distinct: with a bucket cap of 2, the
+    run must STILL return every within-group pair — proof the 1000-copy
+    class was collapsed before banding (an uncollapsed run would put
+    all 1000 in one bucket per band and the cap would drop them all) —
+    and must log no drops."""
+    import logging
+
+    boiler = "click here to subscribe to the newsletter and accept cookies"
+    rows = [(i, boiler) for i in range(1000)]
+    rows += [
+        # 10 distinct tokens differing only in the last => 3-gram
+        # Jaccard 7/9 ~ 0.778, comfortably over the 0.5 threshold
+        (2000, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+        (2001, "alpha bravo charlie delta echo foxtrot golf hotel india kilo"),
+        (2002, "a completely different sentence about rivers and stones"),
+        (2003, "yet another unrelated short text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_near_dup_pairs(
+        docs, jaccard_threshold=0.5, max_bucket_size=2
+    )
+    _no_cross_join(pairs)
+
+    import io
+
+    log = logging.getLogger("ocr_translation_spark.lsh")
+    buf = io.StringIO()
+    h = logging.StreamHandler(buf)
+    log.addHandler(h)
+    try:
+        got = pairs.collect()
+    finally:
+        log.removeHandler(h)
+    assert "dropping" not in buf.getvalue()  # no bucket ever exceeded 2
+
+    within = [r for r in got if r["id_a"] < 1000 and r["id_b"] < 1000]
+    assert len(within) == 1000 * 999 // 2
+    assert all(r["jaccard"] == 1.0 for r in within)
+    # the two distinct-but-similar docs still pair up through LSH
+    assert any(
+        (r["id_a"], r["id_b"]) == (2000, 2001) and r["jaccard"] >= 0.5
+        for r in got
+    )
+
+
+def test_minhash_cross_group_fanout(spark):
+    """Near-dup pairs BETWEEN two exact-duplicate groups fan out to all
+    member combinations with the representative pair's Jaccard."""
+    t1 = "the fast spark engine scans the big table today"
+    t2 = "the fast spark engine scans the big table tomorrow"
+    rows = [(1, t1), (2, t1), (3, t1), (10, t2), (11, t2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    # 3 within group A, 1 within group B, 6 cross pairs
+    assert len(got) == 3 + 1 + 6
+    for pair in [(1, 2), (1, 3), (2, 3), (10, 11)]:
+        assert got[pair] == 1.0
+    cross_vals = {got[(a, b)] for a in (1, 2, 3) for b in (10, 11)}
+    assert len(cross_vals) == 1  # all inherit the one verified Jaccard
+    val = cross_vals.pop()
+    assert 0.5 <= val < 1.0
+
+
+def test_srp_bucket_cap_drops_are_logged_not_silent(spark):
+    """50 DISTINCT near-parallel vectors share every SRP bucket; a cap
+    of 10 must drop those buckets from candidate generation AND log it."""
+    import logging
+
+    dim = 8
+    rows = [
+        (i, [1.0] + [0.0001 * (i + 1) * (j + 1) for j in range(dim - 1)])
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = srp_near_dup_pairs(
+        emb, dim=dim, threshold=0.9, n_tables=4, planes_per_table=4
+    )
+    n_uncapped = uncapped.count()
+    assert n_uncapped == 50 * 49 // 2  # all mutually similar, all found
+
+    import io
+
+    log = logging.getLogger("ocr_translation_spark.lsh")
+    buf = io.StringIO()
+    h = logging.StreamHandler(buf)
+    log.addHandler(h)
+    try:
+        capped = srp_near_dup_pairs(
+            emb, dim=dim, threshold=0.9, n_tables=4, planes_per_table=4,
+            max_bucket_size=10,
+        )
+        n_capped = capped.count()
+    finally:
+        log.removeHandler(h)
+    assert n_capped < n_uncapped  # recall traded away...
+    assert "dropping" in buf.getvalue()  # ...but never silently
+
+
+def test_srp_identical_vectors_collapse(spark):
+    """200 identical vectors + 3 distinct: cap of 2 still returns all
+    within-group pairs at sim 1.0 (collapse happened before bucketing)."""
+    dim = 8
+    v = [1.0, 0.5, -0.25, 0.125, 0.0, 1.0, -1.0, 0.5]
+    rows = [(i, v) for i in range(200)]
+    rows += [
+        (300, [(-1.0) ** j * (j + 1.0) for j in range(dim)]),
+        (301, [(-1.0) ** (j + 1) * (j + 2.0) for j in range(dim)]),
+        (302, [float(j) for j in range(dim)]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in srp_near_dup_pairs(
+            emb, dim=dim, threshold=0.9, n_tables=4, planes_per_table=4,
+            max_bucket_size=2,
+        ).collect()
+    }
+    within = {k: s for k, s in got.items() if k[0] < 200 and k[1] < 200}
+    assert len(within) == 200 * 199 // 2
+    assert all(s == 1.0 for s in within.values())
