@@ -506,13 +506,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _ivf_ann(spark, sf):
         """IVF-Flat-shaped ANN: k-medians coarse quantizer (medians are
         order-independent, so the oracle reproduces the centroids
-        bit-for-bit), n_probe inverted lists per query, exact re-rank."""
+        bit-for-bit), n_probe inverted lists per query, exact re-rank.
+        The quantizer trains on a BOUNDED deterministic sample (ids
+        whose sha256 starts with one '0' hex char, capped at the 32
+        smallest — the FAISS-style sample-training that keeps the exact
+        per-(cid,dim) median aggregate bounded at any corpus size);
+        assignment and probing run over the full corpus. The sample
+        rule is mirrored in the DuckDB twin."""
         from ocr_translation_spark.functions.ivf import ivf_topk
 
         emb = _read(spark, sf, "embeddings")
         return ivf_topk(
             emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
             n_clusters=8, iters=2, n_probe=2,
+            train_sample_hex_zeros=1, train_cap=32,
         )
 
     q["ivf_ann_topk"] = _ivf_ann
@@ -976,7 +983,7 @@ r{i} AS (
   SELECT e.vec_id, e.v, c.cid,
          row_number() OVER (PARTITION BY e.vec_id
            ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC, c.cid ASC) AS rnk
-  FROM e CROSS JOIN cent{i - 1} c
+  FROM train e CROSS JOIN cent{i - 1} c
 ),
 a{i} AS (SELECT vec_id, v, cid FROM r{i} WHERE rnk = 1),
 m{i} AS (
@@ -990,11 +997,18 @@ cent{i} AS (
   FROM cent{i - 1} c0 LEFT JOIN g{i} g USING (cid)
 )"""
 
+    # quantizer trains on the SAME bounded deterministic sample the
+    # Spark side uses (sha256-prefix keep rule + smallest-id cap)
     o["ivf_ann_topk"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+train AS (
+  SELECT vec_id, v FROM e
+  WHERE substr(sha256(vec_id::VARCHAR), 1, 1) = '0'
+  ORDER BY vec_id LIMIT 32
+),
 cent0 AS (
   SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid, v AS cvec
-  FROM e ORDER BY vec_id LIMIT 8
+  FROM train ORDER BY vec_id LIMIT 8
 ),{_ivf_iter(1)},{_ivf_iter(2)},
 inv AS (
   SELECT vec_id AS neighbor_id, v AS cv, cid FROM (

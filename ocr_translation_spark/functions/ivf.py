@@ -54,6 +54,40 @@ def _rank_clusters(e: DataFrame, cent_df: DataFrame, id_name: str) -> DataFrame:
     return scored.withColumn("_rank", F.row_number().over(w))
 
 
+def training_set(
+    e: DataFrame,
+    sample_hex_zeros: int | None = None,
+    cap: int | None = None,
+) -> DataFrame:
+    """Deterministic BOUNDED quantizer-training subset of (_id, v).
+
+    Exact per-(cid, dim) medians buffer a whole group's values on one
+    task, so training on the full corpus OOMs at scale (a group holds
+    ~n/k values). Standard IVF practice (FAISS trains its coarse
+    quantizer on a sample) applies: train on a hash-sample of bounded
+    size, assign/probe the full corpus with the resulting centroids.
+
+    The sample rule is a pure function of the id so any engine can
+    reproduce it: keep ids whose sha256(id-as-string) starts with
+    ``sample_hex_zeros`` '0' hex chars (each char keeps ~1/16), then
+    hard-cap at the ``cap`` smallest sampled ids (a distributed top-k,
+    not a full sort). Both knobs None => train on everything (the
+    small-data/test configuration).
+    """
+    t = e
+    if sample_hex_zeros:
+        prefix = "0" * sample_hex_zeros
+        t = t.filter(
+            F.substring(
+                F.sha2(F.col("_id").cast("string"), 256), 1, sample_hex_zeros
+            )
+            == prefix
+        )
+    if cap is not None:
+        t = t.orderBy("_id").limit(cap)
+    return t
+
+
 def kmedians_centroids(
     emb: DataFrame,
     dim: int,
@@ -61,15 +95,22 @@ def kmedians_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample_hex_zeros: int | None = None,
+    train_cap: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd-style k-medians; returns [(cid, centroid)] after ``iters``
     updates. Centroids live on the driver between iterations (k * dim
     doubles — tiny); each iteration is one distributed assign + one
-    distributed per-dim median."""
+    distributed per-dim median over the (bounded — see
+    ``training_set``) training sample."""
     spark = emb.sparkSession
-    e = emb.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    e = training_set(
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ),
+        train_sample_hex_zeros,
+        train_cap,
     )
     init = (
         e.orderBy("_id")
@@ -115,16 +156,21 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    train_sample_hex_zeros: int | None = None,
+    train_cap: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, sim, rank): exact-cosine top-k within
     the ``n_probe`` closest inverted lists per query. Same output
     schema as brute_force_topk; recall < 1 by design (a probed-out
     true neighbor is the IVF trade-off), measured in the recall gate
-    test."""
+    test. ``train_sample_hex_zeros``/``train_cap`` bound the quantizer
+    training set (see ``training_set``); assignment and probing always
+    run over the FULL corpus."""
     spark = corpus.sparkSession
     cents = kmedians_centroids(
         corpus, dim, n_clusters=n_clusters, iters=iters,
         id_col=id_col, vec_col=vec_col,
+        train_sample_hex_zeros=train_sample_hex_zeros, train_cap=train_cap,
     )
     cent_df = _centroid_df(spark, cents)
     c = corpus.select(

@@ -279,3 +279,61 @@ def test_srp_identical_vectors_collapse(spark):
     within = {k: s for k, s in got.items() if k[0] < 200 and k[1] < 200}
     assert len(within) == 200 * 199 // 2
     assert all(s == 1.0 for s in within.values())
+
+
+def test_ivf_training_set_bounded_under_corpus_growth(spark):
+    """VERDICT r2 item 2: the quantizer training input must stay
+    BOUNDED as the corpus grows (exact per-(cid,dim) medians buffer a
+    whole group on one task — unbounded training is the scale hazard).
+    Same sample rule at 1x and 10x corpus size => same cap-bound count,
+    and the sampled ids are a pure function of the id (prefix-stable)."""
+    from ocr_translation_spark.functions.ivf import training_set
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("_id"),
+            F.array(*[F.col("id") * 0.1 + j for j in range(4)])
+            .cast("array<double>")
+            .alias("v"),
+        )
+
+    small = training_set(corpus(2_000), sample_hex_zeros=1, cap=64)
+    big = training_set(corpus(20_000), sample_hex_zeros=1, cap=64)
+    n_small, n_big = small.count(), big.count()
+    assert n_small == 64 and n_big == 64  # cap binds at both sizes
+    # determinism: the 10x corpus contains the 1x ids, so the capped
+    # smallest-id sample is IDENTICAL — centroids don't drift with
+    # corpus growth unless the sampled prefix itself changes
+    ids_small = {r["_id"] for r in small.select("_id").collect()}
+    ids_big = {r["_id"] for r in big.select("_id").collect()}
+    assert ids_small == ids_big
+
+    # uncapped sample scales ~1/16 of the corpus (sanity on the rule)
+    n_sampled = training_set(corpus(20_000), sample_hex_zeros=1).count()
+    assert 0.04 < n_sampled / 20_000 < 0.09
+
+
+def test_ivf_sampled_quantizer_recall(spark):
+    """Recall gate holds with the bounded-sample quantizer (the
+    production configuration of ivf_topk)."""
+    from ocr_translation_spark.functions.ivf import ivf_topk
+    from ocr_translation_spark.functions.similarity import brute_force_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    # a 32-vector sampled quantizer partitions slightly worse than the
+    # full-corpus one (measured: 0.49 vs 0.52 at n_probe=2); one extra
+    # probed list recovers it — the standard IVF recall/cost dial
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, queries, dim=64, k=5, n_clusters=8, iters=2, n_probe=3,
+            train_sample_hex_zeros=1, train_cap=32,
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, f"sampled-quantizer IVF recall {recall:.3f}"
