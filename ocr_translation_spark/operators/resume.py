@@ -124,8 +124,8 @@ class ResumableRun:
 
         if self.cache_catalog is not None and "ocr_cache" not in extract_kwargs:
             # error-fallback load: unreadable cache -> recompute, not abort
-            extract_kwargs["ocr_cache"] = self.cache_catalog.load_or_none(
-                "ocr_cache"
+            extract_kwargs["ocr_cache"] = self.cache_catalog.load_cache(
+                "ocr_cache", "h"
             )
 
         processed: list[int] = []
@@ -177,8 +177,8 @@ class ResumableRun:
                 # cache crash-safely; later buckets hit instead of
                 # re-OCRing. Reads the persisted subtree, no recompute.
                 self.cache_catalog.merge_cache(new_cache, "ocr_cache", "h")
-                extract_kwargs["ocr_cache"] = self.cache_catalog.load_or_none(
-                    "ocr_cache"
+                extract_kwargs["ocr_cache"] = self.cache_catalog.load_cache(
+                    "ocr_cache", "h"
                 )
             new_cache.unpersist()
             processed.append(b)

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _iceberg_available(spark: SparkSession) -> bool:
@@ -42,7 +42,29 @@ class Catalog:
         p = os.path.join(self.root, f"{name}.parquet")
         if os.path.exists(p):
             return p
-        return os.path.join(self.root, name)
+        p = os.path.join(self.root, name)
+        if not os.path.exists(p):
+            self._heal_swap(p)
+        return p
+
+    @staticmethod
+    def _heal_swap(path: str) -> None:
+        """Crash recovery for ``_write_swap``: a hard kill between its
+        two renames leaves NO table at ``path`` and the previous table
+        stranded under ``<path>.__swap_old_*`` (the in-process rollback
+        never ran). Reads and merges heal that window by renaming the
+        stranded table back — the swap never got to commit, so the old
+        table IS the current one."""
+        import glob
+
+        if os.path.exists(path):
+            return
+        stranded = sorted(glob.glob(f"{path}.__swap_old_*"))
+        if stranded:
+            try:
+                os.rename(stranded[0], path)
+            except OSError:
+                pass
 
     def load(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._path(name))
@@ -95,7 +117,10 @@ class Catalog:
         old = f"{path}.__swap_old_{uuid.uuid4().hex[:8]}"
         try:
             # full materialization into tmp happens while `path` is
-            # still intact — a failure here leaves the table untouched
+            # still intact — a failure here leaves the table untouched.
+            # A HARD crash (kill -9) between the two renames below
+            # leaves no table at `path` with the old one stranded at
+            # `old`; readers heal that window via ``_heal_swap``.
             df.write.mode("overwrite").parquet(tmp)
             if os.path.exists(path):
                 os.rename(path, old)
@@ -125,23 +150,135 @@ class Catalog:
         )
         self._write_swap(merged, path)
 
-    def merge_cache(self, df: DataFrame, name: str, key: str) -> None:
-        """``merge_by_key`` with cache-table error semantics: an
-        unreadable/corrupt existing table is REPLACED by the new
-        entries instead of failing the run — a cache is rebuildable
-        by definition, and aborting the job to protect corrupt
-        advisory data inverts the priorities (reference parity: cache
-        errors degrade to recompute, ``TranslationQueue.js:58-83``).
-        Readable files inside a partly-corrupt table are preserved."""
+    # ------------------------------------------------------------------
+    # Cache tables: append-only batch layout, existing-wins on read
+    # ------------------------------------------------------------------
+    #
+    # A cache merge must cost O(new entries), not O(table): the old
+    # read-union-rewrite emulation paid O(table) I/O per commit —
+    # O(n^2) write volume over a 1000-bucket run with a growing cache.
+    # Layout: ``name/batch=K/`` partition dirs, one appended per merge
+    # (write = the new entries only, nothing is read). Readers resolve
+    # key collisions existing-wins by preferring the LOWEST batch
+    # (Spark's partition discovery surfaces ``batch`` for free).
+    # ``compact_cache`` (auto-triggered past ``compact_after`` batches)
+    # folds everything back into one batch crash-safely. With a real
+    # Iceberg catalog this whole block is MERGE INTO + snapshot expiry.
+
+    COMPACT_AFTER = 32
+
+    @staticmethod
+    def _batch_ids(path: str) -> list[int]:
+        if not os.path.isdir(path):
+            return []
+        out = []
+        for d in os.listdir(path):
+            if d.startswith("batch="):
+                try:
+                    out.append(int(d.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def merge_cache(
+        self, df: DataFrame, name: str, key: str,
+        compact_after: int | None = None,
+    ) -> None:
+        """Idempotent cache upsert costing O(new entries) I/O: the new
+        rows are APPENDED as the next ``batch=K`` dir; nothing existing
+        is read or rewritten (existing-wins happens at read time in
+        ``load_cache``). Cache-table error semantics: an unreadable/
+        corrupt existing table is REPLACED by the new entries instead
+        of failing the run — a cache is rebuildable by definition, and
+        aborting the job to protect corrupt advisory data inverts the
+        priorities (reference parity: cache errors degrade to
+        recompute, ``TranslationQueue.js:58-83``)."""
         path = os.path.join(self.root, name)
+        self._heal_swap(path)
         if not os.path.exists(path):
-            df.write.mode("overwrite").parquet(path)
+            df.write.mode("overwrite").parquet(
+                os.path.join(path, "batch=0")
+            )
             return
-        existing = self.load_or_none(name)
-        if existing is None:
-            self._write_swap(df, path)
-            return
-        merged = existing.unionByName(
-            df.join(existing.select(key), key, "left_anti")
+        batches = self._batch_ids(path)
+        if not batches:
+            # legacy flat layout (or a corrupt dir): fold the readable
+            # rows into batch=0 once, or replace outright if unreadable
+            existing = self.load_or_none(name)
+            if existing is None:
+                self._write_swap(df, os.path.join(path, "batch=0"))
+                # _write_swap wrote under path; clear stray flat files
+                for f in os.listdir(path):
+                    if not f.startswith("batch="):
+                        fp = os.path.join(path, f)
+                        if os.path.isfile(fp):
+                            os.remove(fp)
+                batches = [0]
+            else:
+                import shutil as _sh
+
+                b0 = os.path.join(path, "batch=0")
+                os.makedirs(b0, exist_ok=True)
+                for f in list(os.listdir(path)):
+                    fp = os.path.join(path, f)
+                    if os.path.isfile(fp):
+                        _sh.move(fp, os.path.join(b0, f))
+                batches = [0]
+        seq = batches[-1] + 1
+        df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch={seq}")
         )
-        self._write_swap(merged, path)
+        limit = self.COMPACT_AFTER if compact_after is None else compact_after
+        if len(batches) + 1 >= limit:
+            self.compact_cache(name, key)
+
+    def load_cache(self, name: str, key: str) -> DataFrame | None:
+        """Key-unique view of a cache table written by ``merge_cache``
+        (None when missing/unreadable): on a key collision across
+        batches the EARLIEST batch wins — a cached result never
+        changes. The ``batch`` partition column is dropped."""
+        from pyspark.sql import Window
+
+        df = self.load_or_none(name)
+        if df is None:
+            return None
+        if "batch" not in df.columns:
+            return df  # legacy single-write table, already key-unique
+        w = Window.partitionBy(key).orderBy("batch")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "batch")
+        )
+
+    def compact_cache(self, name: str, key: str) -> None:
+        """Fold all batches into one (crash-safe whole-dir swap): the
+        periodic O(table) cost that keeps reads cheap while merges stay
+        O(new). No-op when the table is missing or unreadable."""
+        path = os.path.join(self.root, name)
+        resolved = self.load_cache(name, key)
+        if resolved is None:
+            return
+        compacted = resolved.withColumn("batch", F.lit(0))
+        # stage under a sibling temp root so the swap replaces the
+        # whole table dir atomically (batch=0 layout inside)
+        import uuid as _uuid
+
+        tmp_root = f"{path}.__compact_{_uuid.uuid4().hex[:8]}"
+        try:
+            compacted.write.partitionBy("batch").mode("overwrite").parquet(
+                tmp_root
+            )
+            old = f"{path}.__swap_old_{_uuid.uuid4().hex[:8]}"
+            os.rename(path, old)
+            os.rename(tmp_root, path)
+        except Exception:
+            import shutil as _sh
+
+            self._heal_swap(path)
+            _sh.rmtree(tmp_root, ignore_errors=True)
+            raise
+        else:
+            import shutil as _sh
+
+            _sh.rmtree(old, ignore_errors=True)

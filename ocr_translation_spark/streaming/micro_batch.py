@@ -59,7 +59,7 @@ def stream_extract(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         kwargs = dict(extract_kwargs)
         if cache_cat is not None and "ocr_cache" not in kwargs:
-            kwargs["ocr_cache"] = cache_cat.load_or_none("ocr_cache")
+            kwargs["ocr_cache"] = cache_cat.load_cache("ocr_cache", "h")
         res = extract(spark, batch_df, media, **kwargs)
         new_cache = res.new_ocr_cache.persist()
         res.result.write.mode("append").parquet(output_dir)

@@ -154,3 +154,121 @@ def test_committed_buckets_missing_vs_broken(spark, tmp_path):
     _poison(os.path.join(state, "lineage"))
     with pytest.raises(Exception):
         committed_buckets(spark, state)
+
+
+# --------------------------------------------------------------------------
+# Append-layout cache merges (VERDICT r2 item 3): O(new) write cost,
+# existing-wins on read, periodic compaction, swap-crash healing.
+# --------------------------------------------------------------------------
+
+
+def _tree_files(path):
+    out = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            out[p] = (os.path.getsize(p), os.path.getmtime(p))
+    return out
+
+
+def test_merge_cache_writes_scale_with_new_entries(spark, tmp_path):
+    """Each merge appends ONE new batch dir sized by the new entries;
+    previously-written files are never touched (byte-identical paths,
+    sizes, mtimes) — i.e. write cost is O(new), not O(table)."""
+    from ocr_translation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    table = os.path.join(str(tmp_path), "c")
+    batch_sizes = []
+    for i in range(5):
+        before = _tree_files(table)
+        rows = [(f"h{i}_{j}", f"v{i}_{j}") for j in range(100)]
+        cat.merge_cache(
+            spark.createDataFrame(rows, "h string, v string"), "c", "h"
+        )
+        after = _tree_files(table)
+        # nothing pre-existing was rewritten
+        for p, meta in before.items():
+            assert after.get(p) == meta, f"rewrote {p}"
+        new_bytes = sum(
+            sz for p, (sz, _) in after.items() if p not in before
+        )
+        batch_sizes.append(new_bytes)
+    # constant-size merges => roughly constant write volume, NOT
+    # growing with the (5x larger by now) table
+    assert max(batch_sizes) < 2 * min(batch_sizes), batch_sizes
+    # all 500 distinct keys readable, key-unique
+    out = cat.load_cache("c", "h")
+    assert out.count() == 500
+    assert out.select("h").distinct().count() == 500
+
+
+def test_merge_cache_existing_wins_across_batches(spark, tmp_path):
+    from ocr_translation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.merge_cache(
+        spark.createDataFrame([("k1", "old"), ("k2", "old")], "h string, v string"),
+        "c", "h",
+    )
+    cat.merge_cache(
+        spark.createDataFrame([("k2", "NEW"), ("k3", "NEW")], "h string, v string"),
+        "c", "h",
+    )
+    rows = {r["h"]: r["v"] for r in cat.load_cache("c", "h").collect()}
+    assert rows == {"k1": "old", "k2": "old", "k3": "NEW"}
+
+
+def test_merge_cache_compaction_preserves_winners(spark, tmp_path):
+    from ocr_translation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    for i in range(4):
+        cat.merge_cache(
+            spark.createDataFrame(
+                [("shared", f"from_batch_{i}"), (f"k{i}", f"v{i}")],
+                "h string, v string",
+            ),
+            "c", "h", compact_after=3,
+        )
+    table = os.path.join(str(tmp_path), "c")
+    batches = [d for d in os.listdir(table) if d.startswith("batch=")]
+    assert len(batches) < 4  # compaction folded the history
+    rows = {r["h"]: r["v"] for r in cat.load_cache("c", "h").collect()}
+    assert rows["shared"] == "from_batch_0"  # existing-wins survived
+    assert {f"k{i}" for i in range(4)} <= set(rows)
+
+
+def test_heal_swap_recovers_stranded_table(spark, tmp_path):
+    """Simulate the kill-9 window inside _write_swap: table renamed to
+    .__swap_old_* but the replacement never landed. A read heals it."""
+    from ocr_translation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    spark.createDataFrame([("a", 1)], "h string, v int").write.parquet(
+        os.path.join(str(tmp_path), "t")
+    )
+    os.rename(
+        os.path.join(str(tmp_path), "t"),
+        os.path.join(str(tmp_path), "t.__swap_old_deadbeef"),
+    )
+    assert cat.exists("t")  # heal happened on path resolution
+    assert cat.load("t").count() == 1
+
+
+def test_merge_cache_migrates_legacy_flat_layout(spark, tmp_path):
+    """A cache table written by the old rewrite-style merge (flat
+    parquet files) is folded into batch=0 on the next merge; its
+    entries keep winning over new ones."""
+    from ocr_translation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    spark.createDataFrame(
+        [("k1", "legacy")], "h string, v string"
+    ).write.parquet(os.path.join(str(tmp_path), "c"))
+    cat.merge_cache(
+        spark.createDataFrame([("k1", "NEW"), ("k2", "NEW")], "h string, v string"),
+        "c", "h",
+    )
+    rows = {r["h"]: r["v"] for r in cat.load_cache("c", "h").collect()}
+    assert rows == {"k1": "legacy", "k2": "NEW"}
