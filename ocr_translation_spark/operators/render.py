@@ -141,28 +141,23 @@ def pdf_extract_text(b: bytes) -> str:
 
 def render_documents_pdf(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     """``render_documents`` + real ``pdf_bytes``. PDF assembly is
-    per-row Python, so it crosses to Python ONCE via mapInPandas over
-    the already-columnar (doc_id, rendered_text) projection — span
+    per-row Python, so it crosses to Python via an Arrow-batched scalar
+    ``pandas_udf`` over just (doc_id, rendered_text) — computed IN
+    PLACE as a column, zero shuffle (the earlier mapInPandas + rejoin
+    paid a full self-join shuffle to reattach its own output), and span
     arrays never enter the Python worker."""
-    from typing import Iterator
-
     import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: the module's `from __future__ import annotations`
+    # turns them into strings the decorator can't resolve here
+    @pandas_udf("binary")
+    def _pdf_udf(doc_id, text):
+        return pd.Series(
+            [pdf_document_bytes(d, t) for d, t in zip(doc_id, text)]
+        )
 
     base = render_documents(df, spans_col)
-
-    def _pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "pdf_bytes": [
-                        pdf_document_bytes(d, t)
-                        for d, t in zip(pdf["doc_id"], pdf["rendered_text"])
-                    ],
-                }
-            )
-
-    pdfs = base.select("doc_id", "rendered_text").mapInPandas(
-        _pdf_batches, schema="doc_id string, pdf_bytes binary"
+    return base.withColumn(
+        "pdf_bytes", _pdf_udf(F.col("doc_id"), F.col("rendered_text"))
     )
-    return base.join(pdfs, "doc_id", "left")

@@ -111,3 +111,25 @@ def test_render_documents_pdf_spark(spark, fixture_dir):
         assert check_pdf_bytes(bytes(r["pdf_bytes"])), r["doc_id"]
         flat = pdf_extract_text(bytes(r["pdf_bytes"])).replace("\n", " ")
         assert flat.split() == (r["rendered_text"] or "").split()
+
+
+def test_pdf_render_adds_no_exchange(spark, fixture_dir):
+    """VERDICT r2 item 5: pdf_bytes is computed in place by a scalar
+    pandas_udf — the plan must contain no more Exchanges than the base
+    render (the old mapInPandas + rejoin paid a full self-join
+    shuffle)."""
+    from ocr_translation_spark.operators.render import (
+        render_documents,
+        render_documents_pdf,
+    )
+
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    base = render_documents(docs)
+    pdf = render_documents_pdf(docs)
+    n_base = (
+        base._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    )
+    n_pdf = (
+        pdf._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    )
+    assert n_pdf == n_base
