@@ -100,10 +100,86 @@ class ResumableRun:
         else:
             self.cache_catalog = None
 
+    # arrow types matching the LINEAGE/METRICS schema strings above —
+    # state appends are 1-3 rows, so they are written directly with
+    # pyarrow (one file create, ~ms) instead of a full Spark job
+    # (createDataFrame + write = seconds of driver/scheduler overhead
+    # per bucket, the dominant serialized cost of the commit loop)
+    _STATE_ARROW = {
+        "lineage": [
+            ("run_id", "string"), ("bucket", "int32"), ("n_docs", "int64"),
+            ("n_spans", "int64"), ("wall_ms", "int64"), ("status", "string"),
+            ("committed_at", "string"),
+        ],
+        "metrics": [
+            ("run_id", "string"), ("bucket", "int32"), ("stage", "string"),
+            ("metric", "string"), ("value", "float64"),
+        ],
+    }
+
     def _append_state(self, name: str, rows, schema: str):
-        df = self.spark.createDataFrame(rows, schema)
-        df.coalesce(1).write.mode("append").parquet(
-            os.path.join(self.state_dir, name)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fields = self._STATE_ARROW[name]
+        tbl = pa.table(
+            {
+                fname: pa.array([r[i] for r in rows], pa.type_for_alias(ftype))
+                for i, (fname, ftype) in enumerate(fields)
+            }
+        )
+        d = os.path.join(self.state_dir, name)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            tbl, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+        )
+
+    def _work_bucket(self, bucketed, media, b: int, kwargs: dict):
+        """The heavy, parallel-safe part of one bucket: extract + data
+        write + stats. Returns (stats_row, new_cache_df, wall_ms)."""
+        t0 = time.monotonic()
+        subset = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
+        res = extract(self.spark, subset, media, **kwargs)
+        # persist BEFORE the output write: the write materializes
+        # the OCR mapInPandas subtree into the cache, so the cache
+        # merge reuses it instead of re-OCRing every miss
+        new_cache = res.new_ocr_cache.persist()
+        bucket_dir = os.path.join(self.out_dir, f"bucket={b}")
+        res.result.write.mode("overwrite").parquet(bucket_dir)
+        stats = (
+            self.spark.read.parquet(bucket_dir)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
+            )
+            .collect()[0]
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        return stats, new_cache, wall_ms
+
+    def _commit_bucket(self, b: int, stats, wall_ms: int) -> None:
+        """The bucket's commit point: ONE lineage append (serialized by
+        the caller — concurrent Spark append jobs into the same dir
+        share a _temporary staging dir and would trample each other)."""
+        now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        self._append_state(
+            "lineage",
+            [
+                (
+                    self.run_id, b, stats["n_docs"], stats["n_spans"],
+                    wall_ms, "committed", now,
+                )
+            ],
+            LINEAGE_SCHEMA,
+        )
+        self._append_state(
+            "metrics",
+            [
+                (self.run_id, b, "extract", "docs", float(stats["n_docs"])),
+                (self.run_id, b, "extract", "spans", float(stats["n_spans"])),
+                (self.run_id, b, "extract", "wall_ms", float(wall_ms)),
+            ],
+            METRICS_SCHEMA,
         )
 
     def run(
@@ -112,11 +188,24 @@ class ResumableRun:
         media: DataFrame | None,
         *,
         fail_after_buckets: int | None = None,
+        max_concurrency: int = 1,
         **extract_kwargs,
     ) -> list[int]:
         """Process all pending buckets; returns the buckets processed.
 
-        ``fail_after_buckets`` simulates a mid-run crash (tests).
+        ``max_concurrency`` > 1 submits that many buckets' Spark jobs
+        concurrently from a thread pool: at n_buckets ~ O(1000) the
+        per-bucket driver overhead (planning, the lineage append, the
+        cache merge) otherwise serializes into idle-cluster time. The
+        data write stays per-bucket-isolated (each bucket owns its
+        partition dir); the lineage append — the commit point — and the
+        cache merge are serialized under a lock, so commit semantics
+        (idempotent retry at bucket granularity) are identical to the
+        sequential path.
+
+        ``fail_after_buckets`` simulates a mid-run crash (tests); it
+        forces the sequential path so "crash after N commits" remains
+        well-defined.
         """
         done = committed_buckets(self.spark, self.state_dir)
         pending = [b for b in range(self.n_buckets) if b not in done]
@@ -129,59 +218,54 @@ class ResumableRun:
             )
 
         processed: list[int] = []
-        for i, b in enumerate(pending):
-            if fail_after_buckets is not None and i >= fail_after_buckets:
-                raise RuntimeError(f"simulated crash before bucket {b}")
-            t0 = time.monotonic()
-            subset = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-            res = extract(self.spark, subset, media, **extract_kwargs)
-            result = res.result
-            # persist BEFORE the output write: the write materializes
-            # the OCR mapInPandas subtree into the cache, so the cache
-            # merge below reuses it instead of re-OCRing every miss
-            new_cache = res.new_ocr_cache.persist()
-            bucket_dir = os.path.join(self.out_dir, f"bucket={b}")
-            result.write.mode("overwrite").parquet(bucket_dir)
-
-            stats = (
-                self.spark.read.parquet(bucket_dir)
-                .agg(
-                    F.count("*").alias("n_docs"),
-                    F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
+        if fail_after_buckets is not None or max_concurrency <= 1:
+            for i, b in enumerate(pending):
+                if fail_after_buckets is not None and i >= fail_after_buckets:
+                    raise RuntimeError(f"simulated crash before bucket {b}")
+                stats, new_cache, wall_ms = self._work_bucket(
+                    bucketed, media, b, extract_kwargs
                 )
-                .collect()[0]
-            )
-            wall_ms = int((time.monotonic() - t0) * 1000)
-            now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-            self._append_state(
-                "lineage",
-                [
-                    (
-                        self.run_id, b, stats["n_docs"], stats["n_spans"],
-                        wall_ms, "committed", now,
+                self._commit_bucket(b, stats, wall_ms)
+                if self.cache_catalog is not None and media is not None:
+                    # store-always (OCRQueue.js:85): grow the persisted
+                    # cache; later buckets hit instead of re-OCRing.
+                    self.cache_catalog.merge_cache(new_cache, "ocr_cache", "h")
+                    extract_kwargs["ocr_cache"] = self.cache_catalog.load_cache(
+                        "ocr_cache", "h"
                     )
-                ],
-                LINEAGE_SCHEMA,
+                new_cache.unpersist()
+                processed.append(b)
+            return processed
+
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        commit_lock = threading.Lock()
+        shared = dict(extract_kwargs)
+
+        def _one(b: int) -> int:
+            # FAIR pool per slot when the scheduler is FAIR-configured;
+            # under FIFO concurrent jobs still interleave by task slots
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"resume-{b % max_concurrency}"
             )
-            self._append_state(
-                "metrics",
-                [
-                    (self.run_id, b, "extract", "docs", float(stats["n_docs"])),
-                    (self.run_id, b, "extract", "spans", float(stats["n_spans"])),
-                    (self.run_id, b, "extract", "wall_ms", float(wall_ms)),
-                ],
-                METRICS_SCHEMA,
+            with commit_lock:
+                kwargs = dict(shared)
+            stats, new_cache, wall_ms = self._work_bucket(
+                bucketed, media, b, kwargs
             )
-            if self.cache_catalog is not None and media is not None:
-                # store-always (OCRQueue.js:85): grow the persisted
-                # cache crash-safely; later buckets hit instead of
-                # re-OCRing. Reads the persisted subtree, no recompute.
-                self.cache_catalog.merge_cache(new_cache, "ocr_cache", "h")
-                extract_kwargs["ocr_cache"] = self.cache_catalog.load_cache(
-                    "ocr_cache", "h"
-                )
+            with commit_lock:
+                self._commit_bucket(b, stats, wall_ms)
+                if self.cache_catalog is not None and media is not None:
+                    self.cache_catalog.merge_cache(new_cache, "ocr_cache", "h")
+                    shared["ocr_cache"] = self.cache_catalog.load_cache(
+                        "ocr_cache", "h"
+                    )
             new_cache.unpersist()
-            processed.append(b)
+            return b
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as ex:
+            processed = list(ex.map(_one, pending))
         return processed
 
     def read_output(self) -> DataFrame:
