@@ -52,6 +52,18 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _fixture_dir() -> str:
+    """Deterministic 300-doc span/media fixture tables (pyarrow-written,
+    no Spark needed) shared by the synthetic-e2e queries AND their
+    DuckDB oracles — generated on first use, pure function of the seed."""
+    from ocr_translation_spark.datagen import write_fixture_parquet
+
+    fx = os.path.join(tempfile.gettempdir(), "ocr_xlate_fixtures_300")
+    if not os.path.exists(os.path.join(fx, "documents.parquet")):
+        write_fixture_parquet(fx, n_docs=300)
+    return fx
+
+
 # --------------------------------------------------------------------------
 # Flagship: derived span docs -> real pipeline -> flat exploded rows
 # --------------------------------------------------------------------------
@@ -714,17 +726,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["purchase_attribution_asof"] = _purchase_attribution
 
-    # ---- rows-only (binary payloads; golden-tested in pytest) ----
+    # ---- binary-payload queries over generated fixtures (golden-tested
+    # in pytest AND value-oracled: SYNTHIMG is textual, so DuckDB can
+    # decode it in pure SQL — see the twins in oracle_sql()) ----
 
     def _synthetic_e2e(spark, sf):
         """Full stages A+B+C incl. OCR over generated span fixtures
-        (binary media — verified against the golden spec in pytest;
-        here the driver checks rows + schema stability)."""
-        from ocr_translation_spark.datagen import write_fixture_parquet
-
-        fx = os.path.join(tempfile.gettempdir(), "ocr_xlate_fixtures_300")
-        if not os.path.exists(os.path.join(fx, "documents.parquet")):
-            write_fixture_parquet(fx, n_docs=300)
+        (binary media). Value-oracled: SYNTHIMG is a textual format, so
+        the DuckDB twin decodes, reading-order-sorts, strips, and
+        translates ENTIRELY in SQL (oracle_sql()["extract_synthetic_e2e"])."""
+        fx = _fixture_dir()
         docs = spark.read.parquet(os.path.join(fx, "documents.parquet"))
         media = spark.read.parquet(os.path.join(fx, "media.parquet"))
         res = extract(spark, docs, media).result
@@ -735,15 +746,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_synthetic_e2e"] = _synthetic_e2e
 
     def _media_meta(spark, sf):
-        from ocr_translation_spark.datagen import write_fixture_parquet
         from ocr_translation_spark.functions.multimodal import (
             extract_media_metadata,
         )
 
-        fx = os.path.join(tempfile.gettempdir(), "ocr_xlate_fixtures_300")
-        if not os.path.exists(os.path.join(fx, "media.parquet")):
-            write_fixture_parquet(fx, n_docs=300)
-        media = spark.read.parquet(os.path.join(fx, "media.parquet"))
+        media = spark.read.parquet(
+            os.path.join(_fixture_dir(), "media.parquet")
+        )
         return extract_media_metadata(media)
 
     q["media_metadata"] = _media_meta
@@ -1200,6 +1209,112 @@ SELECT user_id, session_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
        round(sum(value), 4) AS total_value
 FROM sess GROUP BY user_id, session_id
+"""
+
+    # ---- synthetic-e2e twins: the ENTIRE pipeline (SYNTHIMG decode ->
+    # reading-order OCR -> boilerplate strip -> dictionary translate ->
+    # re-offset) expressed in DuckDB SQL over the same fixture parquet.
+    # The fixture dir is generated here if missing (pyarrow, no Spark),
+    # so the oracle is runnable in any process that has this module.
+    fx = _fixture_dir()
+    _FX_DOCS = f"read_parquet('{fx}/documents.parquet/*.parquet')"
+    _FX_MEDIA = f"read_parquet('{fx}/media.parquet/*.parquet')"
+    # SYNTHIMG/1 payload = "SYNTHIMG/1\n" + lines of "tok@y,x"; OCR =
+    # decode + sort by (y, x, tok) + space-join (semantics.ocr_text)
+    _OCR_CTES = f"""
+mlines AS (
+  SELECT media_ref,
+         unnest(string_split(decode(media_bytes), chr(10))) AS line
+  FROM media
+),
+mtoks AS (
+  SELECT media_ref,
+         regexp_extract(line, '^(.*)@(\\d+),(\\d+)$', ['tok','y','x']) AS m
+  FROM mlines WHERE line <> '' AND line <> 'SYNTHIMG/1'
+)"""
+
+    o["extract_synthetic_e2e"] = f"""
+WITH {xlate_dict_values_sql()},
+docs AS (SELECT * FROM {_FX_DOCS}),
+media AS (SELECT * FROM {_FX_MEDIA}),
+sp AS (SELECT doc_id, unnest(spans) AS s FROM docs),
+spans AS (
+  SELECT doc_id, s.kind AS kind, s.text AS text,
+         s.media_ref AS media_ref, s."offset" AS off
+  FROM sp
+),{_OCR_CTES},
+ocr AS (
+  SELECT m.media_ref, coalesce(agg.t, '') AS ocr_text
+  FROM media m LEFT JOIN (
+    SELECT media_ref,
+           string_agg(m.tok, ' ' ORDER BY m.y::INT, m.x::INT, m.tok) AS t
+    FROM mtoks GROUP BY media_ref
+  ) agg USING (media_ref)
+),
+a AS (
+  SELECT sp.doc_id, sp.off, sp.kind, sp.media_ref,
+         CASE WHEN sp.kind = 'media' AND o.ocr_text IS NOT NULL
+              THEN o.ocr_text ELSE sp.text END AS text
+  FROM spans sp LEFT JOIN ocr o
+    ON sp.kind = 'media' AND sp.media_ref = o.media_ref
+),
+feat AS (
+  SELECT *, list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                        t -> t <> '') AS toks
+  FROM a
+),
+kept AS (
+  SELECT doc_id, off, kind, media_ref, text, toks
+  FROM feat
+  WHERE kind NOT IN ('boiler', 'tag_open', 'tag_close')
+    AND NOT (kind = 'text' AND (
+      text IS NULL OR trim(text) = ''
+      OR CASE WHEN len(toks) = 0 THEN FALSE
+         ELSE len(list_filter(toks, t -> list_contains([{_BOILER_IN}],
+                lower(t))))::DOUBLE / len(toks) > 0.5 END))
+),
+tokidx AS (
+  SELECT doc_id, off, toks,
+         unnest(generate_series(1, len(toks))) AS i
+  FROM kept WHERE text IS NOT NULL
+),
+tokrows AS (SELECT doc_id, off, i, toks[i] AS tok FROM tokidx),
+xl AS (
+  SELECT doc_id, off,
+         string_agg(coalesce(d.dst, tok), ' ' ORDER BY i) AS ttext
+  FROM tokrows LEFT JOIN dict d ON lower(tok) = d.src
+  GROUP BY doc_id, off
+),
+final AS (
+  SELECT k.doc_id, k.off, k.kind, k.media_ref,
+         CASE WHEN k.text IS NULL THEN NULL
+              ELSE coalesce(x.ttext, '') END AS text
+  FROM kept k LEFT JOIN xl x ON k.doc_id = x.doc_id AND k.off = x.off
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1)::INTEGER
+         AS ord,
+       kind, text, media_ref
+FROM final
+"""
+
+    # media_metadata twin: SYNTHIMG decode in SQL (n_tokens = token
+    # lines; width/height = max coord + 1 with the empty-grid floor of
+    # 1x1, matching multimodal.decode_tokens)
+    o["media_metadata"] = f"""
+WITH media AS (SELECT * FROM {_FX_MEDIA}),{_OCR_CTES},
+agg AS (
+  SELECT media_ref, count(*) AS n_tokens,
+         max(m.x::INT) AS mx, max(m.y::INT) AS my
+  FROM mtoks GROUP BY media_ref
+)
+SELECT m.media_ref, m.media_kind,
+       octet_length(m.media_bytes)::INTEGER AS n_bytes,
+       coalesce(a.n_tokens, 0)::INTEGER AS n_tokens,
+       (coalesce(a.mx, 0) + 1)::INTEGER AS width,
+       (coalesce(a.my, 0) + 1)::INTEGER AS height,
+       true AS decode_ok
+FROM media m LEFT JOIN agg a USING (media_ref)
 """
 
     o["ann_cosine_topk"] = """

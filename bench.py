@@ -66,7 +66,7 @@ def main() -> None:
     n_spans = docs.agg(F.sum(F.size("spans"))).collect()[0][0]
 
     timings: dict[str, float] = {}
-    p95s: dict[str, float] = {}
+    max_warm: dict[str, float] = {}
     cold: dict[str, float] = {}
 
     def timed(name, fn):
@@ -85,7 +85,9 @@ def main() -> None:
             warm.append(time.monotonic() - t0)
         warm.sort()
         timings[name] = round(statistics.median(warm), 3)
-        p95s[name] = round(warm[min(len(warm) - 1, int(0.95 * len(warm)))], 3)
+        # honestly labeled: at REPEATS=3 this is the max of 3 warm
+        # samples, not a tail percentile
+        max_warm[name] = round(warm[-1], 3)
 
     only = os.environ.get("SPARK_GRAFT_ONLY")  # comma list to subset
 
@@ -128,7 +130,7 @@ def main() -> None:
         "synthetic_docs": n_docs,
         "synthetic_spans": int(n_spans),
         "repeats": REPEATS,
-        "queries_p95": p95s,
+        "queries_max_warm": max_warm,
         "cold_queries": cold,
     }
     # throughput only when the headline extraction query actually ran

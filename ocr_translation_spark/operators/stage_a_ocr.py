@@ -57,7 +57,13 @@ def ocr_distinct_media(
     payloads are recomputed even on a cache hit, and the result rows
     carry BOTH values (``ocr_text`` = cache-preferred,
     ``ocr_text_fresh`` = recomputed) so the caller can route per
-    request. Store stays unconditional (OCRQueue.js:85).
+    request. Store semantics differ DELIBERATELY from the reference's
+    unconditional overwrite (OCRQueue.js:85): the returned new-cache
+    entries are merged EXISTING-WINS (catalog.merge_cache), so a fresh
+    recompute never replaces a stored value. Equivalent observable
+    behavior because this OCR is deterministic — recompute(h) always
+    equals the stored value — and existing-wins is what makes
+    concurrent/restarted bucket merges idempotent.
 
     Returns ``(results, new_cache_entries)`` where results is
     (media_ref, h, ocr_text[, ocr_text_fresh]) covering every input
