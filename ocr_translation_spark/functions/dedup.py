@@ -248,22 +248,36 @@ def minhash_near_dup_pairs(
     )
 
     # ---- fan results back out to all exact-duplicate group members ----
+    # LEFT joins against the dup-groups-only slice: a singleton rep
+    # (the overwhelmingly common case) passes through with no match
+    # (coalesce to itself), so fan-out cost scales with the duplicate
+    # groups, not the corpus — the full expansion map never rides a
+    # join.
+    dup_expand = expand.filter(F.col("_n") > 1).select("_rep", "_id")
     cross = (
         rep_pairs.join(
-            expand.select(
+            dup_expand.select(
                 F.col("_rep").alias("id_a"), F.col("_id").alias("_ma")
             ),
             "id_a",
+            "left",
         )
         .join(
-            expand.select(
+            dup_expand.select(
                 F.col("_rep").alias("id_b"), F.col("_id").alias("_mb")
             ),
             "id_b",
+            "left",
         )
         .select(
-            F.least("_ma", "_mb").alias("id_a"),
-            F.greatest("_ma", "_mb").alias("id_b"),
+            F.least(
+                F.coalesce("_ma", F.col("id_a")),
+                F.coalesce("_mb", F.col("id_b")),
+            ).alias("id_a"),
+            F.greatest(
+                F.coalesce("_ma", F.col("id_a")),
+                F.coalesce("_mb", F.col("id_b")),
+            ).alias("id_b"),
             "jaccard",
         )
     )
@@ -273,7 +287,7 @@ def minhash_near_dup_pairs(
     # over a B-member duplicate group is inherently B^2/2 rows; this
     # self-join distributes across the cluster (AQE skew split), unlike
     # a single LSH bucket task.
-    dup_members = expand.filter(F.col("_n") > 1).select("_rep", "_id")
+    dup_members = dup_expand
     within = (
         dup_members.alias("x")
         .join(dup_members.alias("y"), "_rep")

@@ -238,22 +238,34 @@ def srp_near_dup_pairs(
     )
 
     # ---- fan results back out to all exact-duplicate group members ----
+    # LEFT joins against the dup-groups-only slice: singleton reps
+    # (the common case) coalesce to themselves, so fan-out cost scales
+    # with the duplicate groups, not the corpus.
+    dup_expand = expand.filter(F.col("_n") > 1).select("_rep", "_id")
     cross = (
         rep_pairs.join(
-            expand.select(
+            dup_expand.select(
                 F.col("_rep").alias("id_a"), F.col("_id").alias("_ma")
             ),
             "id_a",
+            "left",
         )
         .join(
-            expand.select(
+            dup_expand.select(
                 F.col("_rep").alias("id_b"), F.col("_id").alias("_mb")
             ),
             "id_b",
+            "left",
         )
         .select(
-            F.least("_ma", "_mb").alias("id_a"),
-            F.greatest("_ma", "_mb").alias("id_b"),
+            F.least(
+                F.coalesce("_ma", F.col("id_a")),
+                F.coalesce("_mb", F.col("id_b")),
+            ).alias("id_a"),
+            F.greatest(
+                F.coalesce("_ma", F.col("id_a")),
+                F.coalesce("_mb", F.col("id_b")),
+            ).alias("id_b"),
             "sim",
         )
     )
@@ -261,7 +273,7 @@ def srp_near_dup_pairs(
     # bit-for-bit what the uncollapsed join would produce (incl. the
     # zero-vector edge, where cosine is NULL and the pair is dropped);
     # only groups with >1 member enter the self-join
-    dup_members = expand.filter(F.col("_n") > 1).select("_rep", "_id")
+    dup_members = dup_expand
     within = (
         dup_members.alias("x")
         .join(dup_members.alias("y"), "_rep")
