@@ -1,0 +1,116 @@
+"""Streaming ingest dedup: batch==stream parity, registry stability
+across restarts, and crash-replay idempotence of the output."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import __spark_entry__ as E
+from ocr_translation_spark.streaming import (
+    read_dedup_output,
+    stream_exact_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _split_documents(tmp_path, n_chunks=3):
+    """sf0.001 documents split into doc_id-ordered chunk files (ordered
+    arrival makes the stream's first-seen-min == the batch global min)."""
+    df = pd.read_parquet(os.path.join(SF, "documents.parquet"))
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir, exist_ok=True)
+    k = -(-len(df) // n_chunks)
+    paths = []
+    for i in range(n_chunks):
+        part = df.iloc[i * k : (i + 1) * k]
+        p = str(in_dir / f"chunk{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False), p
+        )
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        paths.append(p)
+    return str(in_dir), paths
+
+
+def test_stream_dedup_parity_with_batch(spark, tmp_path):
+    in_dir, _ = _split_documents(tmp_path)
+    q = stream_exact_dedup(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        str(tmp_path / "reg"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["doc_id"]: (r["fp"], r["canonical_id"], r["is_dup"])
+        for r in read_dedup_output(spark, str(tmp_path / "out")).collect()
+    }
+    batch = {
+        r["h"]: (r["keep_id"], r["n_dups"])
+        for r in E.queries()["exact_dedup"](spark, SF).collect()
+    }
+    # every doc annotated exactly once
+    n_docs = sum(n for _, n in batch.values())
+    assert len(got) == n_docs
+    # doc_id-ordered arrival => canonical == the batch global-min
+    # survivor, and is_dup flags match the batch dup counts
+    from collections import Counter
+
+    dups_per_fp = Counter()
+    for doc_id, (fp, canonical, is_dup) in got.items():
+        assert batch[fp][0] == canonical, (doc_id, fp)
+        assert is_dup == (doc_id != canonical)
+        dups_per_fp[fp] += 1
+    assert {fp: n for fp, (k, n) in batch.items()} == dict(dups_per_fp)
+
+
+def test_stream_dedup_registry_stable_across_restart(spark, tmp_path):
+    """New chunks arriving after a full drain reuse the existing
+    registry: previously-claimed canonicals never change, and a doc
+    whose text was seen before is flagged as a duplicate."""
+    in_dir, _ = _split_documents(tmp_path, n_chunks=2)
+    out, ck, reg = (
+        str(tmp_path / "out"), str(tmp_path / "ck"), str(tmp_path / "reg")
+    )
+    q = stream_exact_dedup(spark, in_dir, out, ck, reg)
+    q.awaitTermination(300)
+    first = {
+        r["fp"]: r["canonical_id"]
+        for r in read_dedup_output(spark, out).collect()
+    }
+
+    # a late file: re-sends an already-seen text under a NEW doc_id
+    seen = pd.read_parquet(os.path.join(SF, "documents.parquet")).iloc[0]
+    late = pd.DataFrame(
+        [
+            {
+                "doc_id": 10_000_000,
+                "text": seen["text"],
+                "lang": seen["lang"],
+                "source": "late",
+                "n_chars": seen["n_chars"],
+            }
+        ]
+    )
+    p = os.path.join(in_dir, "late.parquet")
+    pq.write_table(pa.Table.from_pandas(late, preserve_index=False), p)
+
+    q2 = stream_exact_dedup(spark, in_dir, out, ck, reg)
+    q2.awaitTermination(300)
+    rows = {
+        r["doc_id"]: r
+        for r in read_dedup_output(spark, out).collect()
+    }
+    late_row = rows[10_000_000]
+    assert late_row["is_dup"]  # recognized as a resend
+    # its canonical is the ORIGINAL claim, unchanged from the first run
+    assert late_row["canonical_id"] == first[late_row["fp"]]
+    # and no other canonical moved
+    for r in rows.values():
+        if r["doc_id"] != 10_000_000:
+            assert first[r["fp"]] == r["canonical_id"]
