@@ -726,6 +726,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["purchase_attribution_asof"] = _purchase_attribution
 
+    def _q7(spark, sf):
+        """TPC-H q7-shaped volume shipping: bilateral revenue between
+        two nations by ship year; small dims broadcast."""
+        n1 = _read(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("s_nk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+        n2 = _read(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("c_nk"),
+            F.col("n_name").alias("cust_nation"),
+        )
+        li = _read(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        orders = _read(spark, sf, "orders")
+        cust = _read(spark, sf, "customer")
+        supp = _read(spark, sf, "supplier")
+        pair = (
+            (F.col("supp_nation") == "NATION_1")
+            & (F.col("cust_nation") == "NATION_2")
+        ) | (
+            (F.col("supp_nation") == "NATION_2")
+            & (F.col("cust_nation") == "NATION_1")
+        )
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(n1), supp["s_nationkey"] == F.col("s_nk"))
+            .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nk"))
+            .filter(pair)
+            .groupBy(
+                "supp_nation",
+                "cust_nation",
+                F.year("l_shipdate").alias("l_year"),
+            )
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    q["tpch_q7_volume_shipping"] = _q7
+
+    def _q10(spark, sf):
+        """TPC-H q10-shaped returned-item revenue: top-20 customers by
+        revenue lost to returns in one year (ties break by custkey)."""
+        li = _read(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+        orders = _read(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        cust = _read(spark, sf, "customer")
+        nation = _read(spark, sf, "nation")
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .join(
+                F.broadcast(nation),
+                cust["c_nationkey"] == nation["n_nationkey"],
+            )
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue")
+            )
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20)
+        )
+
+    q["tpch_q10_returned_items"] = _q10
+
+    q["events_cube"] = lambda spark, sf: (
+        _read(spark, sf, "events")
+        # Spark dayofweek is 1..7 Sunday-first; normalized to DuckDB's
+        # 0..6 so both engines emit the same dow values
+        .withColumn("dow", (F.dayofweek("ts") - 1).cast("int"))
+        .cube("event_type", "dow")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+    _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    q["events_pivot"] = lambda spark, sf: (
+        _read(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 4))
+    )
+
+    def _above_nation_avg(spark, sf):
+        """Correlated-aggregate shape: customers whose lifetime order
+        total exceeds the average customer total of their nation
+        (window-function form — one shuffle per aggregation level).
+        Money is summed in exact integer CENTS so the aggregate is
+        order-independent and the comparison/output reproduce
+        bit-for-bit in any engine (a double sum's result depends on
+        partition-dependent summation order at the ulp)."""
+        from pyspark.sql import Window
+
+        per = (
+            _read(spark, sf, "orders")
+            .withColumn(
+                "_cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum("_cents").alias("_total_cents"))
+        )
+        cust = _read(spark, sf, "customer")
+        nation = _read(spark, sf, "nation")
+        j = (
+            cust.join(per, cust["c_custkey"] == per["o_custkey"])
+            .join(
+                F.broadcast(nation),
+                cust["c_nationkey"] == nation["n_nationkey"],
+            )
+        )
+        w = Window.partitionBy("n_nationkey")
+        return (
+            j.withColumn("_avg_cents", F.avg("_total_cents").over(w))
+            .filter(F.col("_total_cents") > F.col("_avg_cents"))
+            .select(
+                "c_custkey",
+                "n_name",
+                F.round(F.col("_total_cents") / 100.0, 2).alias("total"),
+                F.round(F.col("_avg_cents") / 100.0, 2).alias("nation_avg"),
+            )
+        )
+
+    q["customers_above_nation_avg"] = _above_nation_avg
+
     # ---- binary-payload queries over generated fixtures (golden-tested
     # in pytest AND value-oracled: SYNTHIMG is textual, so DuckDB can
     # decode it in pure SQL — see the twins in oracle_sql()) ----
@@ -1124,6 +1270,79 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
+"""
+
+    o["tpch_q7_volume_shipping"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::INTEGER AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+    o["tpch_q10_returned_items"] = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+    o["events_cube"] = """
+WITH e AS (
+  SELECT event_type, dayofweek(ts)::INTEGER AS dow, value FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(dow, -1)::INTEGER AS dow,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total_value
+FROM e GROUP BY CUBE (event_type, dow)
+"""
+
+    o["events_pivot"] = """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+       round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+       round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+       round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+FROM events GROUP BY user_id
+"""
+
+    # exact-integer-cents money arithmetic mirrors the Spark side:
+    # order-independent sums, identical comparisons in both engines
+    o["customers_above_nation_avg"] = """
+WITH per AS (
+  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT) AS total_cents
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT c_custkey, n_name, n_nationkey, total_cents,
+         avg(total_cents) OVER (PARTITION BY n_nationkey) AS avg_cents
+  FROM customer
+  JOIN per ON c_custkey = o_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT c_custkey, n_name,
+       round(total_cents / 100.0, 2) AS total,
+       round(avg_cents / 100.0, 2) AS nation_avg
+FROM j WHERE total_cents > avg_cents
 """
 
     o["orders_priority_rollup"] = """
