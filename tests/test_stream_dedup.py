@@ -114,3 +114,79 @@ def test_stream_dedup_registry_stable_across_restart(spark, tmp_path):
     for r in rows.values():
         if r["doc_id"] != 10_000_000:
             assert first[r["fp"]] == r["canonical_id"]
+
+
+def test_stream_near_dup_flags_against_history(spark, tmp_path):
+    """Streaming MinHash near-dup: flags are PRECISE (every flagged
+    doc's estimate matches the brute-force signature estimate and
+    clears the threshold against a genuinely earlier doc) and recall
+    vs the brute-force estimate-pairs is at the banding design point."""
+    from pyspark.sql import functions as F
+
+    from ocr_translation_spark.functions.dedup import (
+        minhash_signature,
+        shingles,
+    )
+    from ocr_translation_spark.streaming import stream_near_dup
+    from ocr_translation_spark.streaming.dedup_stream import (
+        read_dedup_output,
+    )
+
+    in_dir, _ = _split_documents(tmp_path, n_chunks=3)
+    q = stream_near_dup(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        str(tmp_path / "reg"), jaccard_threshold=0.5,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+
+    # brute-force ground truth on the SIGNATURE estimate (the stream's
+    # declared measure): all pairs, est >= 0.5, survivor = smaller id
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    sigs = docs.select(
+        F.col("doc_id").alias("_id"),
+        minhash_signature(shingles(F.col("text"), 3), 32).alias("sig"),
+    )
+    a = sigs.select(F.col("_id").alias("id_a"), F.col("sig").alias("sa"))
+    bb = sigs.select(F.col("_id").alias("id_b"), F.col("sig").alias("sb"))
+    est = F.round(
+        F.aggregate(
+            F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(32.0),
+        6,
+    )
+    brute = {}
+    for r in (
+        a.crossJoin(bb)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("est", est)
+        .filter(F.col("est") >= 0.5)
+        .collect()
+    ):
+        brute.setdefault(r["id_b"], {})[r["id_a"]] = r["est"]
+    assert len(brute) > 3  # corpus plants real near-dups
+
+    flagged = {
+        d: r for d, r in got.items() if r["near_dup_of"] is not None
+    }
+    # precision: every flag is a true estimate-pair with exact values
+    for d, r in flagged.items():
+        assert d in brute, f"doc {d} flagged but no brute pair"
+        assert r["near_dup_of"] in brute[d]
+        assert r["est_jaccard"] == brute[d][r["near_dup_of"]]
+        # and it picked the BEST earlier match
+        assert r["est_jaccard"] == max(brute[d].values())
+    # recall: banding finds nearly all estimate-pairs (16x2 at t=0.5
+    # designs for >= 0.95 candidate recall)
+    dup_docs = {d for d, r in got.items() if r["is_exact_dup"]}
+    recall_pool = set(brute) - dup_docs  # exact dups report via canonical
+    found = set(flagged)
+    recall = len(found & recall_pool) / max(1, len(recall_pool))
+    assert recall >= 0.9, f"stream near-dup recall {recall:.3f}"
