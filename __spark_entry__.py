@@ -872,6 +872,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["customers_above_nation_avg"] = _above_nation_avg
 
+    def _purchases_in_session(spark, sf):
+        """Interval (range) join: each purchase attributed to the
+        same-user session interval containing it — via the binned
+        equi-join in functions/timeseries.interval_join (never a
+        per-key theta join). Sessions are the gap-based intervals of
+        events_sessionize."""
+        from pyspark.sql import Window
+
+        from ocr_translation_spark.functions.timeseries import interval_join
+
+        ev = _read(spark, sf, "events")
+        epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        flagged = ev.withColumn(
+            "_new",
+            F.when(
+                epoch_us - F.lag(epoch_us).over(w) > 600 * 1_000_000, 1
+            ).otherwise(0)
+            + F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+        )
+        sess = (
+            flagged.withColumn(
+                "session_id", F.sum("_new").over(w).cast("int")
+            )
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+            )
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        return interval_join(
+            purchases, sess, "user_id", "ts", "s_start", "s_end",
+            bin_seconds=600,
+        ).select(
+            "event_id",
+            "user_id",
+            "session_id",
+            F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+        )
+
+    q["purchases_in_session"] = _purchases_in_session
+
+    def _stratified(spark, sf):
+        """Deterministic stratified sample: 5 docs per source, chosen
+        by smallest sha256(doc_id) — reproducible on any engine (the
+        oracle draws the identical subset)."""
+        from ocr_translation_spark.functions.sampling import (
+            stratified_sample,
+        )
+
+        return stratified_sample(
+            _read(spark, sf, "documents"), "source", 5, "doc_id"
+        ).select("source", "doc_id")
+
+    q["documents_stratified_sample"] = _stratified
+
     # ---- binary-payload queries over generated fixtures (golden-tested
     # in pytest AND value-oracled: SYNTHIMG is textual, so DuckDB can
     # decode it in pure SQL — see the twins in oracle_sql()) ----
@@ -1343,6 +1403,43 @@ SELECT c_custkey, n_name,
        round(total_cents / 100.0, 2) AS total,
        round(avg_cents / 100.0, 2) AS nation_avg
 FROM j WHERE total_cents > avg_cents
+"""
+
+    o["purchases_in_session"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600 * 1000000
+                THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id))::INTEGER
+           AS session_id,
+         ts
+  FROM flagged
+), iv AS (
+  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT p.event_id, p.user_id, iv.session_id,
+       strftime(iv.s_start, '%Y-%m-%d %H:%M:%S') AS session_start
+FROM events p JOIN iv ON p.user_id = iv.user_id
+  AND p.ts >= iv.s_start AND p.ts <= iv.s_end
+WHERE p.event_type = 'purchase'
+"""
+
+    o["documents_stratified_sample"] = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(sha256(doc_id::VARCHAR), 1, 16), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
 """
 
     o["orders_priority_rollup"] = """

@@ -58,3 +58,56 @@ def asof_backward(
     for c in [f"{ts_col}{suffix}"] + [f"{c}{suffix}" for c in value_cols]:
         u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return u.filter(F.col("_tag") == 1).drop("_tag")
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 600,
+) -> DataFrame:
+    """Attach to each event the same-key intervals CONTAINING its
+    timestamp (``start <= ts <= end``, inclusive both ends).
+
+    Spark has no range-join primitive; the naive theta-join degenerates
+    to a per-key cross product (every event against every interval of
+    the key — quadratic in dense keys). Scale shape used here: bin time
+    into fixed ``bin_seconds`` windows, EXPLODE each interval across
+    only the bins it overlaps, equi-join events on (key, bin), then
+    refine exact containment. An event meets only the intervals
+    overlapping its own bin, so candidate fan-out is bounded by
+    interval density per bin rather than per key; each (event,
+    interval) pair meets in exactly one bin (the event's), so no
+    dedup pass is needed. Pick ``bin_seconds`` near the typical
+    interval length: explode cost is ~interval_length/bin_seconds rows
+    per interval, candidate cost shrinks as bins get finer.
+    """
+    bin_us = int(bin_seconds) * 1_000_000
+    ev = events.withColumn(
+        "_bin",
+        F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / bin_us),
+    )
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    F.unix_micros(F.col(start_col).cast("timestamp")) / bin_us
+                ),
+                F.floor(
+                    F.unix_micros(F.col(end_col).cast("timestamp")) / bin_us
+                ),
+            )
+        ),
+    )
+    return (
+        ev.join(iv, [key_col, "_bin"])
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_bin")
+    )

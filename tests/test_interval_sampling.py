@@ -1,0 +1,106 @@
+"""Edge semantics for interval_join and deterministic sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_translation_spark.functions.sampling import (
+    hash_sample,
+    stratified_sample,
+)
+from ocr_translation_spark.functions.timeseries import interval_join
+
+
+def test_interval_join_edges(spark):
+    """Inclusive bounds on BOTH ends, bin-spanning intervals, multiple
+    containing intervals, and non-matching keys/times."""
+    events = spark.createDataFrame(
+        [
+            (1, 1, "2025-01-01 10:00:00"),   # exactly at i1 start
+            (2, 1, "2025-01-01 10:59:59"),   # inside i1, other bin
+            (3, 1, "2025-01-01 11:00:00"),   # exactly at i1 end + in i2
+            (4, 1, "2025-01-01 12:00:01"),   # after everything
+            (5, 2, "2025-01-01 10:30:00"),   # right time, wrong key
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [
+            (1, 10, "2025-01-01 10:00:00", "2025-01-01 11:00:00"),
+            (1, 11, "2025-01-01 10:45:00", "2025-01-01 12:00:00"),
+        ],
+        "user_id long, iv_id long, s string, e string",
+    ).select(
+        "user_id", "iv_id",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(
+            events, intervals, "user_id", "ts", "s", "e", bin_seconds=600
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 10), (2, 11), (3, 10), (3, 11)]
+
+
+def test_interval_join_bin_size_invariance(spark):
+    """The result is independent of bin_seconds (only cost changes)."""
+    ev = spark.range(50).select(
+        F.lit(1).alias("k"),
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 137).alias("ts"),
+    )
+    iv = spark.range(5).select(
+        F.lit(1).alias("k"),
+        F.col("id").alias("iv_id"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 1000).alias("s"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 1000 + 800).alias("e"),
+    )
+    def run(bin_s):
+        return sorted(
+            (r["event_id"], r["iv_id"])
+            for r in interval_join(ev, iv, "k", "ts", "s", "e", bin_s).collect()
+        )
+    base = run(600)
+    assert base  # non-trivial
+    assert run(60) == base
+    assert run(7) == base
+
+
+def test_stratified_sample_deterministic_and_sized(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = {
+        (r["source"], r["doc_id"])
+        for r in stratified_sample(docs, "source", 5, "doc_id").collect()
+    }
+    s2 = {
+        (r["source"], r["doc_id"])
+        for r in stratified_sample(docs, "source", 5, "doc_id").collect()
+    }
+    assert s1 == s2  # identical draw every run
+    from collections import Counter
+
+    per = Counter(src for src, _ in s1)
+    n_sources = docs.select("source").distinct().count()
+    assert len(per) == n_sources
+    assert all(v == 5 for v in per.values())
+    # growing the stratum cap only ADDS rows (prefix-stable ranking)
+    s10 = {
+        (r["source"], r["doc_id"])
+        for r in stratified_sample(docs, "source", 10, "doc_id").collect()
+    }
+    assert s1 <= s10
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    kept = hash_sample(df, "doc_id", mod=16)
+    n = kept.count()
+    assert 0.04 < n / 20_000 < 0.09  # ~1/16
+    assert kept.count() == n  # stable
+    # disjoint residue classes partition the corpus
+    n_all = sum(
+        hash_sample(df, "doc_id", mod=4, keep=k).count() for k in range(4)
+    )
+    assert n_all == 20_000
