@@ -491,6 +491,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    def _percentiles_sampled(spark, sf):
+        """SCALE path for events_percentiles: Spark's exact percentile
+        buffers a whole group's values on one task (~n/groups values —
+        the same unbounded-group hazard as untrained-quantizer IVF), so
+        at corpus scale the percentile is taken over a deterministic
+        hash-sample of the group (rate sized so sample*rate/groups fits
+        an executor; the rule — sha256(event_id) leading hex '0', ~1/16
+        — is a pure function of the id and reproduced by the oracle).
+        min/max/count stay EXACT full-corpus aggregates (constant-size
+        state)."""
+        ev = _read(spark, sf, "events")
+        sampled = ev.filter(
+            F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 1)
+            == "0"
+        )
+        sp = sampled.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_sampled"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias(
+                "p95_sampled"
+            ),
+            F.count("*").alias("n_sampled"),
+        )
+        full = ev.groupBy("event_type").agg(
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+            F.count("*").alias("n_events"),
+        )
+        return full.join(sp, "event_type", "left")
+
+    q["events_percentiles_sampled"] = _percentiles_sampled
+
     # ---- sketch/LSH family: sha256-derived hashes & planes, so every
     # one of these is DuckDB-reproducible and value-oracle-checked ----
 
@@ -1131,6 +1162,27 @@ SELECT event_type,
        round(max(value), 4) AS max_v,
        round(stddev_samp(value), 4) AS sd
 FROM events GROUP BY event_type
+"""
+
+    o["events_percentiles_sampled"] = """
+WITH s AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS p50_sampled,
+         round(quantile_cont(value, 0.95), 4) AS p95_sampled,
+         count(*)::BIGINT AS n_sampled
+  FROM events
+  WHERE substr(sha256(event_id::VARCHAR), 1, 1) = '0'
+  GROUP BY event_type
+), f AS (
+  SELECT event_type,
+         round(min(value), 4) AS min_v,
+         round(max(value), 4) AS max_v,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT f.event_type, f.min_v, f.max_v, f.n_events,
+       s.p50_sampled, s.p95_sampled, s.n_sampled
+FROM f LEFT JOIN s USING (event_type)
 """
 
     o["minhash_near_dup"] = _minhash_oracle_sql(threshold=0.5, n_hashes=32)

@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
         "aborts), grown crash-safely after every bucket (store-always)",
     )
     p.add_argument(
+        "--concurrency", type=int, default=1,
+        help="buckets processed concurrently (thread pool; the lineage "
+        "append stays each bucket's serialized commit point)",
+    )
+    p.add_argument(
         "--quarantine", default=None,
         help="path for invalid rows (reason-tagged); omit to fail-open",
     )
@@ -84,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
     processed = run.run(
         docs,
         media,
+        max_concurrency=args.concurrency,
         use_cache=not args.no_cache,
         num_partitions=args.partitions,
         salt_buckets=args.salt_buckets,

@@ -104,3 +104,45 @@ def test_hash_sample_rate_and_determinism(spark):
         hash_sample(df, "doc_id", mod=4, keep=k).count() for k in range(4)
     )
     assert n_all == 20_000
+
+
+def test_interval_join_matches_brute_force_random(spark):
+    """Property-style check: on a deterministic pseudo-random dataset,
+    the binned interval join equals the brute-force theta join."""
+    import hashlib
+
+    def h(*k):
+        return int.from_bytes(
+            hashlib.blake2b(repr(k).encode(), digest_size=4).digest(), "big"
+        )
+
+    base = 1_700_000_000
+    events = [
+        (i, h("k", i) % 5, base + h("t", i) % 50_000) for i in range(300)
+    ]
+    intervals = []
+    for j in range(60):
+        s = base + h("s", j) % 50_000
+        intervals.append((j, h("ik", j) % 5, s, s + h("len", j) % 4_000))
+
+    ev = spark.createDataFrame(
+        events, "event_id long, k long, tsec long"
+    ).select("event_id", "k", F.timestamp_seconds("tsec").alias("ts"))
+    iv = spark.createDataFrame(
+        intervals, "iv_id long, k long, ssec long, esec long"
+    ).select(
+        "iv_id", "k",
+        F.timestamp_seconds("ssec").alias("s"),
+        F.timestamp_seconds("esec").alias("e"),
+    )
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(ev, iv, "k", "ts", "s", "e", 600).collect()
+    )
+    brute = sorted(
+        (e_id, i_id)
+        for (e_id, ek, et) in events
+        for (i_id, ik, s, e) in intervals
+        if ek == ik and s <= et <= e
+    )
+    assert got == brute and len(brute) > 20
