@@ -903,6 +903,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["customers_above_nation_avg"] = _above_nation_avg
 
+    def _chunks(spark, sf):
+        """Sliding-window document chunking (64-token windows, 8-token
+        overlap) — the pre-tokenization pass of a training pipeline;
+        pure map stage, value-oracled."""
+        from ocr_translation_spark.functions.text import chunk_documents
+
+        return chunk_documents(
+            _read(spark, sf, "documents"), max_tokens=64, overlap=8
+        )
+
+    q["document_chunks"] = _chunks
+
     def _purchases_in_session(spark, sf):
         """Interval (range) join: each purchase attributed to the
         same-user session interval containing it — via the binned
@@ -1455,6 +1467,33 @@ SELECT c_custkey, n_name,
        round(total_cents / 100.0, 2) AS total,
        round(avg_cents / 100.0, 2) AS nation_avg
 FROM j WHERE total_cents > avg_cents
+"""
+
+    # chunking twin: same stride arithmetic, same slice windows
+    o["document_chunks"] = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+), meta AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 64 THEN 1
+              ELSE ceil((len(toks) - 64) / 56.0)::INTEGER + 1 END AS n_chunks
+  FROM t
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM meta
+), sliced AS (
+  SELECT doc_id, chunk_id,
+         list_slice(toks, chunk_id * 56 + 1, chunk_id * 56 + 64) AS ctoks
+  FROM idx
+)
+SELECT doc_id, chunk_id::INTEGER AS chunk_id,
+       len(ctoks)::INTEGER AS n_chunk_tokens,
+       array_to_string(ctoks, ' ') AS chunk_text
+FROM sliced
 """
 
     o["purchases_in_session"] = """

@@ -147,3 +147,56 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.transform(sh, lambda s: F.substring(F.sha2(s, 256), 1, 16))
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into token-bounded overlapping chunks — the
+    sliding-window pass that feeds tokenization in a training-data
+    pipeline. Fully columnar (sequence + transform + posexplode, zero
+    Python, no shuffle): chunk c covers tokens
+    ``[c*stride, c*stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``; the final chunk is the first
+    one whose window reaches the end (shorter tails allowed, no
+    padding). Empty/blank docs yield one empty chunk so no document is
+    silently dropped.
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk_text). At 100 TB this
+    is a pure map stage — rows fan out ~n_tokens/stride with no
+    skew-sensitive operation anywhere.
+    """
+    assert 0 <= overlap < max_tokens
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.trim(F.col(text_col)) == "", 0).otherwise(F.size(toks))
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.ceil((n - max_tokens) / F.lit(float(stride))) + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda c: F.slice(toks, c * stride + 1, max_tokens),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_id", "_ctoks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_ctoks").alias("n_chunk_tokens"),
+            F.array_join("_ctoks", " ").alias("chunk_text"),
+        )
+        # blank docs: one chunk, zero tokens, empty text
+        .withColumn(
+            "n_chunk_tokens",
+            F.when(F.col("chunk_text") == "", 0).otherwise(
+                F.col("n_chunk_tokens")
+            ),
+        )
+    )

@@ -146,3 +146,37 @@ def test_interval_join_matches_brute_force_random(spark):
         if ek == ik and s <= et <= e
     )
     assert got == brute and len(brute) > 20
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Chunk windows tile the token stream: stripping each chunk's
+    leading overlap (after chunk 0) and concatenating reproduces the
+    original tokens; every chunk is <= max_tokens; consecutive chunks
+    share exactly the overlap."""
+    from ocr_translation_spark.functions.text import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    max_t, ov = 16, 4
+    rows = chunk_documents(docs, max_tokens=max_t, overlap=ov).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+
+    originals = {
+        r["doc_id"]: r["text"].strip().split()
+        for r in docs.collect()
+    }
+    assert set(by_doc) == set(originals)
+    stride = max_t - ov
+    for doc_id, chunks in by_doc.items():
+        ordered = [chunks[i] for i in range(len(chunks))]
+        toks = [c.split() if c else [] for c in ordered]
+        assert all(len(t) <= max_t for t in toks)
+        # chunk c is exactly the window [c*stride, c*stride + max_t),
+        # and the windows tile the full token stream
+        rebuilt = []
+        for i, t in enumerate(toks):
+            start = i * stride
+            assert originals[doc_id][start : start + max_t] == t
+            rebuilt[start : start + len(t)] = t
+        assert rebuilt == originals[doc_id]
