@@ -32,6 +32,7 @@ from ocr_translation_spark.functions.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
     simhash64,
+    simhash_near_dup_pairs,
 )
 from ocr_translation_spark.functions.similarity import (
     brute_force_topk,
@@ -531,6 +532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_sketch"] = lambda spark, sf: _read(spark, sf, "documents").select(
         "doc_id", simhash64(F.col("text")).alias("simhash")
+    )
+
+    q["simhash_near_dup"] = lambda spark, sf: simhash_near_dup_pairs(
+        _read(spark, sf, "documents"), max_hamming=3, n_bands=4
     )
 
     q["shingle_fingerprint"] = lambda spark, sf: add_fingerprint(
@@ -1202,8 +1207,7 @@ FROM f LEFT JOIN s USING (event_type)
     # simhash: token hash = 16-hex-char sha256 prefix; bit i lives in
     # hex char 16 - i//4 at in-digit position i%4 (matches the Spark
     # hi/lo conv() parse); final int64 assembled with bit63 as the sign
-    o["simhash_sketch"] = f"""
-WITH toks AS (
+    _SIMHASH_CTES = f"""toks AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
 ), votes AS (
   SELECT doc_id,
@@ -1212,11 +1216,37 @@ WITH toks AS (
         CASE WHEN ((strpos('0123456789abcdef', substr(sha256(tok), 16 - i // 4, 1)) - 1) >> (i % 4)) & 1 = 1
              THEN 1 ELSE -1 END))) AS v
   FROM toks
+), sk AS (
+  SELECT doc_id,
+    (list_sum(list_transform(range(0, 63), i -> CASE WHEN v[i+1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END))::BIGINT
+     + CASE WHEN v[64] > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)::BIGINT AS simhash
+  FROM votes
+)"""
+
+    o["simhash_sketch"] = f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_id, simhash FROM sk
+"""
+
+    # banded Hamming search: 4 x 16-bit band slices (arithmetic shift +
+    # mask — identical for negative sketches in both engines); the
+    # oracle is the STRAIGHTFORWARD all-docs banded join, independent
+    # of the implementation's exact-dup collapse + fan-out structure
+    o["simhash_near_dup"] = f"""
+WITH {_SIMHASH_CTES},
+banded AS (
+  SELECT doc_id, simhash, t.band AS band,
+         (simhash >> (16 * t.band)) & 65535 AS band_val
+  FROM sk, range(0, 4) t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS ska,
+         b.doc_id AS id_b, b.simhash AS skb
+  FROM banded a JOIN banded b USING (band, band_val)
+  WHERE a.doc_id < b.doc_id
 )
-SELECT doc_id,
-  (list_sum(list_transform(range(0, 63), i -> CASE WHEN v[i+1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END))::BIGINT
-   + CASE WHEN v[64] > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)::BIGINT AS simhash
-FROM votes
+SELECT id_a, id_b, bit_count(xor(ska, skb))::INTEGER AS hamming
+FROM cand WHERE bit_count(xor(ska, skb)) <= 3
 """
 
     o["shingle_fingerprint"] = f"""

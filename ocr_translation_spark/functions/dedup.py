@@ -378,3 +378,132 @@ def simhash64(text: Column) -> Column:
 
 def simhash_hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) whose 64-bit SimHash Hamming distance is
+    <= ``max_hamming``, via banded equi-join.
+
+    Pigeonhole guarantee: with ``n_bands > max_hamming``, a qualifying
+    pair differs in at most ``max_hamming`` bits, which can dirty at
+    most that many bands — so at least one band matches exactly and
+    candidate recall is EXACTLY 1 (unlike MinHash banding's
+    probabilistic recall). Bands are ``64 / n_bands``-bit slices
+    extracted with an arithmetic shift + mask (identical semantics for
+    negative sketches in Spark and the DuckDB oracle).
+
+    Hot-bucket guard, same shape as ``minhash_near_dup_pairs``: docs
+    with IDENTICAL sketches collapse to one representative before
+    banding (a B-copy class — or B distinct docs that happen to sketch
+    equal, which ARE near-dups at distance 0 — probes buckets once),
+    and pairs fan back out afterwards; within-group distance is 0 by
+    construction. ``max_bucket_size`` caps genuine band collisions
+    with a logged drop count.
+    """
+    assert n_bands > max_hamming, "pigeonhole recall needs n_bands > k"
+    assert 64 % n_bands == 0
+    w = 64 // n_bands
+    mask = (1 << w) - 1
+
+    from ._lsh_common import cap_buckets, pin_exclusive
+
+    sk = df.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("sk")
+    )
+    grp = sk.groupBy("sk").agg(
+        F.min("_id").alias("_rep"), F.count("*").alias("_n")
+    )
+    expand = pin_exclusive(
+        sk.join(grp, "sk").select("_rep", "_id", "_n"),
+        "simhash_near_dup_pairs:members",
+    )
+    reps = pin_exclusive(
+        grp.select(F.col("_rep").alias("_id"), "sk"),
+        "simhash_near_dup_pairs",
+    )
+
+    banded = reps.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sk", b * w).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    if max_bucket_size is not None:
+        banded, _ = cap_buckets(
+            banded, ("band", "band_val"), max_bucket_size,
+            "simhash_near_dup_pairs",
+        )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_val"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    rep_pairs = (
+        cand.join(
+            reps.select(F.col("_id").alias("id_a"), F.col("sk").alias("ska")),
+            "id_a",
+        )
+        .join(
+            reps.select(F.col("_id").alias("id_b"), F.col("sk").alias("skb")),
+            "id_b",
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("ska").bitwiseXOR(F.col("skb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+    dup_expand = expand.filter(F.col("_n") > 1).select("_rep", "_id")
+    cross = (
+        rep_pairs.join(
+            dup_expand.select(
+                F.col("_rep").alias("id_a"), F.col("_id").alias("_ma")
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            dup_expand.select(
+                F.col("_rep").alias("id_b"), F.col("_id").alias("_mb")
+            ),
+            "id_b",
+            "left",
+        )
+        .select(
+            F.least(
+                F.coalesce("_ma", F.col("id_a")),
+                F.coalesce("_mb", F.col("id_b")),
+            ).alias("id_a"),
+            F.greatest(
+                F.coalesce("_ma", F.col("id_a")),
+                F.coalesce("_mb", F.col("id_b")),
+            ).alias("id_b"),
+            "hamming",
+        )
+    )
+    within = (
+        dup_expand.alias("x")
+        .join(dup_expand.alias("y"), "_rep")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)

@@ -337,3 +337,64 @@ def test_ivf_sampled_quantizer_recall(spark):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.6, f"sampled-quantizer IVF recall {recall:.3f}"
+
+
+@needs_testdata
+def test_simhash_banded_recall_exactly_one(spark):
+    """Pigeonhole: with 4 bands and max_hamming=3, at most 3 bands can
+    differ, so >= 1 band matches exactly and the banded join finds
+    EVERY qualifying pair — recall is exactly 1, asserted as set
+    equality against the brute-force all-pairs Hamming join."""
+    from ocr_translation_spark.functions.dedup import (
+        simhash64,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    sk = docs.select(
+        F.col("doc_id").alias("_id"), simhash64(F.col("text")).alias("sk")
+    )
+    a = sk.select(F.col("_id").alias("id_a"), F.col("sk").alias("ska"))
+    b = sk.select(F.col("_id").alias("id_b"), F.col("sk").alias("skb"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["h"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "h", F.bit_count(F.col("ska").bitwiseXOR(F.col("skb")))
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert len(brute) > 3
+
+    pairs_df = simhash_near_dup_pairs(docs, max_hamming=3, n_bands=4)
+    _no_cross_join(pairs_df)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"] for r in pairs_df.collect()
+    }
+    assert got == brute  # exact recall AND exact distances
+
+
+def test_simhash_identical_docs_collapse(spark):
+    """500 identical docs + 2 similar distinct ones: a bucket cap of 2
+    still returns all within-group pairs at distance 0 (sketch-equal
+    docs collapse before banding)."""
+    from ocr_translation_spark.functions.dedup import simhash_near_dup_pairs
+
+    text = "the fast spark engine scans the big wide table today"
+    rows = [(i, text) for i in range(500)]
+    rows += [
+        (900, "alpha bravo charlie delta echo foxtrot golf hotel"),
+        (901, "alpha bravo charlie delta echo foxtrot golf hostel"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            docs, max_hamming=16, n_bands=32, max_bucket_size=2
+        ).collect()
+    }
+    within = {k: h for k, h in got.items() if k[0] < 500 and k[1] < 500}
+    assert len(within) == 500 * 499 // 2
+    assert all(h == 0 for h in within.values())
