@@ -180,3 +180,42 @@ def test_chunk_documents_reconstruction(spark):
             assert originals[doc_id][start : start + max_t] == t
             rebuilt[start : start + len(t)] = t
         assert rebuilt == originals[doc_id]
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk-count arithmetic at the window boundaries, plus blank and
+    multi-whitespace inputs, in one Spark pass (max=8, overlap=2,
+    stride=6)."""
+    from ocr_translation_spark.functions.text import chunk_documents
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    cases = {
+        0: "",            # blank -> one empty chunk
+        1: words(1),
+        8: words(8),      # == max -> 1 chunk
+        9: words(9),      # max+1 -> 2 chunks
+        14: words(14),    # max+stride -> 2 chunks (second full)
+        15: words(15),    # max+stride+1 -> 3 chunks
+        100: "  a   b  ", # whitespace runs + padding -> 2 tokens
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in cases.items()], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, max_tokens=8, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    expect_chunks = {0: 1, 1: 1, 8: 1, 9: 2, 14: 2, 15: 3, 100: 1}
+    for doc_id, n in expect_chunks.items():
+        assert len(by_doc[doc_id]) == n, (doc_id, by_doc[doc_id])
+    assert by_doc[0][0]["chunk_text"] == ""
+    assert by_doc[0][0]["n_chunk_tokens"] == 0
+    assert by_doc[100][0]["chunk_text"] == "a b"
+    assert by_doc[100][0]["n_chunk_tokens"] == 2
+    # n=15: chunks cover [0:8], [6:14], [12:15]
+    c = sorted(by_doc[15], key=lambda r: r["chunk_id"])
+    assert [r["n_chunk_tokens"] for r in c] == [8, 8, 3]
+    assert c[2]["chunk_text"] == "w12 w13 w14"
