@@ -920,6 +920,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["document_chunks"] = _chunks
 
+    def _packing(spark, sf):
+        """Deterministic sequence packing (concat-then-chunk layout):
+        hash-bucketed docs, per-bucket running token offsets, pack =
+        floor(start/budget). Exact integer arithmetic end to end."""
+        from ocr_translation_spark.functions.packing import pack_documents
+
+        return pack_documents(
+            _read(spark, sf, "documents"), budget_tokens=256,
+            bucket_hex_digits=1,
+        )
+
+    q["document_packing"] = _packing
+
     def _purchases_in_session(spark, sf):
         """Interval (range) join: each purchase attributed to the
         same-user session interval containing it — via the binned
@@ -1524,6 +1537,25 @@ SELECT doc_id, chunk_id::INTEGER AS chunk_id,
        len(ctoks)::INTEGER AS n_chunk_tokens,
        array_to_string(ctoks, ' ') AS chunk_text
 FROM sliced
+"""
+
+    # packing twin: same hash bucket/order, same integer cumsum
+    o["document_packing"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         substr(sha256(doc_id::VARCHAR), 1, 16) AS k,
+         (strpos('0123456789abcdef', substr(sha256(doc_id::VARCHAR), 1, 1)) - 1)::INTEGER AS bucket,
+         (CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END)::INTEGER AS n_tokens
+  FROM documents
+)
+SELECT doc_id, bucket, n_tokens,
+       (sum(n_tokens) OVER (
+          PARTITION BY bucket ORDER BY k, doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start_offset,
+       floor((sum(n_tokens) OVER (
+          PARTITION BY bucket ORDER BY k, doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens) / 256)::INTEGER AS pack_id
+FROM base
 """
 
     o["purchases_in_session"] = """

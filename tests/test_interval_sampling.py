@@ -219,3 +219,33 @@ def test_chunk_documents_boundaries(spark):
     c = sorted(by_doc[15], key=lambda r: r["chunk_id"])
     assert [r["n_chunk_tokens"] for r in c] == [8, 8, 3]
     assert c[2]["chunk_text"] == "w12 w13 w14"
+
+
+def test_pack_documents_layout_properties(spark):
+    """Packing invariants: offsets within a bucket are a gapless
+    tiling of the token stream in hash order; pack_id is the start
+    offset's budget bin; the layout is deterministic."""
+    from ocr_translation_spark.functions.packing import pack_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 128
+    rows = pack_documents(docs, budget_tokens=budget).collect()
+    assert len(rows) == docs.count()
+
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(by_bucket) == 16  # one hex digit of buckets
+    for bucket, rs in by_bucket.items():
+        rs = sorted(rs, key=lambda r: r["start_offset"])
+        expect = 0
+        for r in rs:
+            assert r["start_offset"] == expect  # gapless tiling
+            assert r["pack_id"] == r["start_offset"] // budget
+            expect += r["n_tokens"]
+        # every pack holds at least one doc start and packs are dense
+        packs = sorted({r["pack_id"] for r in rs})
+        assert packs == list(range(packs[-1] + 1))
+
+    again = pack_documents(docs, budget_tokens=budget).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
