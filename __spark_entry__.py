@@ -920,6 +920,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["document_chunks"] = _chunks
 
+    def _top_trigrams(spark, sf):
+        """Corpus n-gram frequency (contamination/boilerplate audits):
+        explode distinct-per-doc 3-gram shingles, count docs per gram,
+        top 20 (ties by gram). One explode + one shuffle."""
+        from ocr_translation_spark.functions.dedup import shingles
+
+        return (
+            _read(spark, sf, "documents")
+            .select(F.explode(shingles(F.col("text"), 3)).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy(F.col("n_docs").desc(), F.col("gram"))
+            .limit(20)
+        )
+
+    q["top_trigrams"] = _top_trigrams
+
+    def _hourly_gapfill(spark, sf):
+        """Dense hour spine per event type: hours with no events appear
+        with zero counts (sequence-generated spine LEFT JOIN actuals —
+        the densification every dashboard/feature pipeline needs)."""
+        ev = _read(spark, sf, "events")
+        hour = F.date_trunc("hour", F.col("ts"))
+        actual = ev.groupBy(
+            F.col("event_type"), hour.alias("h")
+        ).agg(F.count("*").alias("n_events"))
+        bounds = ev.groupBy("event_type").agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        spine = bounds.select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+        return (
+            spine.join(actual, ["event_type", "h"], "left")
+            .select(
+                "event_type",
+                F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            )
+        )
+
+    q["events_hourly_gapfill"] = _hourly_gapfill
+
     def _packing(spark, sf):
         """Deterministic sequence packing (concat-then-chunk layout):
         hash-bucketed docs, per-bucket running token offsets, pack =
@@ -1537,6 +1584,35 @@ SELECT doc_id, chunk_id::INTEGER AS chunk_id,
        len(ctoks)::INTEGER AS n_chunk_tokens,
        array_to_string(ctoks, ' ') AS chunk_text
 FROM sliced
+"""
+
+    o["top_trigrams"] = f"""
+WITH {_SH_CTES}
+SELECT g.gram AS gram, count(*)::BIGINT AS n_docs
+FROM (SELECT unnest(g) AS gram FROM sh) g
+GROUP BY g.gram
+ORDER BY n_docs DESC, gram
+LIMIT 20
+"""
+
+    o["events_hourly_gapfill"] = """
+WITH bounds AS (
+  SELECT event_type,
+         date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY event_type
+), spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+), actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type,
+       strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       coalesce(a.n, 0)::BIGINT AS n_events
+FROM spine s LEFT JOIN actual a
+  ON s.event_type = a.event_type AND s.h = a.h
 """
 
     # packing twin: same hash bucket/order, same integer cumsum
