@@ -23,13 +23,16 @@ bucket keys. This module holds the two cross-cutting guards:
 from __future__ import annotations
 
 import logging
+import threading
 
 from pyspark.sql import DataFrame, functions as F
 
 _LOG = logging.getLogger("ocr_translation_spark.lsh")
 
-# one pinned subtree per call-site key
+# one pinned subtree per call-site key; the lock serializes swap
+# decisions so concurrent callers can't race the dict or double-pin
 _PINNED: dict[str, DataFrame] = {}
+_PIN_LOCK = threading.Lock()
 
 
 def pin_exclusive(df: DataFrame, site: str) -> DataFrame:
@@ -40,29 +43,37 @@ def pin_exclusive(df: DataFrame, site: str) -> DataFrame:
     CacheManager substitutes cached fragments into any matching plan),
     so repeat invocations of the same query stay warm. A call with a
     different input/parameters swaps the pin: exactly one cached
-    subtree per site, no session-lifetime growth."""
+    subtree per site, no session-lifetime growth.
+
+    Caveat (by design): a DIFFERENT-plan call at the same site
+    unpersists the previous call's subtree even if that result hasn't
+    been consumed yet — results stay correct (Spark recomputes), only
+    the cache benefit is lost. Materialize a call's output before
+    issuing another call at the same site when the speedup matters.
+    """
     from pyspark import StorageLevel
 
-    old = _PINNED.get(site)
-    if old is not None:
-        try:
-            same = (
-                old._jdf.queryExecution()
-                .analyzed()
-                .sameResult(df._jdf.queryExecution().analyzed())
-            )
-        except Exception:
-            same = False
-        if same:
-            return df  # execution picks up the pinned cache by plan match
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-        _PINNED.pop(site, None)
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PINNED[site] = df
-    return df
+    with _PIN_LOCK:
+        old = _PINNED.get(site)
+        if old is not None:
+            try:
+                same = (
+                    old._jdf.queryExecution()
+                    .analyzed()
+                    .sameResult(df._jdf.queryExecution().analyzed())
+                )
+            except Exception:
+                same = False
+            if same:
+                return df  # execution picks up the pinned cache by plan match
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+            _PINNED.pop(site, None)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PINNED[site] = df
+        return df
 
 
 def cap_buckets(

@@ -225,15 +225,21 @@ class ResumableRun:
                 stats, new_cache, wall_ms = self._work_bucket(
                     bucketed, media, b, extract_kwargs
                 )
-                self._commit_bucket(b, stats, wall_ms)
-                if self.cache_catalog is not None and media is not None:
-                    # store-always (OCRQueue.js:85): grow the persisted
-                    # cache; later buckets hit instead of re-OCRing.
-                    self.cache_catalog.merge_cache(new_cache, "ocr_cache", "h")
-                    extract_kwargs["ocr_cache"] = self.cache_catalog.load_cache(
-                        "ocr_cache", "h"
-                    )
-                new_cache.unpersist()
+                try:
+                    self._commit_bucket(b, stats, wall_ms)
+                    if self.cache_catalog is not None and media is not None:
+                        # store-always (OCRQueue.js:85): grow the persisted
+                        # cache; later buckets hit instead of re-OCRing.
+                        self.cache_catalog.merge_cache(
+                            new_cache, "ocr_cache", "h"
+                        )
+                        extract_kwargs["ocr_cache"] = (
+                            self.cache_catalog.load_cache("ocr_cache", "h")
+                        )
+                finally:
+                    # a failed commit must not leak the bucket's persisted
+                    # OCR-cache blocks for the session lifetime
+                    new_cache.unpersist()
                 processed.append(b)
             return processed
 
@@ -254,18 +260,38 @@ class ResumableRun:
             stats, new_cache, wall_ms = self._work_bucket(
                 bucketed, media, b, kwargs
             )
-            with commit_lock:
-                self._commit_bucket(b, stats, wall_ms)
-                if self.cache_catalog is not None and media is not None:
-                    self.cache_catalog.merge_cache(new_cache, "ocr_cache", "h")
-                    shared["ocr_cache"] = self.cache_catalog.load_cache(
-                        "ocr_cache", "h"
-                    )
-            new_cache.unpersist()
+            try:
+                with commit_lock:
+                    self._commit_bucket(b, stats, wall_ms)
+                    if self.cache_catalog is not None and media is not None:
+                        self.cache_catalog.merge_cache(
+                            new_cache, "ocr_cache", "h"
+                        )
+                        shared["ocr_cache"] = self.cache_catalog.load_cache(
+                            "ocr_cache", "h"
+                        )
+            finally:
+                new_cache.unpersist()
             return b
 
-        with ThreadPoolExecutor(max_workers=max_concurrency) as ex:
-            processed = list(ex.map(_one, pending))
+        # Auto-compaction renames + deletes the live cache dir; threads
+        # outside the commit lock hold lazy DataFrames over those files
+        # mid-extract and would crash with FileNotFoundException. Defer
+        # compaction to the quiesced point after the pool drains.
+        if self.cache_catalog is not None:
+            self.cache_catalog.auto_compact = False
+        try:
+            with ThreadPoolExecutor(max_workers=max_concurrency) as ex:
+                processed = list(ex.map(_one, pending))
+        finally:
+            if self.cache_catalog is not None:
+                self.cache_catalog.auto_compact = True
+        if self.cache_catalog is not None and media is not None:
+            from ..sources.catalog import Catalog as _Cat
+
+            path = os.path.join(self.cache_catalog.root, "ocr_cache")
+            if len(_Cat._batch_ids(path)) >= _Cat.COMPACT_AFTER:
+                self.cache_catalog.compact_cache("ocr_cache", "h")
         return processed
 
     def read_output(self) -> DataFrame:

@@ -37,6 +37,13 @@ class Catalog:
         self.spark = spark
         self.root = root
         self.use_iceberg = False  # no connector in this environment
+        # Auto-compaction rewrites (rename + rmtree) the live cache dir;
+        # a concurrent reader holding a lazy DataFrame over the old
+        # files would hit FileNotFoundException mid-job. Drivers that
+        # overlap readers with merges (ResumableRun max_concurrency>1)
+        # turn this off for the duration and compact once at a quiesced
+        # point (run end) instead.
+        self.auto_compact = True
 
     def _path(self, name: str) -> str:
         p = os.path.join(self.root, f"{name}.parquet")
@@ -213,7 +220,9 @@ class Catalog:
                         fp = os.path.join(path, f)
                         if os.path.isfile(fp):
                             os.remove(fp)
-                batches = [0]
+                # the new entries ARE batch=0 now — appending them again
+                # as batch=1 would persist the DataFrame twice
+                return
             else:
                 import shutil as _sh
 
@@ -229,7 +238,7 @@ class Catalog:
             os.path.join(path, f"batch={seq}")
         )
         limit = self.COMPACT_AFTER if compact_after is None else compact_after
-        if len(batches) + 1 >= limit:
+        if self.auto_compact and len(batches) + 1 >= limit:
             self.compact_cache(name, key)
 
     def load_cache(self, name: str, key: str) -> DataFrame | None:
