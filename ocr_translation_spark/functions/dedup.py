@@ -167,35 +167,59 @@ def minhash_near_dup_pairs(
     ``max_bucket_size`` additionally drops (with a logged count, never
     silently) buckets that still exceed the cap — i.e. genuine minhash
     collisions between distinct texts.
+
+    Repeat calls with the same corpus plan and parameters return the
+    prepared (already-built, cache-backed) DataFrame — see
+    ``_lsh_common.prepared``.
     """
+    from ._lsh_common import prepared
+
+    return prepared(
+        "minhash_near_dup_pairs",
+        df,
+        (id_col, text_col, n_hashes, bands, jaccard_threshold, shingle_k,
+         max_bucket_size),
+        lambda: _build_minhash_near_dup_pairs(
+            df, id_col, text_col, n_hashes, bands, jaccard_threshold,
+            shingle_k, max_bucket_size,
+        ),
+    )
+
+
+def _build_minhash_near_dup_pairs(
+    df, id_col, text_col, n_hashes, bands, jaccard_threshold, shingle_k,
+    max_bucket_size,
+):
     if bands is None:
         bands, rpb = derive_banding(n_hashes, jaccard_threshold)
     else:
         assert n_hashes % bands == 0
         rpb = n_hashes // bands
 
-    from ._lsh_common import cap_buckets, pin_exclusive
+    from ._lsh_common import (
+        cap_buckets,
+        collapse_exact,
+        fan_out_pairs,
+        pin_exclusive,
+        within_group_pairs,
+    )
 
-    # (rep, member) expansion map: one representative (min id) per
-    # exact-duplicate fingerprint group, with every member id attached.
-    # Texts do NOT ride the collapse shuffle — only the representative
-    # subset's texts are fetched (by id join) for shingling. Pinned:
-    # the sha256-per-doc fingerprint + collapse runs once per call and
-    # serves all fan-out consumers below.
+    # Fused collapse scan: ONE pass over the corpus computes both the
+    # exact-dup fingerprint and carries the text; the groupBy's min_by
+    # keeps exactly the representative's text (partial aggregation
+    # keeps at most one text per fingerprint per map task, so the
+    # collapse shuffle carries ~one text per distinct fingerprint —
+    # there is no second corpus scan or by-id text re-join). When the
+    # corpus has no exact duplicates, collapse_exact returns
+    # dup_expand=None and the whole fan-out suffix below is skipped —
+    # the plan is the unguarded banding shape.
     members = df.select(
         F.col(id_col).alias("_id"),
         content_hash(F.col(text_col)).alias("_fp"),
+        F.col(text_col).alias("_text"),
     )
-    grp = members.groupBy("_fp").agg(
-        F.min("_id").alias("_rep"), F.count("*").alias("_n")
-    )
-    expand = pin_exclusive(
-        members.join(grp, "_fp").select("_rep", "_id", "_n"),
-        "minhash_near_dup_pairs:members",
-    )
-    reps = expand.filter(F.col("_id") == F.col("_rep")).join(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
-        "_id",
+    reps, dup_expand = collapse_exact(
+        members, "minhash_near_dup_pairs", payload=("_text",)
     )
     base = reps.select(
         "_id",
@@ -247,56 +271,14 @@ def minhash_near_dup_pairs(
         .select("id_a", "id_b", "jaccard")
     )
 
-    # ---- fan results back out to all exact-duplicate group members ----
-    # LEFT joins against the dup-groups-only slice: a singleton rep
-    # (the overwhelmingly common case) passes through with no match
-    # (coalesce to itself), so fan-out cost scales with the duplicate
-    # groups, not the corpus — the full expansion map never rides a
-    # join.
-    dup_expand = expand.filter(F.col("_n") > 1).select("_rep", "_id")
-    cross = (
-        rep_pairs.join(
-            dup_expand.select(
-                F.col("_rep").alias("id_a"), F.col("_id").alias("_ma")
-            ),
-            "id_a",
-            "left",
-        )
-        .join(
-            dup_expand.select(
-                F.col("_rep").alias("id_b"), F.col("_id").alias("_mb")
-            ),
-            "id_b",
-            "left",
-        )
-        .select(
-            F.least(
-                F.coalesce("_ma", F.col("id_a")),
-                F.coalesce("_mb", F.col("id_b")),
-            ).alias("id_a"),
-            F.greatest(
-                F.coalesce("_ma", F.col("id_a")),
-                F.coalesce("_mb", F.col("id_b")),
-            ).alias("id_b"),
-            "jaccard",
-        )
-    )
-    # within-group pairs: identical shingle sets => Jaccard exactly 1.0;
-    # restricted to groups with >1 member so the common all-distinct
-    # corpus pays ~nothing here. NOTE the output of an all-pairs request
-    # over a B-member duplicate group is inherently B^2/2 rows; this
-    # self-join distributes across the cluster (AQE skew split), unlike
-    # a single LSH bucket task.
-    dup_members = dup_expand
-    within = (
-        dup_members.alias("x")
-        .join(dup_members.alias("y"), "_rep")
-        .filter(F.col("x._id") < F.col("y._id"))
-        .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
+    if dup_expand is None:
+        return rep_pairs  # no exact duplicates: reps ARE the corpus
+    # fan back out: cross-group pairs inherit the verified Jaccard
+    # (identical normalized text => identical shingle set); within-group
+    # pairs have Jaccard exactly 1.0 by construction.
+    cross = fan_out_pairs(rep_pairs, dup_expand, "jaccard")
+    within = within_group_pairs(dup_expand).select(
+        "id_a", "id_b", F.lit(1.0).alias("jaccard")
     )
     return cross.unionByName(within)
 
@@ -406,28 +388,45 @@ def simhash_near_dup_pairs(
     and pairs fan back out afterwards; within-group distance is 0 by
     construction. ``max_bucket_size`` caps genuine band collisions
     with a logged drop count.
+
+    Repeat calls with the same corpus plan and parameters return the
+    prepared DataFrame (``_lsh_common.prepared``).
     """
+    from ._lsh_common import prepared
+
+    return prepared(
+        "simhash_near_dup_pairs",
+        df,
+        (id_col, text_col, max_hamming, n_bands, max_bucket_size),
+        lambda: _build_simhash_near_dup_pairs(
+            df, id_col, text_col, max_hamming, n_bands, max_bucket_size
+        ),
+    )
+
+
+def _build_simhash_near_dup_pairs(
+    df, id_col, text_col, max_hamming, n_bands, max_bucket_size
+):
     assert n_bands > max_hamming, "pigeonhole recall needs n_bands > k"
     assert 64 % n_bands == 0
     w = 64 // n_bands
     mask = (1 << w) - 1
 
-    from ._lsh_common import cap_buckets, pin_exclusive
+    from ._lsh_common import (
+        cap_buckets,
+        collapse_exact,
+        fan_out_pairs,
+        within_group_pairs,
+    )
 
-    sk = df.select(
-        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("sk")
+    # the sketch IS the collapse fingerprint (sketch-equal docs are
+    # distance-0 near-dups); one corpus pass computes it, the pinned
+    # collapse aggregate serves every downstream consumer
+    members = df.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_fp")
     )
-    grp = sk.groupBy("sk").agg(
-        F.min("_id").alias("_rep"), F.count("*").alias("_n")
-    )
-    expand = pin_exclusive(
-        sk.join(grp, "sk").select("_rep", "_id", "_n"),
-        "simhash_near_dup_pairs:members",
-    )
-    reps = pin_exclusive(
-        grp.select(F.col("_rep").alias("_id"), "sk"),
-        "simhash_near_dup_pairs",
-    )
+    rep_rows, dup_expand = collapse_exact(members, "simhash_near_dup_pairs")
+    reps = rep_rows.select("_id", F.col("_fp").alias("sk"))
 
     banded = reps.select(
         "_id",
@@ -468,42 +467,10 @@ def simhash_near_dup_pairs(
         .select("id_a", "id_b", "hamming")
     )
 
-    dup_expand = expand.filter(F.col("_n") > 1).select("_rep", "_id")
-    cross = (
-        rep_pairs.join(
-            dup_expand.select(
-                F.col("_rep").alias("id_a"), F.col("_id").alias("_ma")
-            ),
-            "id_a",
-            "left",
-        )
-        .join(
-            dup_expand.select(
-                F.col("_rep").alias("id_b"), F.col("_id").alias("_mb")
-            ),
-            "id_b",
-            "left",
-        )
-        .select(
-            F.least(
-                F.coalesce("_ma", F.col("id_a")),
-                F.coalesce("_mb", F.col("id_b")),
-            ).alias("id_a"),
-            F.greatest(
-                F.coalesce("_ma", F.col("id_a")),
-                F.coalesce("_mb", F.col("id_b")),
-            ).alias("id_b"),
-            "hamming",
-        )
-    )
-    within = (
-        dup_expand.alias("x")
-        .join(dup_expand.alias("y"), "_rep")
-        .filter(F.col("x._id") < F.col("y._id"))
-        .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            F.lit(0).cast("integer").alias("hamming"),
-        )
+    if dup_expand is None:
+        return rep_pairs
+    cross = fan_out_pairs(rep_pairs, dup_expand, "hamming")
+    within = within_group_pairs(dup_expand).select(
+        "id_a", "id_b", F.lit(0).cast("integer").alias("hamming")
     )
     return cross.unionByName(within)

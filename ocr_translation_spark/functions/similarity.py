@@ -164,37 +164,54 @@ def srp_near_dup_pairs(
     representative similarity. Output rows are unchanged.
     ``max_bucket_size`` drops still-oversized buckets (true SRP
     collisions between distinct vectors) with a logged count.
-    """
-    from ._lsh_common import cap_buckets, pin_exclusive
 
-    # (rep, member) expansion map: one representative (min id) per
-    # exact-duplicate vector group. Pinned: the collapse groupBy runs
-    # once per call and serves all fan-out consumers; vectors do NOT
-    # ride the fan-out joins (ids only).
+    Repeat calls with the same corpus plan and parameters return the
+    prepared DataFrame (``_lsh_common.prepared``).
+    """
+    from ._lsh_common import prepared
+
+    return prepared(
+        "srp_near_dup_pairs",
+        df,
+        (dim, threshold, n_tables, planes_per_table, id_col, vec_col,
+         round_digits, max_bucket_size),
+        lambda: _build_srp_near_dup_pairs(
+            df, dim, threshold, n_tables, planes_per_table, id_col,
+            vec_col, round_digits, max_bucket_size,
+        ),
+    )
+
+
+def _build_srp_near_dup_pairs(
+    df, dim, threshold, n_tables, planes_per_table, id_col, vec_col,
+    round_digits, max_bucket_size,
+):
+    from ._lsh_common import (
+        cap_buckets,
+        collapse_exact,
+        fan_out_pairs,
+        pin_exclusive,
+        within_group_pairs,
+    )
+
+    # the vector IS the collapse fingerprint (groupBy on the array is
+    # collision-free; a production deployment over packed floats would
+    # key on a 256-bit content hash); one corpus pass feeds the pinned
+    # collapse aggregate, and when no exact-duplicate vectors exist the
+    # fan-out suffix is skipped entirely (dup_expand=None).
     members = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(vec_col).cast("array<double>").alias("_fp"),
     )
-    grp = members.groupBy("v").agg(
-        F.min("_id").alias("_rep"), F.count("*").alias("_n")
-    )
-    expand = pin_exclusive(
-        members.join(grp, "v").select("_rep", "_id", "_n"),
-        "srp_near_dup_pairs:members",
-    )
-    base = (
-        expand.filter(F.col("_id") == F.col("_rep"))
-        .select("_id")
-        .join(members, "_id")
-        .withColumn(
-            "buckets",
-            F.array(
-                *[
-                    srp_table_bucket(F.col("v"), dim, t, planes_per_table)
-                    for t in range(n_tables)
-                ]
-            ),
-        )
+    rep_rows, dup_expand = collapse_exact(members, "srp_near_dup_pairs")
+    base = rep_rows.select("_id", F.col("_fp").alias("v")).withColumn(
+        "buckets",
+        F.array(
+            *[
+                srp_table_bucket(F.col("v"), dim, t, planes_per_table)
+                for t in range(n_tables)
+            ]
+        ),
     )
     # the L*H plane dot products feed the band explode AND both verify
     # joins read the vectors — pin once per call (released on repeat)
@@ -237,51 +254,18 @@ def srp_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
     )
 
-    # ---- fan results back out to all exact-duplicate group members ----
-    # LEFT joins against the dup-groups-only slice: singleton reps
-    # (the common case) coalesce to themselves, so fan-out cost scales
-    # with the duplicate groups, not the corpus.
-    dup_expand = expand.filter(F.col("_n") > 1).select("_rep", "_id")
-    cross = (
-        rep_pairs.join(
-            dup_expand.select(
-                F.col("_rep").alias("id_a"), F.col("_id").alias("_ma")
-            ),
-            "id_a",
-            "left",
-        )
-        .join(
-            dup_expand.select(
-                F.col("_rep").alias("id_b"), F.col("_id").alias("_mb")
-            ),
-            "id_b",
-            "left",
-        )
-        .select(
-            F.least(
-                F.coalesce("_ma", F.col("id_a")),
-                F.coalesce("_mb", F.col("id_b")),
-            ).alias("id_a"),
-            F.greatest(
-                F.coalesce("_ma", F.col("id_a")),
-                F.coalesce("_mb", F.col("id_b")),
-            ).alias("id_b"),
-            "sim",
-        )
-    )
+    if dup_expand is None:
+        return rep_pairs
+    cross = fan_out_pairs(rep_pairs, dup_expand, "sim")
     # within-group pairs: sim computed on the (shared) group vector —
     # bit-for-bit what the uncollapsed join would produce (incl. the
-    # zero-vector edge, where cosine is NULL and the pair is dropped);
-    # only groups with >1 member enter the self-join
-    dup_members = dup_expand
+    # zero-vector edge, where cosine is NULL and the pair is dropped)
     within = (
-        dup_members.alias("x")
-        .join(dup_members.alias("y"), "_rep")
-        .filter(F.col("x._id") < F.col("y._id"))
+        within_group_pairs(dup_expand)
         .join(base.select(F.col("_id").alias("_rep"), "v"), "_rep")
         .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(cosine(F.col("v"), F.col("v")), round_digits).alias(
                 "sim"
             ),
