@@ -53,6 +53,16 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan for compute-heavy per-row queries: a tiny single-file table
+    yields ONE input split, serializing the per-row work on one task —
+    ``spread_small_input`` repartitions it to the session parallelism
+    (a guarded no-op at production scale; see functions/layout.py)."""
+    from ocr_translation_spark.functions.layout import spread_small_input
+
+    return spread_small_input(_read(spark, sf_dir, name))
+
+
 def _fixture_dir() -> str:
     """Deterministic 300-doc span/media fixture tables (pyarrow-written,
     no Spark needed) shared by the synthetic-e2e queries AND their
@@ -295,14 +305,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("doc_id", "n_tokens")
 
     q["quality_scores"] = lambda spark, sf: add_quality(
-        _read(spark, sf, "documents")
+        _read_spread(spark, sf, "documents")
     ).select(
         "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
         "mean_tok_len", "quality_keep",
     )
 
     q["lang_id"] = lambda spark, sf: add_lang_id(
-        _read(spark, sf, "documents")
+        _read_spread(spark, sf, "documents")
     ).select("doc_id", "lang_guess")
 
     q["fingerprint_sha"] = lambda spark, sf: add_fingerprint(
@@ -530,7 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(spark, sf, "documents"), jaccard_threshold=0.5
     )
 
-    q["simhash_sketch"] = lambda spark, sf: _read(spark, sf, "documents").select(
+    q["simhash_sketch"] = lambda spark, sf: _read_spread(spark, sf, "documents").select(
         "doc_id", simhash64(F.col("text")).alias("simhash")
     )
 
@@ -539,7 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     q["shingle_fingerprint"] = lambda spark, sf: add_fingerprint(
-        _read(spark, sf, "documents")
+        _read_spread(spark, sf, "documents")
     ).select("doc_id", "fp_min_shingle")
 
     def _lsh_ann(spark, sf):

@@ -204,6 +204,9 @@ def _build_minhash_near_dup_pairs(
         within_group_pairs,
     )
 
+    # (no spread_small_input here: the members scan only computes the
+    # cheap sha256 fingerprint; shingling + signatures run on reps,
+    # i.e. AFTER the collapse shuffle, already at full parallelism)
     # Fused collapse scan: ONE pass over the corpus computes both the
     # exact-dup fingerprint and carries the text; the groupBy's min_by
     # keeps exactly the representative's text (partial aggregation
@@ -292,46 +295,32 @@ def ngram_jaccard(
     )
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash of the token multiset, fully columnar.
+def _simhash_masks() -> Column:
+    return F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(2**63)).cast("long")
+            for i in range(64)
+        ]
+    )
 
-    For each bit position, tokens vote +1/-1 by bit i of their 64-bit
-    token hash; the output bit is 1 when the vote sum is positive.
 
-    Token hash = the 16-hex-char prefix of sha256(token), carried as
-    two 32-bit halves (hi = hex chars 1-8, lo = chars 9-16, parsed with
-    ``conv``) — sha256 so DuckDB reproduces the exact same sketch and
-    the query gets a value oracle; two halves because an unsigned
-    64-bit value doesn't fit a signed long through ``conv``.
-
-    Single-pass shape: one aggregate with an array<long>[64] vote
-    accumulator (64 separate aggregates would each recompute the
-    token-hash array — Catalyst does not CSE across them); sha256 runs
-    once per token in the `hashes` transform, and the per-bit lambda
-    only references the bound struct element (cheap attribute access,
-    not a re-evaluated subtree).
-    """
-    toks = F.split(normalized_text(text), " ")
-    # two-stage transform: sha256 materializes ONCE per token in the
-    # inner array; the outer lambda assembles the signed 64-bit value
-    # from the two 32-bit halves (shiftleft(hi,32)|lo — conv can't
-    # parse an unsigned 64-bit hex into a signed long directly). The
-    # per-bit vote stays a single lambda over the masks array (a
-    # compact runtime loop); unrolling it into 64 expressions blows up
-    # the codegen and measures ~2x slower.
-    hexes = F.transform(toks, lambda t: F.substring(F.sha2(t, 256), 1, 16))
+def _simhash64_wide(toks: Column, hexes: Column) -> Column:
+    """The ±1 vote fold (array<long>[64] accumulator): one vote
+    expression per bit per token. Measured FASTER than every lookup
+    variant tried (16-lane packed nibble LUT via string map, via
+    ascii-indexed array, via arithmetic element_at, fused-case and
+    unsigned-shift-count folds: 1.9-4.6 s vs 1.7 s on the sf0.1 corpus
+    single-task) — interpreted HOF evaluation prices element_at/substr
+    allocations higher than long mask tests, so the simple fold wins.
+    The real simhash_sketch lever is input-split parallelism
+    (``layout.spread_small_input``), not the fold constant."""
     hashes = F.transform(
         hexes,
         lambda h: F.shiftleft(
             F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), 32
         ).bitwiseOR(F.conv(F.substring(h, 9, 8), 16, 10).cast("long")),
     )
-    masks = F.array(
-        *[
-            F.lit((1 << i) if i < 63 else -(2**63)).cast("long")
-            for i in range(64)
-        ]
-    )
+    masks = _simhash_masks()
     zeros = F.array_repeat(F.lit(0).cast("long"), 64)
     votes = F.aggregate(
         hashes,
@@ -356,6 +345,31 @@ def simhash64(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of the token multiset, fully columnar.
+
+    For each bit position, tokens vote +1/-1 by bit i of their 64-bit
+    token hash; the output bit is 1 when the vote sum is positive.
+
+    Token hash = the 16-hex-char prefix of sha256(token), carried as
+    two 32-bit halves (hi = hex chars 1-8, lo = chars 9-16, parsed with
+    ``conv``) — sha256 so DuckDB reproduces the exact same sketch and
+    the query gets a value oracle; two halves because an unsigned
+    64-bit value doesn't fit a signed long through ``conv``.
+
+    Single-pass shape: one aggregate with an array<long>[64] vote
+    accumulator (64 separate aggregates would each recompute the
+    token-hash array — Catalyst does not CSE across them); sha256 runs
+    once per token in the inner transform, and every lambda references
+    only its bound element (cheap attribute access, not a re-evaluated
+    subtree). See ``_simhash64_wide`` for why the simple mask-test fold
+    beats lookup-table folds under interpreted HOF evaluation.
+    """
+    toks = F.split(normalized_text(text), " ")
+    hexes = F.transform(toks, lambda t: F.substring(F.sha2(t, 256), 1, 16))
+    return _simhash64_wide(toks, hexes)
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:
@@ -419,6 +433,9 @@ def _build_simhash_near_dup_pairs(
         within_group_pairs,
     )
 
+    from .layout import spread_small_input
+
+    df = spread_small_input(df)  # the 64-vote fold must not run on 1 task
     # the sketch IS the collapse fingerprint (sketch-equal docs are
     # distance-0 near-dups); one corpus pass computes it, the pinned
     # collapse aggregate serves every downstream consumer

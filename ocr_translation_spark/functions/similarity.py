@@ -194,6 +194,8 @@ def _build_srp_near_dup_pairs(
         within_group_pairs,
     )
 
+    # (no spread_small_input: the plane dot products run on reps AFTER
+    # the collapse shuffle, already at full parallelism)
     # the vector IS the collapse fingerprint (groupBy on the array is
     # collision-free; a production deployment over packed floats would
     # key on a 256-bit content hash); one corpus pass feeds the pinned
