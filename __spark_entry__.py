@@ -985,7 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_documents(
             _read(spark, sf, "documents"), budget_tokens=256,
-            bucket_hex_digits=1,
+            bucket_hex_digits=3,
         )
 
     q["document_packing"] = _packing
@@ -1625,12 +1625,15 @@ FROM spine s LEFT JOIN actual a
   ON s.event_type = a.event_type AND s.h = a.h
 """
 
-    # packing twin: same hash bucket/order, same integer cumsum
+    # packing twin: same hash bucket/order, same integer cumsum; the
+    # bucket is the leading 3 hex digits of sha256(id) (= 4096 buckets,
+    # pack_documents' default) parsed digit-by-digit
+    _hx = "strpos('0123456789abcdef', substr(sha256(doc_id::VARCHAR), {}, 1)) - 1"
     o["document_packing"] = f"""
 WITH base AS (
   SELECT doc_id,
          substr(sha256(doc_id::VARCHAR), 1, 16) AS k,
-         (strpos('0123456789abcdef', substr(sha256(doc_id::VARCHAR), 1, 1)) - 1)::INTEGER AS bucket,
+         (({_hx.format(1)}) * 256 + ({_hx.format(2)}) * 16 + ({_hx.format(3)}))::INTEGER AS bucket,
          (CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END)::INTEGER AS n_tokens
   FROM documents
 )

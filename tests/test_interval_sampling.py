@@ -229,7 +229,12 @@ def test_pack_documents_layout_properties(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     budget = 128
-    rows = pack_documents(docs, budget_tokens=budget).collect()
+    # 1 hex digit keeps every bucket multi-doc at this corpus size so
+    # the tiling property is meaningfully exercised (the 3-digit
+    # production default is covered by the bounded-share test below)
+    rows = pack_documents(
+        docs, budget_tokens=budget, bucket_hex_digits=1
+    ).collect()
     assert len(rows) == docs.count()
 
     by_bucket = {}
@@ -247,5 +252,41 @@ def test_pack_documents_layout_properties(spark):
         packs = sorted({r["pack_id"] for r in rs})
         assert packs == list(range(packs[-1] + 1))
 
-    again = pack_documents(docs, budget_tokens=budget).collect()
+    again = pack_documents(
+        docs, budget_tokens=budget, bucket_hex_digits=1
+    ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_pack_documents_bucket_share_bounded_at_scale(spark):
+    """The production default (3 hex digits = 4096 buckets) must keep
+    every bucket's row share bounded as the corpus grows: the per-task
+    window sort is corpus/16^digits, NOT corpus/16 (VERDICT r3 item 2).
+    Checked at a 10x scale-up of the sf0.001 corpus size with adversarially
+    sequential ids — hash bucketing must spread them uniformly."""
+    from pyspark.sql import functions as F
+
+    from ocr_translation_spark.functions.packing import pack_documents
+
+    n = 5000  # ~10x the sf0.001 corpus
+    docs = spark.range(n).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("token text number "), F.col("id")).alias("text"),
+    )
+    shares = (
+        pack_documents(docs)
+        .groupBy("bucket")
+        .count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.count("*").alias("n_buckets"),
+        )
+        .collect()[0]
+    )
+    # 5000 rows over 4096 buckets: expected max occupancy ~5-6; a
+    # 16-bucket layout would put ~312 rows in each. The bound below
+    # (0.5% of the corpus) fails loudly if the default ever regresses
+    # to a coarse bucketing, while being ~4x above the birthday-bound
+    # noise ceiling for this n.
+    assert shares["mx"] <= max(10, n * 0.005), shares
+    assert shares["n_buckets"] > 1000  # the id space actually spreads
