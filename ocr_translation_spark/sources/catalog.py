@@ -110,7 +110,10 @@ class Catalog:
     def overwrite(self, df: DataFrame, name: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(self.root, name))
 
-    def _write_swap(self, df: DataFrame, path: str) -> None:
+    def _write_swap(
+        self, df: DataFrame, path: str,
+        partition_by: tuple[str, ...] | None = None,
+    ) -> None:
         """Crash-safe table replace: fully write to a TEMP directory,
         then swap in with directory renames. The live table is never
         read-and-overwritten in place (Spark's ``cache()`` is not a
@@ -128,7 +131,10 @@ class Catalog:
             # A HARD crash (kill -9) between the two renames below
             # leaves no table at `path` with the old one stranded at
             # `old`; readers heal that window via ``_heal_swap``.
-            df.write.mode("overwrite").parquet(tmp)
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(tmp)
             if os.path.exists(path):
                 os.rename(path, old)
             os.rename(tmp, path)
@@ -190,6 +196,7 @@ class Catalog:
     def merge_cache(
         self, df: DataFrame, name: str, key: str,
         compact_after: int | None = None,
+        partition_by: tuple[str, ...] | None = None,
     ) -> None:
         """Idempotent cache upsert costing O(new entries) I/O: the new
         rows are APPENDED as the next ``batch=K`` dir; nothing existing
@@ -199,13 +206,26 @@ class Catalog:
         of failing the run — a cache is rebuildable by definition, and
         aborting the job to protect corrupt advisory data inverts the
         priorities (reference parity: cache errors degrade to
-        recompute, ``TranslationQueue.js:58-83``)."""
+        recompute, ``TranslationQueue.js:58-83``).
+
+        ``partition_by``: sub-partition each batch dir by these columns
+        (``batch=K/p=V/...``). A reader that filters on them
+        (``load_cache(where=...)``) then touches only the matching
+        partition dirs — the lookup-table layout for registries probed
+        by key prefix. Each column must be a pure function of ``key``
+        so existing-wins stays exact under a pruned read. The SAME
+        ``partition_by`` must be passed on every merge of the table."""
         path = os.path.join(self.root, name)
         self._heal_swap(path)
+
+        def _write(d: DataFrame, target: str) -> None:
+            w = d.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(target)
+
         if not os.path.exists(path):
-            df.write.mode("overwrite").parquet(
-                os.path.join(path, "batch=0")
-            )
+            _write(df, os.path.join(path, "batch=0"))
             return
         batches = self._batch_ids(path)
         if not batches:
@@ -213,7 +233,10 @@ class Catalog:
             # rows into batch=0 once, or replace outright if unreadable
             existing = self.load_or_none(name)
             if existing is None:
-                self._write_swap(df, os.path.join(path, "batch=0"))
+                self._write_swap(
+                    df, os.path.join(path, "batch=0"),
+                    partition_by=partition_by,
+                )
                 # _write_swap wrote under path; clear stray flat files
                 for f in os.listdir(path):
                     if not f.startswith("batch="):
@@ -234,23 +257,33 @@ class Catalog:
                         _sh.move(fp, os.path.join(b0, f))
                 batches = [0]
         seq = batches[-1] + 1
-        df.write.mode("overwrite").parquet(
-            os.path.join(path, f"batch={seq}")
-        )
+        _write(df, os.path.join(path, f"batch={seq}"))
         limit = self.COMPACT_AFTER if compact_after is None else compact_after
         if self.auto_compact and len(batches) + 1 >= limit:
-            self.compact_cache(name, key)
+            self.compact_cache(name, key, partition_by=partition_by)
 
-    def load_cache(self, name: str, key: str) -> DataFrame | None:
+    def load_cache(
+        self, name: str, key: str, where: "F.Column | None" = None
+    ) -> DataFrame | None:
         """Key-unique view of a cache table written by ``merge_cache``
         (None when missing/unreadable): on a key collision across
         batches the EARLIEST batch wins — a cached result never
-        changes. The ``batch`` partition column is dropped."""
+        changes. The ``batch`` partition column is dropped.
+
+        ``where``: pushed below the existing-wins window, so a filter
+        on the table's ``partition_by`` columns prunes partition dirs
+        at the SCAN — the read touches only the probed buckets, not the
+        whole history. Sound because partition columns are pure
+        functions of ``key`` (every batch's rows for a key live in the
+        same partition value), so the window still sees all of a
+        surviving key's candidates."""
         from pyspark.sql import Window
 
         df = self.load_or_none(name)
         if df is None:
             return None
+        if where is not None:
+            df = df.filter(where)
         if "batch" not in df.columns:
             return df  # legacy single-write table, already key-unique
         w = Window.partitionBy(key).orderBy("batch")
@@ -260,10 +293,15 @@ class Catalog:
             .drop("_rn", "batch")
         )
 
-    def compact_cache(self, name: str, key: str) -> None:
+    def compact_cache(
+        self, name: str, key: str,
+        partition_by: tuple[str, ...] | None = None,
+    ) -> None:
         """Fold all batches into one (crash-safe whole-dir swap): the
         periodic O(table) cost that keeps reads cheap while merges stay
-        O(new). No-op when the table is missing or unreadable."""
+        O(new). No-op when the table is missing or unreadable.
+        ``partition_by`` (same as the merges') keeps the pruned-read
+        layout through compaction."""
         path = os.path.join(self.root, name)
         resolved = self.load_cache(name, key)
         if resolved is None:
@@ -275,9 +313,9 @@ class Catalog:
 
         tmp_root = f"{path}.__compact_{_uuid.uuid4().hex[:8]}"
         try:
-            compacted.write.partitionBy("batch").mode("overwrite").parquet(
-                tmp_root
-            )
+            compacted.write.partitionBy(
+                "batch", *(partition_by or ())
+            ).mode("overwrite").parquet(tmp_root)
             old = f"{path}.__swap_old_{_uuid.uuid4().hex[:8]}"
             os.rename(path, old)
             os.rename(tmp_root, path)

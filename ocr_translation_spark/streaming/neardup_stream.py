@@ -13,11 +13,22 @@ without re-running all-pairs dedup per snapshot):
   keys into two registry tables via O(new) existing-wins appends
   (``Catalog.merge_cache``) — a fingerprint's signature and canonical
   id never change once recorded, so crash replays are idempotent;
+* BOTH registries are written partitioned by a 2-hex-digit (256-way)
+  key prefix (``p``), and every per-batch read is PRUNED to the
+  partitions the batch actually probes: the band join reads only the
+  batch's band-hash prefixes, the signature lookups read only the
+  batch's / the candidates' fingerprint prefixes. Per-batch registry
+  I/O therefore scales with the batch's bucket set, NOT the history
+  size (the r3 scale hazard: ``load_cache`` re-read the whole history
+  each micro-batch);
 * candidates = banded equi-join of the batch's buckets against the
   registry buckets (never an all-pairs comparison); similarity is the
   standard MinHash ESTIMATE (fraction of matching signature
   components — the stream cannot re-shingle documents it no longer
-  has, which is exactly why it stores signatures);
+  has, which is exactly why it stores signatures). An optional
+  ``max_registry_bucket`` cap drops oversized REGISTRY buckets from
+  candidate generation with a logged count (same contract as the
+  batch operators' ``max_bucket_size``);
 * survivorship is id-ordered like the batch operator's (id_a < id_b)
   pair convention: a doc is flagged against the best-estimate earlier
   (smaller canonical id) match at/above the threshold.
@@ -44,8 +55,15 @@ from ..functions.dedup import (
 from ..sources.catalog import Catalog
 from .dedup_stream import DOCS_SCHEMA
 
-SIG_REGISTRY = "neardup_sig_registry"  # fp -> (canonical_id, sig)
-BAND_REGISTRY = "neardup_band_registry"  # k -> (band, band_hash, fp)
+SIG_REGISTRY = "neardup_sig_registry"  # fp -> (canonical_id, sig), part by p
+BAND_REGISTRY = "neardup_band_registry"  # k -> (band, band_hash, fp), part by p
+
+
+def _prefix_part(c):
+    """256-way partition key: first 2 hex digits of a sha256-hex value.
+    A pure function of the registry key, so partition-dir pruning under
+    existing-wins reads is exact (see Catalog.load_cache)."""
+    return F.conv(F.substring(c, 1, 2), 16, 10).cast("int")
 
 
 def _sig_est(a, b, n_hashes: int):
@@ -73,6 +91,7 @@ def stream_near_dup(
     schema: str = DOCS_SCHEMA,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    max_registry_bucket: int | None = None,
 ):
     """Continuously flag near-duplicates against the whole history.
     Returns the StreamingQuery."""
@@ -89,6 +108,7 @@ def stream_near_dup(
             F.col(text_col).alias("_text"),
             content_hash(F.col(text_col)).alias("fp"),
         ).persist()
+        pinned = [b]  # every persisted df; released in the finally
         try:
             # one representative per exact-dup group in the batch
             reps = (
@@ -106,14 +126,17 @@ def stream_near_dup(
                 .drop("_text")
                 .persist()
             )
+            pinned.append(reps)
             # merge new fingerprints into both registries (existing
-            # wins: canonical id + signature immutable once recorded)
+            # wins: canonical id + signature immutable once recorded),
+            # partitioned by the 2-hex-digit key prefix for pruned reads
             cat.merge_cache(
                 reps.select(
                     "fp", F.col("_claim").alias("canonical_id"), "sig"
-                ),
+                ).withColumn("p", _prefix_part(F.col("fp"))),
                 SIG_REGISTRY,
                 "fp",
+                partition_by=("p",),
             )
             banded = reps.select(
                 "fp",
@@ -125,7 +148,8 @@ def stream_near_dup(
                         ]
                     )
                 ).alias("band", "band_hash"),
-            )
+            ).persist()
+            pinned.append(banded)
             cat.merge_cache(
                 banded.select(
                     F.concat_ws(
@@ -134,28 +158,67 @@ def stream_near_dup(
                     "band",
                     "band_hash",
                     "fp",
-                ),
+                ).withColumn("p", _prefix_part(F.col("band_hash"))),
                 BAND_REGISTRY,
                 "k",
+                partition_by=("p",),
             )
 
-            sig_reg = cat.load_cache(SIG_REGISTRY, "fp")
-            band_reg = cat.load_cache(BAND_REGISTRY, "k").select(
-                "band", "band_hash", F.col("fp").alias("fp_reg")
-            )
-            # candidates: batch buckets x registry buckets (equi-join)
+            # pruned loads: collect the batch's probed partition values
+            # (<= 256 ints, driver-side metadata) and push them below
+            # the existing-wins window so the scan touches only those
+            # partition dirs — per-batch registry I/O is O(probed
+            # buckets), not O(history)
+            fp_ps = [
+                r["p"]
+                for r in b.select(
+                    _prefix_part(F.col("fp")).alias("p")
+                ).distinct().collect()
+            ]
+            sig_mine = cat.load_cache(
+                SIG_REGISTRY, "fp", where=F.col("p").isin(fp_ps)
+            ).drop("p")
+            band_ps = [
+                r["p"]
+                for r in banded.select(
+                    _prefix_part(F.col("band_hash")).alias("p")
+                ).distinct().collect()
+            ]
+            band_reg = cat.load_cache(
+                BAND_REGISTRY, "k", where=F.col("p").isin(band_ps)
+            ).select("band", "band_hash", F.col("fp").alias("fp_reg"))
+            if max_registry_bucket is not None:
+                from ..functions._lsh_common import cap_buckets
+
+                band_reg, _ = cap_buckets(
+                    band_reg, ("band", "band_hash"), max_registry_bucket,
+                    "stream_near_dup:registry",
+                )
+            # candidates: batch buckets x registry buckets (equi-join);
+            # persisted so the candidate-prefix collect below does not
+            # recompute the join
             cand = (
                 banded.join(band_reg, ["band", "band_hash"])
                 .filter(F.col("fp") != F.col("fp_reg"))
                 .select("fp", "fp_reg")
                 .dropDuplicates(["fp", "fp_reg"])
-            )
-            mine = sig_reg.select(
+            ).persist()
+            pinned.append(cand)
+            reg_ps = [
+                r["p"]
+                for r in cand.select(
+                    _prefix_part(F.col("fp_reg")).alias("p")
+                ).distinct().collect()
+            ]
+            sig_theirs = cat.load_cache(
+                SIG_REGISTRY, "fp", where=F.col("p").isin(reg_ps)
+            ).drop("p")
+            mine = sig_mine.select(
                 "fp",
                 F.col("canonical_id").alias("_my_id"),
                 F.col("sig").alias("_my_sig"),
             )
-            theirs = sig_reg.select(
+            theirs = sig_theirs.select(
                 F.col("fp").alias("fp_reg"),
                 F.col("canonical_id").alias("_their_id"),
                 F.col("sig").alias("_their_sig"),
@@ -188,7 +251,7 @@ def stream_near_dup(
             out = (
                 b.select("doc_id", "fp")
                 .join(
-                    sig_reg.select("fp", "canonical_id"), "fp", "left"
+                    sig_mine.select("fp", "canonical_id"), "fp", "left"
                 )
                 .join(best, "fp", "left")
                 .select(
@@ -206,11 +269,11 @@ def stream_near_dup(
                 os.path.join(output_dir, f"batch={batch_id}")
             )
         finally:
-            b.unpersist()
-            try:
-                reps.unpersist()
-            except Exception:
-                pass
+            for d in pinned:
+                try:
+                    d.unpersist()
+                except Exception:
+                    pass
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -190,3 +190,71 @@ def test_stream_near_dup_flags_against_history(spark, tmp_path):
     found = set(flagged)
     recall = len(found & recall_pool) / max(1, len(recall_pool))
     assert recall >= 0.9, f"stream near-dup recall {recall:.3f}"
+
+
+def test_stream_near_dup_registry_reads_are_pruned(spark, tmp_path):
+    """VERDICT r3 item 3: per-batch registry I/O must scale with the
+    batch's probed bucket set, not the history size. The registries are
+    written partitioned by a 256-way key prefix; a pruned load must
+    touch ONLY the probed partition dirs' files (observed via
+    input_file_name(), which reports the files actually scanned AFTER
+    partition pruning)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ocr_translation_spark.sources.catalog import Catalog
+    from ocr_translation_spark.streaming import stream_near_dup
+    from ocr_translation_spark.streaming.neardup_stream import (
+        BAND_REGISTRY,
+        SIG_REGISTRY,
+    )
+
+    in_dir, _ = _split_documents(tmp_path, n_chunks=2)
+    q = stream_near_dup(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        str(tmp_path / "reg"), jaccard_threshold=0.5,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    cat = Catalog(spark, str(tmp_path / "reg"))
+    for table in (BAND_REGISTRY, SIG_REGISTRY):
+        full = cat.load_cache(table, "k" if table == BAND_REGISTRY else "fp")
+        all_ps = sorted(
+            r["p"] for r in full.select("p").distinct().collect()
+        )
+        assert len(all_ps) > 20, "history spans many prefix partitions"
+        probe = all_ps[:2]  # a batch probing 2 of the prefixes
+        pruned = cat.load_cache(
+            table, "k" if table == BAND_REGISTRY else "fp",
+            where=F.col("p").isin(probe),
+        )
+        # file-level evidence at the scan layer (input_file_name is
+        # evaluated at scan time, AFTER partition pruning; load_cache's
+        # window clears it, so probe the same filtered scan directly)
+        raw = spark.read.parquet(str(tmp_path / "reg" / table))
+        files = {
+            r[0]
+            for r in raw.filter(F.col("p").isin(probe))
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        }
+        total_files = {
+            r[0]
+            for r in raw.select(F.input_file_name()).distinct().collect()
+        }
+        # only files under the probed partition dirs were scanned
+        assert files, "pruned read returned no files"
+        assert all(any(f"/p={p}/" in f for p in probe) for f in files), files
+        assert len(files) < len(total_files) / 5, (
+            len(files), len(total_files),
+        )
+        # and the pruned view is exactly the full view restricted to
+        # the probed partitions (existing-wins unaffected by pruning)
+        a = sorted(map(tuple, pruned.drop("p").collect()))
+        bfull = sorted(
+            map(tuple, full.filter(F.col("p").isin(probe)).drop("p").collect())
+        )
+        assert a == bfull
