@@ -53,6 +53,21 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _dsum(c, digits: int) -> F.Column:
+    """Order-insensitive float sum: exact DECIMAL(30,9) accumulation
+    (associative — identical on any engine / partition count), rounded
+    as double. A plain sum(double)'s last ulp depends on summation
+    order, which crosses round()'s boundary at large group sizes — the
+    sf0.1 oracle sweep caught exactly that on events_hourly. Every
+    oracle twin applies the same cast, so both engines round identical
+    numerators. DuckDB twin shape:
+    ``round(sum((X)::DECIMAL(30,9))::DOUBLE, d)``."""
+    col = c if isinstance(c, F.Column) else F.col(c)
+    return F.round(
+        F.sum(col.cast("decimal(30,9)")).cast("double"), digits
+    )
+
+
 def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan for compute-heavy per-row queries: a tiny single-file table
     yields ONE input split, serializing the per-row work on one task —
@@ -226,18 +241,14 @@ def _srp_bucket_sql(vexpr: str, dim: int, plane_indices: list[int]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _minhash_oracle_sql(
-    threshold: float = 0.5, n_hashes: int = 32
-) -> str:
-    """DuckDB twin of minhash_near_dup_pairs: identical shingles,
-    identical sha256-prefix signature, identical derived banding,
-    identical exact-Jaccard verify."""
+def _minhash_pairs_ctes(threshold: float, n_hashes: int) -> str:
+    """The CTE chain producing minhash near-dup ``pairs`` (id_a, id_b,
+    jaccard) — shared by the pair oracle and the cluster oracle."""
     bands, rpb = derive_banding(n_hashes, threshold)
     band_cat = " || '|' || ".join(
         f"sig[{rpb}*t.band + {r + 1}]" for r in range(rpb)
     )
-    return f"""
-WITH {_SH_CTES}, sig AS (
+    return f"""{_SH_CTES}, sig AS (
   SELECT doc_id, g,
          list_transform(range(0, {n_hashes}), i ->
            list_min(list_transform(g, s -> substr(sha256(i::VARCHAR || ':' || s), 1, 16)))) AS sig
@@ -255,8 +266,42 @@ WITH {_SH_CTES}, sig AS (
          round(len(list_intersect(sa.g, sb.g))::DOUBLE /
                (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))), 6) AS jaccard
   FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+), pairs AS (
+  SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+)"""
+
+
+def _minhash_oracle_sql(
+    threshold: float = 0.5, n_hashes: int = 32
+) -> str:
+    """DuckDB twin of minhash_near_dup_pairs: identical shingles,
+    identical sha256-prefix signature, identical derived banding,
+    identical exact-Jaccard verify."""
+    return (
+        f"WITH {_minhash_pairs_ctes(threshold, n_hashes)}\n"
+        "SELECT id_a, id_b, jaccard FROM pairs"
+    )
+
+
+def _dedup_clusters_oracle_sql(
+    threshold: float = 0.5, n_hashes: int = 32
+) -> str:
+    """Cluster twin: transitive closure of the SAME minhash pairs via a
+    recursive CTE; cluster_id = min reachable id (identical
+    survivorship rule to functions/graph.connected_components)."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes(threshold, n_hashes)}, und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
 )
-SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+SELECT u AS doc_id, min(v) AS cluster_id,
+       (u = min(v)) AS is_survivor
+FROM reach GROUP BY u
 """
 
 
@@ -324,10 +369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _dsum("l_quantity", 2).alias("sum_qty"),
+            _dsum("l_extendedprice", 2).alias("sum_base"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("sum_disc"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count("*").alias("n_rows"),
@@ -349,13 +394,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .groupBy("n_name")
             .agg(
-                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                _dsum("o_totalprice", 2).alias("revenue"),
                 F.count("*").alias("n_orders"),
             )
         )
 
     q["revenue_by_nation"] = _revenue
 
+    # avg over an exact DECIMAL sum, divided as double: a plain
+    # avg(double) is aggregation-ORDER sensitive (parallel partial sums
+    # vs DuckDB's sequential fold differ in the last ulp, which crosses
+    # the round() boundary at sf0.1 group sizes — caught by the sf0.1
+    # oracle sweep). The decimal sum is associative and exact, so both
+    # engines divide identical numerators: deterministic at any scale
+    # and parallelism.
     q["events_hourly"] = lambda spark, sf: (
         _read(spark, sf, "events")
         .groupBy(
@@ -364,7 +416,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,9)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("avg_value"),
         )
     )
 
@@ -374,7 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         per = (
             _read(spark, sf, "events")
             .groupBy("event_type", "user_id")
-            .agg(F.round(F.sum("value"), 4).alias("total"))
+            .agg(_dsum("value", 4).alias("total"))
         )
         w = Window.partitionBy("event_type").orderBy(
             F.col("total").desc(), F.col("user_id").asc()
@@ -435,7 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sess.groupBy("user_id", "session_id").agg(
             F.count("*").alias("n_events"),
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            _dsum("value", 4).alias("total_value"),
         )
 
     q["events_sessionize"] = _sessionize
@@ -540,6 +596,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(spark, sf, "documents"), jaccard_threshold=0.5
     )
 
+    def _dedup_clusters(spark, sf):
+        """Near-dup CLUSTER formation: connected components over the
+        minhash pair graph (iterative min-label propagation,
+        functions/graph.py) — pairs say who matches whom, clusters say
+        which single survivor to keep. Oracle: recursive-CTE transitive
+        closure over the SAME DuckDB-reproduced pairs."""
+        from ocr_translation_spark.functions.graph import dedup_clusters
+
+        docs = _read(spark, sf, "documents")
+        pairs = minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
+        return dedup_clusters(pairs, docs)
+
+    q["dedup_clusters"] = _dedup_clusters
+
+    def _tfidf_top_terms(spark, sf):
+        """Per-document top-3 distinguishing terms by a tf-idf-style
+        score. The idf surrogate is the RATIONAL (N+1)/(df+1) (not ln
+        of it): pure integer-ratio arithmetic reproduces bit-for-bit in
+        any engine, while ln()'s last ulp is libm-dependent and breaks
+        a value oracle. Shape: explode -> two hash aggregations (term
+        frequency per doc, document frequency per term) -> broadcast
+        the df table implicitly via AQE -> rank window per doc."""
+        from ocr_translation_spark.functions.text import normalized_text
+        from pyspark.sql import Window
+
+        docs = _read_spread(spark, sf, "documents")
+        toks = docs.select(
+            "doc_id",
+            F.explode(
+                F.split(normalized_text(F.col("text")), " ")
+            ).alias("term"),
+        ).filter(F.col("term") != "")
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+        n_docs = docs.select(F.count("*").alias("_n"))
+        scored = (
+            tf.join(dfreq, "term")
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn(
+                "score",
+                F.round(
+                    (F.col("tf") * (F.col("_n") + 1)) / (F.col("df_t") + 1),
+                    6,
+                ),
+            )
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("term").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "term", "tf", "df_t", "score", "rank")
+        )
+
+    q["tfidf_top_terms"] = _tfidf_top_terms
+
     q["simhash_sketch"] = lambda spark, sf: _read_spread(spark, sf, "documents").select(
         "doc_id", simhash64(F.col("text")).alias("simhash")
     )
@@ -610,9 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
             .groupBy("o_orderkey", "o_orderdate")
             .agg(
-                F.round(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                    2,
+                _dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
                 ).alias("revenue")
             )
             .select(
@@ -682,9 +794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .groupBy("n_name")
             .agg(
-                F.round(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                    2,
+                _dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
                 ).alias("revenue"),
                 F.count("*").alias("n_items"),
             )
@@ -697,7 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            _dsum("o_totalprice", 2).alias("total"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -810,9 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.year("l_shipdate").alias("l_year"),
             )
             .agg(
-                F.round(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                    2,
+                _dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
                 ).alias("revenue"),
                 F.count("*").alias("n_items"),
             )
@@ -839,9 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .groupBy("c_custkey", "c_name", "n_name")
             .agg(
-                F.round(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                    2,
+                _dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
                 ).alias("revenue")
             )
             .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -858,7 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .cube("event_type", "dow")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            _dsum("value", 4).alias("total_value"),
         )
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
@@ -874,7 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(spark, sf, "events")
         .groupBy("user_id")
         .pivot("event_type", _EVENT_TYPES)
-        .agg(F.round(F.sum("value"), 4))
+        .agg(_dsum("value", 4))
     )
 
     def _above_nation_avg(spark, sf):
@@ -1170,9 +1279,9 @@ FROM scores
 
     o["tpch_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       round(sum((l_quantity)::DECIMAL(30,9))::DOUBLE, 2) AS sum_qty,
+       round(sum((l_extendedprice)::DECIMAL(30,9))::DOUBLE, 2) AS sum_base,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,9))::DOUBLE, 2) AS sum_disc,
        round(avg(l_quantity), 6) AS avg_qty,
        count(*)::BIGINT AS n_rows
 FROM lineitem
@@ -1182,7 +1291,7 @@ GROUP BY l_returnflag, l_linestatus
 
     o["revenue_by_nation"] = """
 SELECT n_name,
-       round(sum(o_totalprice), 2) AS revenue,
+       round(sum((o_totalprice)::DECIMAL(30,9))::DOUBLE, 2) AS revenue,
        count(*)::BIGINT AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -1194,13 +1303,13 @@ GROUP BY n_name
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
        count(*)::BIGINT AS n_events,
-       round(avg(value), 6) AS avg_value
+       round(sum(value::DECIMAL(30,9))::DOUBLE / count(value), 6) AS avg_value
 FROM events GROUP BY 1, 2
 """
 
     o["events_top_users"] = """
 WITH per AS (
-  SELECT event_type, user_id, round(sum(value), 4) AS total
+  SELECT event_type, user_id, round(sum((value)::DECIMAL(30,9))::DOUBLE, 4) AS total
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, user_id, total, rank::INTEGER AS rank FROM (
@@ -1273,6 +1382,36 @@ FROM f LEFT JOIN s USING (event_type)
 """
 
     o["minhash_near_dup"] = _minhash_oracle_sql(threshold=0.5, n_hashes=32)
+
+    o["dedup_clusters"] = _dedup_clusters_oracle_sql(
+        threshold=0.5, n_hashes=32
+    )
+
+    # tfidf twin: same explode/aggregate/ratio arithmetic; the window
+    # orders by the ROUNDED score on both sides so tie-breaks agree
+    o["tfidf_top_terms"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+), t2 AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM t2 GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df_t FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*)::BIGINT AS _n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df_t,
+         round((tf.tf * (n._n + 1))::DOUBLE / (d.df_t + 1), 6) AS score
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df_t, score, rank FROM ranked WHERE rank <= 3
+"""
 
     # simhash: token hash = 16-hex-char sha256 prefix; bit i lives in
     # hex char 16 - i//4 at in-digit position i%4 (matches the Spark
@@ -1450,7 +1589,7 @@ SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.42
 
     o["tpch_q3_shipping"] = """
 SELECT o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,9))::DOUBLE, 2) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS odate
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -1482,7 +1621,7 @@ WHERE EXISTS (
 
     o["tpch_q5_region_revenue"] = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,9))::DOUBLE, 2) AS revenue,
        count(*)::BIGINT AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1499,7 +1638,7 @@ GROUP BY n_name
     o["tpch_q7_volume_shipping"] = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate)::INTEGER AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,9))::DOUBLE, 2) AS revenue,
        count(*)::BIGINT AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1516,7 +1655,7 @@ GROUP BY 1, 2, 3
 
     o["tpch_q10_returned_items"] = """
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,9))::DOUBLE, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1536,17 +1675,17 @@ WITH e AS (
 SELECT coalesce(event_type, 'ALL') AS event_type,
        coalesce(dow, -1)::INTEGER AS dow,
        count(*)::BIGINT AS n_events,
-       round(sum(value), 4) AS total_value
+       round(sum((value)::DECIMAL(30,9))::DOUBLE, 4) AS total_value
 FROM e GROUP BY CUBE (event_type, dow)
 """
 
     o["events_pivot"] = """
 SELECT user_id,
-       round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
-       round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
-       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
-       round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
-       round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+       round(sum((CASE WHEN event_type = 'click' THEN value END)::DECIMAL(30,9))::DOUBLE, 4) AS click,
+       round(sum((CASE WHEN event_type = 'error' THEN value END)::DECIMAL(30,9))::DOUBLE, 4) AS error,
+       round(sum((CASE WHEN event_type = 'purchase' THEN value END)::DECIMAL(30,9))::DOUBLE, 4) AS purchase,
+       round(sum((CASE WHEN event_type = 'signup' THEN value END)::DECIMAL(30,9))::DOUBLE, 4) AS signup,
+       round(sum((CASE WHEN event_type = 'view' THEN value END)::DECIMAL(30,9))::DOUBLE, 4) AS view
 FROM events GROUP BY user_id
 """
 
@@ -1688,7 +1827,7 @@ SELECT source, doc_id FROM (
 SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        coalesce(o_orderstatus, 'ALL') AS status,
        count(*)::BIGINT AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       round(sum((o_totalprice)::DECIMAL(30,9))::DOUBLE, 2) AS total
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
@@ -1765,7 +1904,7 @@ WITH flagged AS (
 SELECT user_id, session_id,
        count(*)::BIGINT AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
-       round(sum(value), 4) AS total_value
+       round(sum((value)::DECIMAL(30,9))::DOUBLE, 4) AS total_value
 FROM sess GROUP BY user_id, session_id
 """
 

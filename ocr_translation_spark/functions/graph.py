@@ -1,0 +1,116 @@
+"""Connected components over near-duplicate pairs: cluster formation.
+
+Pair-level dedup output (``minhash_near_dup_pairs`` et al.) answers
+"which documents are near-duplicates of each other"; a curation
+pipeline then needs "one canonical survivor per duplicate CLUSTER",
+which is connected components over the pair graph (a near-dups b,
+b near-dups c => {a,b,c} is one cluster even if a,c never paired).
+
+Algorithm: iterative minimum-label propagation — every node starts
+with label = its own id; each round every node adopts the smallest
+label among itself and its neighbors; converged when no label changed.
+This is the standard large-scale CC shape (the simple variant of
+small-star/large-star, Kiveris et al. '14 "Connected Components in
+MapReduce and Beyond"):
+
+* each round is ONE join (labels to edges) + ONE groupBy-min — both
+  shuffles on uniformly distributed ids, no single-task state;
+* rounds needed = graph diameter, and near-dup graphs are
+  overwhelmingly star/clique-shaped (diameter 2-3), so the loop
+  terminates in a handful of rounds; ``max_iters`` bounds adversarial
+  chains, erroring out rather than silently returning unconverged
+  labels;
+* convergence is a driver-side count of changed labels per round (an
+  O(1) scalar per iteration, not a collect of data);
+* labels are persisted per round and the previous round's cache is
+  released (bounded memory); ``localCheckpoint`` every few rounds
+  truncates the growing lineage so round k's plan does not replay
+  rounds 1..k-1.
+
+Deterministic: min() over ids — a pure function of the edge set, so an
+external engine (the DuckDB recursive-CTE oracle twin) reproduces it
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_CHECKPOINT_EVERY = 4
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str = "_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) with cluster_id = min node id reachable
+    through ``edges`` (undirected). ``nodes`` optionally supplies
+    isolated vertices (they come back as their own singleton cluster);
+    otherwise the vertex set is the ids appearing in ``edges``.
+
+    Raises RuntimeError if not converged within ``max_iters`` rounds
+    (near-dup graphs converge in O(diameter) ~ a handful)."""
+    und = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct()
+
+    verts = und.select(F.col("u").alias("node"))
+    if nodes is not None:
+        verts = verts.unionByName(nodes.select(F.col(node_col).alias("node")))
+    verts = verts.distinct()
+
+    labels = verts.select("node", F.col("node").alias("label")).persist()
+    labels.count()  # materialize round 0
+
+    for it in range(max_iters):
+        # neighbor labels: edge (u,v) proposes v's current label to u
+        proposals = und.join(
+            labels.select(F.col("node").alias("v"), F.col("label")), "v"
+        ).select(F.col("u").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(proposals)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if (it + 1) % _CHECKPOINT_EVERY == 0:
+            # truncate lineage: round k's plan must not replay 1..k-1
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components: not converged after {max_iters} rounds "
+        "(pathological chain graph? raise max_iters)"
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical duplicate clusters from near-dup PAIRS:
+    (doc_id, cluster_id, is_survivor). Every doc in ``docs`` appears
+    (singletons survive as their own cluster); the survivor is the
+    min-id member — the same survivorship rule as ``exact_dedup``."""
+    nodes = docs.select(F.col(id_col).alias("_id")) if docs is not None else None
+    cc = connected_components(pairs, nodes=nodes)
+    return cc.select(
+        F.col("node").alias(id_col),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_survivor"),
+    )

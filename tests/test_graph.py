@@ -1,0 +1,72 @@
+"""Connected components / dedup cluster formation (functions/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_translation_spark.functions.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_cc_chain_propagates_beyond_one_hop(spark):
+    """A 6-node path: the min label must travel the full diameter
+    (multiple propagation rounds), not just one hop."""
+    cc = connected_components(
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    )
+    got = {r["node"]: r["cluster_id"] for r in cc.collect()}
+    assert got == {n: 1 for n in range(1, 7)}
+
+
+def test_cc_components_and_singletons(spark):
+    """Two components + an isolated node supplied via nodes=."""
+    nodes = spark.range(1, 10).select(F.col("id").alias("_id"))
+    cc = connected_components(
+        _edges(spark, [(1, 2), (2, 3), (5, 6), (7, 6)]), nodes=nodes
+    )
+    got = {r["node"]: r["cluster_id"] for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
+
+
+def test_cc_unconverged_raises_not_silent(spark):
+    """A chain longer than max_iters must ERROR, never return wrong
+    labels silently."""
+    chain = [(i, i + 1) for i in range(1, 9)]
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(_edges(spark, chain), max_iters=2)
+
+
+def test_dedup_clusters_survivorship(spark):
+    """dedup_clusters: min-id survivor per component; every doc in
+    docs= appears, singletons self-survive."""
+    docs = spark.createDataFrame(
+        [(i,) for i in (10, 11, 12, 20, 30)], "doc_id long"
+    )
+    out = dedup_clusters(_edges(spark, [(10, 11), (11, 12)]), docs)
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in out.collect()
+    }
+    assert got == {
+        10: (10, True),
+        11: (10, False),
+        12: (10, False),
+        20: (20, True),
+        30: (30, True),
+    }
+
+
+def test_cc_deterministic_across_runs(spark):
+    edges = _edges(
+        spark, [(3, 7), (7, 1), (9, 4), (4, 9), (2, 8), (8, 5), (5, 2)]
+    )
+    a = sorted(map(tuple, connected_components(edges).collect()))
+    b = sorted(map(tuple, connected_components(edges).collect()))
+    assert a == b
