@@ -53,19 +53,28 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _dsum(c, digits: int) -> F.Column:
-    """Order-insensitive float sum: exact DECIMAL(30,9) accumulation
+def _dsum(c, digits: int, dec: str = "decimal(30,9)") -> F.Column:
+    """Order-insensitive float sum: exact DECIMAL accumulation
     (associative — identical on any engine / partition count), rounded
     as double. A plain sum(double)'s last ulp depends on summation
     order, which crosses round()'s boundary at large group sizes — the
     sf0.1 oracle sweep caught exactly that on events_hourly. Every
     oracle twin applies the same cast, so both engines round identical
     numerators. DuckDB twin shape:
-    ``round(sum((X)::DECIMAL(30,9))::DOUBLE, d)``."""
+    ``round(sum((X)::DECIMAL(p,s))::DOUBLE, d)``."""
     col = c if isinstance(c, F.Column) else F.col(c)
-    return F.round(
-        F.sum(col.cast("decimal(30,9)")).cast("double"), digits
-    )
+    return F.round(F.sum(col.cast(dec)).cast("double"), digits)
+
+
+def _msum(c, digits: int) -> F.Column:
+    """_dsum for MONEY columns (prices, quantities, price*discount
+    products — all exactly representable at 4 decimals): DECIMAL(18,4),
+    which Spark backs with a compact long (precision <= 18) instead of
+    a BigDecimal — measured ~2x faster aggregation than DECIMAL(30,9)
+    with zero quantization drift for this domain. The sum buffer widens
+    to DECIMAL(28,4) (~1e24 headroom), safe at any corpus scale.
+    DuckDB twin: ``round(sum((X)::DECIMAL(18,4))::DOUBLE, d)``."""
+    return _dsum(c, digits, dec="decimal(18,4)")
 
 
 def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -369,9 +378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity", 2).alias("sum_qty"),
-            _dsum("l_extendedprice", 2).alias("sum_base"),
-            _dsum(
+            _msum("l_quantity", 2).alias("sum_qty"),
+            _msum("l_extendedprice", 2).alias("sum_base"),
+            _msum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("sum_disc"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
@@ -394,7 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .groupBy("n_name")
             .agg(
-                _dsum("o_totalprice", 2).alias("revenue"),
+                _msum("o_totalprice", 2).alias("revenue"),
                 F.count("*").alias("n_orders"),
             )
         )
@@ -723,7 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
             .groupBy("o_orderkey", "o_orderdate")
             .agg(
-                _dsum(
+                _msum(
                     F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
                 ).alias("revenue")
             )
@@ -794,7 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .groupBy("n_name")
             .agg(
-                _dsum(
+                _msum(
                     F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
                 ).alias("revenue"),
                 F.count("*").alias("n_items"),
@@ -808,7 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            _dsum("o_totalprice", 2).alias("total"),
+            _msum("o_totalprice", 2).alias("total"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -921,7 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.year("l_shipdate").alias("l_year"),
             )
             .agg(
-                _dsum(
+                _msum(
                     F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
                 ).alias("revenue"),
                 F.count("*").alias("n_items"),
@@ -949,7 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .groupBy("c_custkey", "c_name", "n_name")
             .agg(
-                _dsum(
+                _msum(
                     F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
                 ).alias("revenue")
             )
@@ -1279,9 +1288,9 @@ FROM scores
 
     o["tpch_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       round(sum((l_quantity)::DECIMAL(30,9))::DOUBLE, 2) AS sum_qty,
-       round(sum((l_extendedprice)::DECIMAL(30,9))::DOUBLE, 2) AS sum_base,
-       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,9))::DOUBLE, 2) AS sum_disc,
+       round(sum((l_quantity)::DECIMAL(18,4))::DOUBLE, 2) AS sum_qty,
+       round(sum((l_extendedprice)::DECIMAL(18,4))::DOUBLE, 2) AS sum_base,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE, 2) AS sum_disc,
        round(avg(l_quantity), 6) AS avg_qty,
        count(*)::BIGINT AS n_rows
 FROM lineitem
@@ -1291,7 +1300,7 @@ GROUP BY l_returnflag, l_linestatus
 
     o["revenue_by_nation"] = """
 SELECT n_name,
-       round(sum((o_totalprice)::DECIMAL(30,9))::DOUBLE, 2) AS revenue,
+       round(sum((o_totalprice)::DECIMAL(18,4))::DOUBLE, 2) AS revenue,
        count(*)::BIGINT AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -1589,7 +1598,7 @@ SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.42
 
     o["tpch_q3_shipping"] = """
 SELECT o_orderkey,
-       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,9))::DOUBLE, 2) AS revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE, 2) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS odate
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -1621,7 +1630,7 @@ WHERE EXISTS (
 
     o["tpch_q5_region_revenue"] = """
 SELECT n_name,
-       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,9))::DOUBLE, 2) AS revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE, 2) AS revenue,
        count(*)::BIGINT AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1638,7 +1647,7 @@ GROUP BY n_name
     o["tpch_q7_volume_shipping"] = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate)::INTEGER AS l_year,
-       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,9))::DOUBLE, 2) AS revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE, 2) AS revenue,
        count(*)::BIGINT AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1655,7 +1664,7 @@ GROUP BY 1, 2, 3
 
     o["tpch_q10_returned_items"] = """
 SELECT c_custkey, c_name, n_name,
-       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,9))::DOUBLE, 2) AS revenue
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1827,7 +1836,7 @@ SELECT source, doc_id FROM (
 SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        coalesce(o_orderstatus, 'ALL') AS status,
        count(*)::BIGINT AS n_orders,
-       round(sum((o_totalprice)::DECIMAL(30,9))::DOUBLE, 2) AS total
+       round(sum((o_totalprice)::DECIMAL(18,4))::DOUBLE, 2) AS total
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
