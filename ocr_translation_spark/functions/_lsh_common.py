@@ -101,8 +101,23 @@ def pin_scalar(site: str, df: DataFrame, compute):
                 return _PIN_META[site]
     val = compute(df)
     with _PIN_LOCK:
-        if _PINNED.get(site) is not None:
-            _PIN_META[site] = val
+        pinned = _PINNED.get(site)
+        if pinned is not None:
+            # record ONLY if the pin still matches the plan we computed
+            # over — a concurrent caller may have swapped the pin to a
+            # different corpus between compute and record, and blindly
+            # recording would poison the memo with this corpus's value
+            # under that corpus's pin
+            try:
+                same = (
+                    pinned._jdf.queryExecution()
+                    .analyzed()
+                    .sameResult(df._jdf.queryExecution().analyzed())
+                )
+            except Exception:
+                same = False
+            if same:
+                _PIN_META[site] = val
     return val
 
 

@@ -68,34 +68,44 @@ def connected_components(
     labels = verts.select("node", F.col("node").alias("label")).persist()
     labels.count()  # materialize round 0
 
-    for it in range(max_iters):
-        # neighbor labels: edge (u,v) proposes v's current label to u
-        proposals = und.join(
-            labels.select(F.col("node").alias("v"), F.col("label")), "v"
-        ).select(F.col("u").alias("node"), "label")
-        new_labels = (
-            labels.unionByName(proposals)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+    try:
+        for it in range(max_iters):
+            # neighbor labels: edge (u,v) proposes v's current label to u
+            proposals = und.join(
+                labels.select(F.col("node").alias("v"), F.col("label")), "v"
+            ).select(F.col("u").alias("node"), "label")
+            new_labels = (
+                labels.unionByName(proposals)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+            if (it + 1) % _CHECKPOINT_EVERY == 0:
+                # truncate lineage: round k's plan must not replay 1..k-1
+                new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = new_labels.persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                # hand the caller an eagerly localCheckpointed result —
+                # its blocks are released by the ContextCleaner when the
+                # caller drops the DataFrame — and free the loop's
+                # CacheManager entry (a bare persist would otherwise
+                # live for the session; one leak per distinct input)
+                return labels.select(
+                    "node", F.col("label").alias("cluster_id")
+                ).localCheckpoint(eager=True)
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iters} rounds "
+            "(pathological chain graph? raise max_iters)"
         )
-        if (it + 1) % _CHECKPOINT_EVERY == 0:
-            # truncate lineage: round k's plan must not replay 1..k-1
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+    finally:
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            return labels.select("node", F.col("label").alias("cluster_id"))
-    raise RuntimeError(
-        f"connected_components: not converged after {max_iters} rounds "
-        "(pathological chain graph? raise max_iters)"
-    )
 
 
 def dedup_clusters(

@@ -175,9 +175,21 @@ def stream_near_dup(
                     _prefix_part(F.col("fp")).alias("p")
                 ).distinct().collect()
             ]
+            # load_cache is None for a missing/unreadable registry
+            # (e.g. the only batches so far were empty — a zero-row
+            # parquet write leaves no readable footer — or the table
+            # is corrupt). Cache-error contract: degrade to the
+            # batch's OWN entries (exactly what a fresh registry would
+            # contain for these fingerprints), never kill the stream.
             sig_mine = cat.load_cache(
                 SIG_REGISTRY, "fp", where=F.col("p").isin(fp_ps)
-            ).drop("p")
+            )
+            if sig_mine is None:
+                sig_mine = reps.select(
+                    "fp", F.col("_claim").alias("canonical_id"), "sig"
+                )
+            else:
+                sig_mine = sig_mine.drop("p")
             band_ps = [
                 r["p"]
                 for r in banded.select(
@@ -186,7 +198,17 @@ def stream_near_dup(
             ]
             band_reg = cat.load_cache(
                 BAND_REGISTRY, "k", where=F.col("p").isin(band_ps)
-            ).select("band", "band_hash", F.col("fp").alias("fp_reg"))
+            )
+            band_reg = (
+                band_reg.select(
+                    "band", "band_hash", F.col("fp").alias("fp_reg")
+                )
+                if band_reg is not None
+                # degraded registry: within-batch candidates only
+                else banded.select(
+                    "band", "band_hash", F.col("fp").alias("fp_reg")
+                )
+            )
             if max_registry_bucket is not None:
                 from ..functions._lsh_common import cap_buckets
 
@@ -212,7 +234,14 @@ def stream_near_dup(
             ]
             sig_theirs = cat.load_cache(
                 SIG_REGISTRY, "fp", where=F.col("p").isin(reg_ps)
-            ).drop("p")
+            )
+            sig_theirs = (
+                sig_theirs.drop("p")
+                if sig_theirs is not None
+                else reps.select(
+                    "fp", F.col("_claim").alias("canonical_id"), "sig"
+                )
+            )
             mine = sig_mine.select(
                 "fp",
                 F.col("canonical_id").alias("_my_id"),

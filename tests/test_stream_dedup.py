@@ -192,6 +192,53 @@ def test_stream_near_dup_flags_against_history(spark, tmp_path):
     assert recall >= 0.9, f"stream near-dup recall {recall:.3f}"
 
 
+def test_stream_near_dup_survives_empty_first_batch(spark, tmp_path):
+    """An all-empty first batch writes a zero-row registry batch (no
+    parquet footer -> load_cache returns None); the stream must degrade
+    to the batch's own entries instead of dying with AttributeError,
+    and the next real batch must still produce correct output."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_translation_spark.streaming import stream_near_dup
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "text": pd.Series([], dtype="object")})
+    pq.write_table(
+        pa.Table.from_pandas(empty, preserve_index=False),
+        os.path.join(in_dir, "a_empty.parquet"),
+    )
+    q = stream_near_dup(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        str(tmp_path / "reg"), jaccard_threshold=0.5,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    real = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["same text here", "same text here"]}
+    )
+    pq.write_table(
+        pa.Table.from_pandas(real, preserve_index=False),
+        os.path.join(in_dir, "b_real.parquet"),
+    )
+    q2 = stream_near_dup(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        str(tmp_path / "reg"), jaccard_threshold=0.5,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(300)
+    rows = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert rows[1]["canonical_id"] == 1 and not rows[1]["is_exact_dup"]
+    assert rows[2]["canonical_id"] == 1 and rows[2]["is_exact_dup"]
+
+
 def test_stream_near_dup_registry_reads_are_pruned(spark, tmp_path):
     """VERDICT r3 item 3: per-batch registry I/O must scale with the
     batch's probed bucket set, not the history size. The registries are
