@@ -662,6 +662,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tfidf_top_terms"] = _tfidf_top_terms
 
+    def _repetition(spark, sf):
+        from ocr_translation_spark.functions.text import repetition_signals
+
+        return repetition_signals(_read_spread(spark, sf, "documents"))
+
+    q["repetition_signals"] = _repetition
+
+    def _source_top(spark, sf):
+        """Per-source document caps (the per-domain cap of web
+        curation): keep the top 50 docs per source by a deterministic
+        ordering — one window shuffle on the source key."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("source").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+        return (
+            _read(spark, sf, "documents")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 50)
+            .select("doc_id", "source", "n_chars", "rk")
+        )
+
+    q["source_top_docs"] = _source_top
+
+    def _curation_e2e(spark, sf):
+        """Composed curation pipeline — the end-to-end shape a training
+        corpus actually runs: quality filter -> near-dup CLUSTER
+        survivors only (connected components over minhash pairs) ->
+        per-source cap. Every stage is an already-oracle-checked
+        operator; the composition gets its own value oracle (quality
+        CTEs + recursive-CTE closure + window in one DuckDB query)."""
+        from pyspark.sql import Window
+
+        from ocr_translation_spark.functions.graph import dedup_clusters
+
+        docs = _read(spark, sf, "documents")
+        pairs = minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
+        surv = (
+            dedup_clusters(pairs, docs)
+            .filter("is_survivor")
+            .select("doc_id")
+        )
+        qual = add_quality(docs).filter("quality_keep")
+        kept = qual.join(surv, "doc_id")
+        w = Window.partitionBy("source").orderBy(
+            F.col("n_tokens").desc(), F.col("doc_id").asc()
+        )
+        return (
+            kept.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 20)
+            .select("doc_id", "source", "n_tokens", "rk")
+        )
+
+    q["curation_e2e"] = _curation_e2e
+
     q["simhash_sketch"] = lambda spark, sf: _read_spread(spark, sf, "documents").select(
         "doc_id", simhash64(F.col("text")).alias("simhash")
     )
@@ -1395,6 +1451,91 @@ FROM f LEFT JOIN s USING (event_type)
     o["dedup_clusters"] = _dedup_clusters_oracle_sql(
         threshold=0.5, n_hashes=32
     )
+
+    # word-level repetition signals twin: identical gram multisets,
+    # exact integer counting, one double division per fraction
+    o["repetition_signals"] = f"""
+WITH rtoks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), b2 AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> t[i] || ' ' || t[i+1])) AS g
+  FROM rtoks
+), c2 AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c FROM b2 GROUP BY 1, 2
+), a2 AS (
+  SELECT doc_id, sum(c)::BIGINT AS n2, max(c)::BIGINT AS m2
+  FROM c2 GROUP BY 1
+), b3 AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM rtoks
+), c3 AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c FROM b3 GROUP BY 1, 2
+), a3 AS (
+  SELECT doc_id, sum(c)::BIGINT AS n3,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS d3
+  FROM c3 GROUP BY 1
+)
+SELECT t.doc_id,
+       coalesce(a2.n2, 0)::BIGINT AS n_bigrams,
+       round(coalesce(a2.m2::DOUBLE / a2.n2, 0.0), 6) AS top_bigram_frac,
+       round(coalesce(a3.d3::DOUBLE / a3.n3, 0.0), 6) AS dup_trigram_frac,
+       round(len(list_distinct(t))::DOUBLE / len(t), 6)
+         AS distinct_token_ratio
+FROM rtoks t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+"""
+
+    o["source_top_docs"] = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rk FROM ranked WHERE rk <= 50
+"""
+
+    # composed curation twin: quality features + recursive-CTE cluster
+    # survivors + per-source cap, over the SAME minhash pair CTEs
+    o["curation_e2e"] = f"""
+WITH RECURSIVE {_minhash_pairs_ctes(0.5, 32)}, und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+), surv AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING u = min(v)
+), qbase AS (
+  SELECT doc_id, source, text, {_TOKS} AS qtoks FROM documents
+), feat AS (
+  SELECT doc_id, source,
+         (CASE WHEN trim(text) = '' THEN 0 ELSE len(qtoks) END)::INTEGER AS n_tokens,
+         round(CASE WHEN length(text) = 0 THEN 0.0
+               ELSE (length(text) - length(translate(text, '.,;:!?''"()-', '')))::DOUBLE / length(text) END, 6) AS punct_ratio,
+         round(CASE WHEN len(qtoks) = 0 THEN 0.0
+               ELSE list_sum(list_transform(qtoks, t -> length(t)))::DOUBLE / len(qtoks) END, 6) AS mean_tok_len
+  FROM qbase
+), kept AS (
+  SELECT f.doc_id, f.source, f.n_tokens
+  FROM feat f JOIN surv USING (doc_id)
+  WHERE f.n_tokens >= 5 AND f.mean_tok_len >= 2.0
+    AND f.mean_tok_len <= 12.0 AND f.punct_ratio <= 0.3
+), ranked AS (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_tokens DESC, doc_id ASC
+         ) AS rk
+  FROM kept
+)
+SELECT doc_id, source, n_tokens, rk FROM ranked WHERE rk <= 20
+"""
 
     # tfidf twin: same explode/aggregate/ratio arithmetic; the window
     # orders by the ROUNDED score on both sides so tie-breaks agree

@@ -149,6 +149,82 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_grams(toks: Column, k: int) -> Column:
+    """NON-distinct word k-grams (multiset — unlike ``dedup.shingles``,
+    which deduplicates for set-Jaccard). Same zip_with-over-shifted-
+    slices shape (evaluates the token array once; per-index element_at
+    lambdas re-evaluate it per element). Documents with fewer than k
+    tokens yield an empty list."""
+    n = F.size(toks)
+    grams = toks
+    for j in range(1, k):
+        shifted = F.when(n > j, F.slice(toks, j + 1, n - j)).otherwise(
+            F.array().cast("array<string>")
+        )
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.filter(grams, lambda g: g.isNotNull())
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/C4-style word-level repetition quality signals per doc:
+
+    * ``top_bigram_frac`` — the most frequent bigram's share of all
+      bigram occurrences (boilerplate/navigation pages spike here);
+    * ``dup_trigram_frac`` — fraction of trigram occurrences whose
+      trigram appears more than once (templated/spun text);
+    * ``distinct_token_ratio`` — vocabulary diversity (keyword-stuffed
+      pages crater it).
+
+    Shape: explode grams -> two hash aggregations keyed on
+    (doc_id, gram) then doc_id — both shuffles on uniformly distributed
+    composite keys, no per-doc state beyond the aggregation buffers, so
+    the plan is corpus-size-proof. Documents too short to have grams
+    report 0 fractions (LEFT join + coalesce). All arithmetic is exact
+    integer counting + one double division, so any engine reproduces it
+    (DuckDB twin in __spark_entry__)."""
+    toks = tokens(normalized_text(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("t"))
+
+    def _agg(k: int):
+        ex = base.select("_id", F.explode(word_grams(F.col("t"), k)).alias("g"))
+        cnt = ex.groupBy("_id", "g").agg(F.count("*").alias("c"))
+        return cnt.groupBy("_id").agg(
+            F.sum("c").alias(f"n{k}"),
+            F.max("c").alias(f"m{k}"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+                f"d{k}"
+            ),
+        )
+
+    # renamed join keys avoid ambiguous self-column references
+    a2 = _agg(2).withColumnRenamed("_id", "_id2")
+    a3 = _agg(3).withColumnRenamed("_id", "_id3")
+    out = (
+        base.join(a2, base["_id"] == a2["_id2"], "left")
+        .join(a3, base["_id"] == a3["_id3"], "left")
+        .select(
+            base["_id"].alias(id_col),
+            F.coalesce("n2", F.lit(0)).alias("n_bigrams"),
+            F.round(
+                F.coalesce(F.col("m2") / F.col("n2"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(F.col("d3") / F.col("n3"), F.lit(0.0)), 6
+            ).alias("dup_trigram_frac"),
+            F.round(
+                F.size(F.array_distinct(base["t"]))
+                / F.size(base["t"]),
+                6,
+            ).alias("distinct_token_ratio"),
+        )
+    )
+    return out
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -162,3 +162,47 @@ def test_real_codec_is_stubbed(spark):
     row = extract_media_metadata(df).collect()[0]
     assert row["decode_ok"] is False
     assert row["n_bytes"] == 20
+
+
+def test_repetition_signals_values(spark):
+    from ocr_translation_spark.functions.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # bigrams: ab x3, ba x2 -> top 3/5
+            (2, "x"),                  # no bigrams/trigrams
+            (3, ""),                   # blank: one empty token
+            (4, "u v w x y z"),        # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert got[1]["n_bigrams"] == 5
+    assert got[1]["top_bigram_frac"] == 0.6
+    # trigrams: aba x2, bab x2 -> all 4 occurrences duplicated
+    assert got[1]["dup_trigram_frac"] == 1.0
+    assert got[1]["distinct_token_ratio"] == round(2 / 6, 6)
+    assert got[2]["n_bigrams"] == 0
+    assert got[2]["top_bigram_frac"] == 0.0
+    assert got[3]["n_bigrams"] == 0
+    assert got[4]["top_bigram_frac"] == round(1 / 5, 6)
+    assert got[4]["dup_trigram_frac"] == 0.0
+    assert got[4]["distinct_token_ratio"] == 1.0
+
+
+def test_word_grams_multiset_vs_shingles_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_translation_spark.functions.dedup import shingles
+    from ocr_translation_spark.functions.text import (
+        normalized_text,
+        word_grams,
+    )
+
+    df = spark.createDataFrame([("a b a b a",)], "text string")
+    row = df.select(
+        word_grams(F.split(normalized_text(F.col("text")), " "), 2).alias("g"),
+        shingles(F.col("text"), 2).alias("s"),
+    ).collect()[0]
+    assert row["g"] == ["a b", "b a", "a b", "b a"]  # multiset, ordered
+    assert sorted(row["s"]) == ["a b", "b a"]  # distinct set
