@@ -771,6 +771,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_neardup_lsh"] = _emb_neardup_lsh
 
+    def _embedding_clusters(spark, sf):
+        """Embedding near-dup CLUSTERS: the same connected-components
+        pass as dedup_clusters, over the SRP pair graph — one canonical
+        representative per group of mutually-similar vectors."""
+        from ocr_translation_spark.functions.graph import dedup_clusters
+
+        emb = _read(spark, sf, "embeddings")
+        pairs = srp_near_dup_pairs(
+            emb, dim=64, threshold=0.42, n_tables=8, planes_per_table=4
+        )
+        return dedup_clusters(pairs, emb, id_col="vec_id")
+
+    q["embedding_clusters"] = _embedding_clusters
+
+    def _events_funnel(spark, sf):
+        """Sessionized conversion funnel: per session, did a click
+        convert to a purchase later IN THE SAME session? One window
+        pass to sessionize (gap 600 s), one aggregation per session,
+        exact integer counts per event_type rollup."""
+        from pyspark.sql import Window
+
+        ev = _read(spark, sf, "events")
+        epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        sess = ev.withColumn(
+            "_new",
+            F.when(
+                epoch_us - F.lag(epoch_us).over(w) > 600 * 1_000_000, 1
+            ).otherwise(
+                F.when(F.lag(epoch_us).over(w).isNull(), 1).otherwise(0)
+            ),
+        ).withColumn(
+            "session_id", F.sum("_new").over(w).cast("int")
+        )
+        per = sess.groupBy("user_id", "session_id").agg(
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("_first_click"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("_last_purchase"),
+        )
+        return per.agg(
+            F.count("*").alias("n_sessions"),
+            F.count("_first_click").alias("n_click_sessions"),
+            F.sum(
+                F.when(
+                    F.col("_last_purchase") > F.col("_first_click"), 1
+                ).otherwise(0)
+            ).alias("n_converted"),
+        )
+
+    q["events_funnel"] = _events_funnel
+
+    def _events_hourly_users(spark, sf):
+        """Exact distinct users per (hour, event_type) — the two-level
+        aggregation shape (distinct-then-count) that partial-aggregates
+        on both levels; the approx HLL variant drops in by swapping the
+        final agg, but only the exact form is value-oracle-checkable."""
+        return (
+            _read(spark, sf, "events")
+            .groupBy(
+                F.date_format(
+                    F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+                ).alias("hour"),
+                "event_type",
+            )
+            .agg(F.countDistinct("user_id").alias("n_users"))
+        )
+
+    q["events_hourly_users"] = _events_hourly_users
+
     def _q3(spark, sf):
         """TPC-H q3-shaped multi-join: filtered fact-dim-dim join with
         a broadcast of the small filtered dim, top-10 by revenue."""
@@ -1714,8 +1786,9 @@ SELECT query_id, neighbor_id, sim, rank::INTEGER AS rank FROM (
         for t in range(_nt)
     )
     _bcase = " ".join(f"WHEN {t} THEN b{t}" for t in range(_nt))
-    o["embedding_neardup_lsh"] = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    # SRP pair CTE chain, shared by the pair oracle and the cluster
+    # oracle (same pattern as _minhash_pairs_ctes)
+    _srp_ctes = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v,
        {_bcols}
       FROM e),
@@ -1733,8 +1806,59 @@ scored AS (
          round(list_dot_product(ea.v, eb.v) /
                (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS sim
   FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b
+),
+spairs AS (SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.42)"""
+    o["embedding_neardup_lsh"] = (
+        f"WITH {_srp_ctes}\nSELECT id_a, id_b, sim FROM spairs"
+    )
+
+    o["embedding_clusters"] = f"""
+WITH RECURSIVE {_srp_ctes}, und AS (
+  SELECT id_a AS u, id_b AS v FROM spairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM spairs
+), reach(u, v) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u
 )
-SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.42
+SELECT u AS vec_id, min(v) AS cluster_id,
+       (u = min(v)) AS is_survivor
+FROM reach GROUP BY u
+"""
+
+    o["events_funnel"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600 * 1000000
+                THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id))::INTEGER
+           AS session_id,
+         ts, event_type
+  FROM flagged
+), per AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS fc,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS lp
+  FROM sess GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_sessions,
+       count(fc)::BIGINT AS n_click_sessions,
+       sum(CASE WHEN lp > fc THEN 1 ELSE 0 END)::BIGINT AS n_converted
+FROM per
+"""
+
+    o["events_hourly_users"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1, 2
 """
 
     o["tpch_q3_shipping"] = """
