@@ -206,3 +206,45 @@ def test_word_grams_multiset_vs_shingles_distinct(spark):
     ).collect()[0]
     assert row["g"] == ["a b", "b a", "a b", "b a"]  # multiset, ordered
     assert sorted(row["s"]) == ["a b", "b a"]  # distinct set
+
+
+def test_repetition_signals_matches_python_reference(spark):
+    """Seeded randomized cross-check: 60 docs of random small-vocab
+    token streams (high collision rates by construction) vs a direct
+    Python computation of the same definitions."""
+    import random
+    from collections import Counter
+
+    from ocr_translation_spark.functions.text import repetition_signals
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "cc", "ddd", "e"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+        for i in range(60)
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in repetition_signals(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    for i, text in docs:
+        toks = " ".join(text.lower().split()).split(" ")  # normalized
+        bi = Counter(zip(toks, toks[1:]))
+        tri = Counter(zip(toks, toks[1:], toks[2:]))
+        n2 = sum(bi.values())
+        n3 = sum(tri.values())
+        r = got[i]
+        assert r["n_bigrams"] == n2, (i, text)
+        exp_top = round(max(bi.values()) / n2, 6) if n2 else 0.0
+        assert r["top_bigram_frac"] == exp_top, (i, text)
+        exp_dup = (
+            round(sum(c for c in tri.values() if c >= 2) / n3, 6)
+            if n3
+            else 0.0
+        )
+        assert r["dup_trigram_frac"] == exp_dup, (i, text)
+        assert r["distinct_token_ratio"] == round(
+            len(set(toks)) / len(toks), 6
+        ), (i, text)

@@ -305,3 +305,64 @@ def test_stream_near_dup_registry_reads_are_pruned(spark, tmp_path):
             map(tuple, full.filter(F.col("p").isin(probe)).drop("p").collect())
         )
         assert a == bfull
+
+
+def test_stream_near_dup_registry_cap_logged_not_silent(spark, tmp_path):
+    """max_registry_bucket: a hot REGISTRY band bucket (many distinct
+    docs colliding in one band) is dropped from candidate generation
+    with a logged count — the stream completes and stays precise."""
+    import io
+    import logging
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_translation_spark.streaming import stream_near_dup
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # batch 1: 30 distinct docs sharing a long common prefix -> their
+    # signatures collide in at least one band (jaccard ~0.9 pairwise)
+    base_txt = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    b1 = pd.DataFrame(
+        {
+            "doc_id": list(range(30)),
+            "text": [f"{base_txt} tail{i}" for i in range(30)],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(b1, preserve_index=False),
+        os.path.join(in_dir, "a.parquet"),
+    )
+    # batch 2: one more member of the family
+    b2 = pd.DataFrame({"doc_id": [100], "text": [f"{base_txt} tail100"]})
+    pq.write_table(
+        pa.Table.from_pandas(b2, preserve_index=False),
+        os.path.join(in_dir, "b.parquet"),
+    )
+
+    log = logging.getLogger("ocr_translation_spark.lsh")
+    buf = io.StringIO()
+    h = logging.StreamHandler(buf)
+    log.addHandler(h)
+    try:
+        q = stream_near_dup(
+            spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+            str(tmp_path / "reg"), jaccard_threshold=0.5,
+            max_files_per_trigger=1, max_registry_bucket=5,
+        )
+        q.awaitTermination(300)
+    finally:
+        log.removeHandler(h)
+    assert "dropping" in buf.getvalue()  # cap hit, loudly
+    rows = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert set(rows) == set(range(30)) | {100}
+    # precision still holds for whatever WAS flagged
+    for d, r in rows.items():
+        if r["near_dup_of"] is not None:
+            assert r["near_dup_of"] < d
+            assert r["est_jaccard"] >= 0.5
