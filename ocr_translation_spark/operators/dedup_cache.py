@@ -15,7 +15,8 @@ custom operator: hash -> (optional) cache left-join -> dropDuplicates
 on the hash -> compute distinct via a vectorized pandas stage -> join
 results back to all rows. At scale the dropDuplicates is a shuffle on
 a uniformly distributed content hash (no key skew by construction) and
-the join-back broadcasts when the distinct side is small.
+the join-back is left to AQE, which broadcasts the distinct side at
+runtime when it is actually small.
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ def dedup_compute_with_cache(
     cache_df: DataFrame | None = None,
     use_cache: bool = True,
     hash_col: str = "h",
-    broadcast_results: bool = True,
+    broadcast_results: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Attach ``result_col`` = f(payload) to every row, computing f once
     per distinct payload.
@@ -42,12 +43,25 @@ def dedup_compute_with_cache(
     ``compute_fn`` maps a pandas Series of payloads to a Series of
     results (vectorized; runs inside ``mapInPandas``).
 
+    ``broadcast_results=False`` by default: the distinct-results side
+    scales with the corpus, and an explicit broadcast forces a
+    single-threaded driver-side build of the whole table (the same
+    scale hazard extract()'s ``broadcast_ocr=False`` documents). AQE
+    upgrades the join to a broadcast at runtime whenever the side is
+    actually small — the hint is only for callers that KNOW the
+    distinct set is tiny.
+
     Returns ``(df_with_result, new_cache_entries)``;
     new_cache_entries has columns (hash_col, result_col).
     """
     payload = F.col(payload_col)
-    # null payloads hash to sha2("") so they still dedup/join cleanly
-    hashed_payload = F.sha2(F.coalesce(payload.cast("binary"), F.lit(b"")), 256)
+    # a NULL payload gets its own sentinel key (not a hex sha, so it
+    # can never collide): hashing null as sha2(b"") would conflate it
+    # with the EMPTY payload, compute f on only one of the two, and
+    # poison the cache with the wrong result for the other
+    hashed_payload = F.when(
+        payload.isNull(), F.lit("__null__")
+    ).otherwise(F.sha2(payload.cast("binary"), 256))
     hashed = df.withColumn(hash_col, hashed_payload)
     distinct = hashed.select(hash_col, payload_col).dropDuplicates([hash_col])
 

@@ -53,9 +53,17 @@ def salted_repartition(
         F.greatest(F.lit(1), F.ceil(F.log2(F.col(weight_col) + F.lit(1)))),
     )
     # the salt must vary WITHIN a hot key's rows — a key-derived salt
-    # would be constant per key and split nothing. Row id is fine: the
-    # salt only decides placement, never results.
-    salt = F.pmod(F.monotonically_increasing_id(), buckets)
+    # would be constant per key and split nothing — but it must also be
+    # DETERMINISTIC per row: monotonically_increasing_id depends on row
+    # order within the task, and after a partial stage retry (executor
+    # lost mid-shuffle) the re-executed map task can see rows in a
+    # different order, re-salting rows into different partitions than
+    # the already-fetched reducer outputs assumed — lost/duplicated
+    # rows (the SPARK-23207 class of bug). Hash of the FULL row content
+    # is order-independent: identical under any retry, and it varies
+    # across a hot key's rows unless the rows are byte-identical (in
+    # which case their placement together is harmless).
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), buckets)
     return df.repartition(num_partitions, key_hash, salt)
 
 

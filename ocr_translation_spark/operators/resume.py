@@ -137,6 +137,8 @@ class ResumableRun:
     def _work_bucket(self, bucketed, media, b: int, kwargs: dict):
         """The heavy, parallel-safe part of one bucket: extract + data
         write + stats. Returns (stats_row, new_cache_df, wall_ms)."""
+        from pyspark.sql import Observation
+
         t0 = time.monotonic()
         subset = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
         res = extract(self.spark, subset, media, **kwargs)
@@ -145,17 +147,45 @@ class ResumableRun:
         # merge reuses it instead of re-OCRing every miss
         new_cache = res.new_ocr_cache.persist()
         bucket_dir = os.path.join(self.out_dir, f"bucket={b}")
-        res.result.write.mode("overwrite").parquet(bucket_dir)
-        stats = (
-            self.spark.read.parquet(bucket_dir)
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
-            )
-            .collect()[0]
-        )
+        # stats ride the write via observe() — re-reading the bucket
+        # output for a count/sum would re-scan the entire corpus output
+        # once over a full run
+        obs = Observation()
+        res.result.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
+        ).write.mode("overwrite").parquet(bucket_dir)
+        stats = obs.get
         wall_ms = int((time.monotonic() - t0) * 1000)
         return stats, new_cache, wall_ms
+
+    def _check_protocol(self) -> None:
+        """Bucket membership is pmod(hash(doc_id), n_buckets): lineage
+        rows are only meaningful under the n_buckets that wrote them.
+        Resuming with a DIFFERENT n_buckets would treat committed
+        bucket ids of an incompatible partitioning as done — silently
+        skipping documents and mixing outputs. The bucket count is
+        therefore pinned in the state dir on first run and validated on
+        every resume."""
+        import json
+
+        os.makedirs(self.state_dir, exist_ok=True)
+        pf = os.path.join(self.state_dir, "protocol.json")
+        if os.path.exists(pf):
+            with open(pf) as f:
+                saved = json.load(f)
+            if saved.get("n_buckets") != self.n_buckets:
+                raise ValueError(
+                    f"resume state at {self.state_dir} was written with "
+                    f"n_buckets={saved.get('n_buckets')}; this run uses "
+                    f"n_buckets={self.n_buckets}. Bucket ids are not "
+                    "comparable across bucket counts — finish with the "
+                    "original count or start a fresh state dir."
+                )
+        else:
+            with open(pf, "w") as f:
+                json.dump({"n_buckets": self.n_buckets}, f)
 
     def _commit_bucket(self, b: int, stats, wall_ms: int) -> None:
         """The bucket's commit point: ONE lineage append (serialized by
@@ -207,11 +237,19 @@ class ResumableRun:
         forces the sequential path so "crash after N commits" remains
         well-defined.
         """
+        self._check_protocol()
         done = committed_buckets(self.spark, self.state_dir)
         pending = [b for b in range(self.n_buckets) if b not in done]
         bucketed = docs.withColumn("_bucket", _bucket_col(self.n_buckets))
 
-        if self.cache_catalog is not None and "ocr_cache" not in extract_kwargs:
+        if self.cache_catalog is not None:
+            ext = extract_kwargs.get("ocr_cache")
+            if ext is not None:
+                # a caller-supplied warm cache is folded INTO the
+                # persistent one up front (store-always): the per-bucket
+                # reload below would otherwise silently drop the
+                # external entries after the first commit
+                self.cache_catalog.merge_cache(ext, "ocr_cache", "h")
             # error-fallback load: unreadable cache -> recompute, not abort
             extract_kwargs["ocr_cache"] = self.cache_catalog.load_cache(
                 "ocr_cache", "h"

@@ -59,9 +59,15 @@ def _dict_map_two_level() -> Column:
 
 
 def translate_text_col(text: Column) -> Column:
-    """Columnar twin of ``semantics.translate_text`` (null-safe)."""
+    """Columnar twin of ``semantics.translate_text`` (null-safe).
+    Tokenization matches Python ``str.split()`` exactly (Unicode
+    whitespace, no empty tokens — ``stage_b_boiler.py_tokens``), so
+    tab/NBSP-separated words translate identically to the golden
+    spec."""
+    from .stage_b_boiler import py_tokens
+
     dict_map = _dict_map_two_level()
-    toks = F.split(F.trim(text), r"\s+")
+    toks = py_tokens(text)
 
     def xlate(t):
         low = F.lower(t)
@@ -127,7 +133,11 @@ def translate_texts_with_cache(
         tagged,
         "_payload",
         lambda series: series.map(
-            lambda p: None if p is None else S.translate_text(p[: -len(lang)])
+            # p[: len(p) - len(lang)], NOT p[:-len(lang)]: for lang=""
+            # the latter is p[:0] and every text would translate to ""
+            lambda p: None
+            if p is None
+            else S.translate_text(p[: len(p) - len(lang)])
         ),
         result_col="translated",
         cache_df=cache_df,

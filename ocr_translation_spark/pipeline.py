@@ -46,11 +46,19 @@ class ExtractResult(NamedTuple):
 
 
 def _sort_spans_by_offset(spans_col):
-    # sort on an (offset, span) key-prefix struct: natural struct
-    # ordering is codegen'd, unlike a comparator lambda which is
-    # evaluated interpreted per comparison
+    # STABLE sort on an (offset, original-index, span) key-prefix
+    # struct: natural struct ordering is codegen'd, unlike a comparator
+    # lambda which is evaluated interpreted per comparison. The index
+    # tie-break matters for parity: the golden spec uses Python's
+    # STABLE sorted(key=offset), so two spans sharing an offset (legal
+    # input even though datagen never produces it) must keep their
+    # input order — a bare (offset, span) key would reorder them by
+    # span content instead.
     keyed = F.transform(
-        spans_col, lambda s: F.struct(s["offset"].alias("o"), s.alias("s"))
+        spans_col,
+        lambda s, i: F.struct(
+            s["offset"].alias("o"), i.alias("i"), s.alias("s")
+        ),
     )
     return F.transform(F.array_sort(keyed), lambda x: x["s"])
 

@@ -30,7 +30,7 @@ def ingest_media_dir(
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(path)
     ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
-    return raw.select(
+    out = raw.select(
         F.concat(
             F.lit("img_"), F.substring(F.sha2(F.col("content"), 256), 1, 8)
         ).alias("media_ref"),
@@ -38,4 +38,30 @@ def ingest_media_dir(
         F.when(ext.isin(list(KNOWN_KINDS)), ext)
         .otherwise("bin")
         .alias("media_kind"),
+    )
+    # Content addressing makes byte-identical files (file copies are
+    # routine) the SAME ref — emitting both rows would violate the
+    # media table's one-row-per-ref contract and abort extract() with
+    # DUPLICATED_MAP_KEY at the per-doc map build. Collapse to one row
+    # per ref; ties pick the max kind so the survivor is deterministic.
+    # (The 8-hex-char ref keeps datagen's img_<sha8> convention; its
+    # 32-bit birthday bound is ~65k distinct files — callers ingesting
+    # more should ref by the full hash, and this collapse also converts
+    # a prefix collision from a job-aborting crash into a droppable
+    # duplicate.)
+    survivor = F.max_by(
+        F.struct("media_bytes", "media_kind"),
+        # deterministic survivor even across genuine prefix collisions:
+        # order by (kind, full content hash), take both fields from the
+        # same winning row
+        F.struct(F.col("media_kind"), F.sha2(F.col("media_bytes"), 256)),
+    )
+    return (
+        out.groupBy("media_ref")
+        .agg(survivor.alias("_s"))
+        .select(
+            "media_ref",
+            F.col("_s.media_bytes").alias("media_bytes"),
+            F.col("_s.media_kind").alias("media_kind"),
+        )
     )

@@ -231,3 +231,156 @@ def test_asof_backward_matches_brute_force(spark):
         prior = [(rt, rv) for rt, rv in rmap.get(k, []) if rt <= t]
         expect = max(prior) if prior else (None, None)
         assert got[lid] == expect, (lid, got[lid], expect)
+
+
+def test_stage_b_and_c_whitespace_parity_with_golden(spark):
+    """Tab/NBSP whitespace must behave exactly like the golden spec's
+    str.strip()/str.split(): whitespace-only spans drop, leading tabs
+    don't dilute the boiler score, interior unicode whitespace splits
+    for translation (review finding, reproduced pre-fix)."""
+    from pyspark.sql import functions as F
+
+    from ocr_translation_spark import semantics as S
+    from ocr_translation_spark.operators.stage_b_boiler import (
+        keep_span_predicate,
+    )
+    from ocr_translation_spark.operators.stage_c_translate import (
+        translate_text_col,
+    )
+
+    texts = [
+        "\t",                      # whitespace-only: golden drops
+        "\n\n",
+        " ",                  # NBSP: python strip() removes it
+        "\tclick here x",          # leading tab: golden 2/3 boiler
+        "the fast cat",       # interior NBSP splits in golden
+        " normal words here ",
+        "",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r["i"]: (r["keep"], r["xlate"])
+        for r in df.select(
+            "i",
+            keep_span_predicate(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.col("text").alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ).alias("keep"),
+            translate_text_col(F.col("text")).alias("xlate"),
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i][0] == S.keep_span("text", t), (i, repr(t))
+        assert got[i][1] == S.translate_text(t), (i, repr(t))
+
+
+def test_span_sort_is_stable_like_golden(spark):
+    """Duplicate offsets (legal input) must keep input order — the
+    golden spec sorts with Python's STABLE sorted(key=offset)."""
+    from ocr_translation_spark.pipeline import extract
+
+    spans = [
+        {"kind": "text", "text": "zebra words here", "media_ref": None,
+         "offset": 5},
+        {"kind": "text", "text": "apple words here", "media_ref": None,
+         "offset": 5},
+        {"kind": "text", "text": "middle words here", "media_ref": None,
+         "offset": 1},
+    ]
+    docs = spark.createDataFrame(
+        [("d1", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = [
+        (s["kind"], s["text"], s["media_ref"])
+        for s in extract(spark, docs, None).result.collect()[0]["spans"]
+    ]
+    from ocr_translation_spark import semantics as S
+
+    exp = [
+        (s["kind"], s["text"], s["media_ref"])
+        for s in S.extract_doc(spans, {})
+    ]
+    assert got == exp  # middle, zebra, apple — input order on ties
+
+
+def test_dedup_cache_null_and_empty_payload_distinct(spark):
+    """NULL and empty payloads must not conflate into one cache key
+    (review finding: both hashed to sha2(b''))."""
+    from ocr_translation_spark.operators.dedup_cache import (
+        dedup_compute_with_cache,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x")], "i long, p string"
+    )
+    out, new_cache = dedup_compute_with_cache(
+        df,
+        "p",
+        lambda s: s.map(lambda p: "<null>" if p is None else f"v[{p}]"),
+        result_col="r",
+    )
+    got = {r["i"]: r["r"] for r in out.collect()}
+    assert got == {1: "<null>", 2: "v[]", 3: "v[x]"}
+    assert new_cache.count() == 3  # three distinct keys
+
+
+def test_translate_cache_empty_lang_suffix(spark):
+    """lang='' must not slice the whole payload away (p[:-0] trap)."""
+    from ocr_translation_spark.operators.stage_c_translate import (
+        translate_texts_with_cache,
+    )
+
+    df = spark.createDataFrame([("the fast cat",)], "text string")
+    out, _ = translate_texts_with_cache(df, lang="")
+    from ocr_translation_spark import semantics as S
+
+    assert out.collect()[0]["translated"] == S.translate_text(
+        "the fast cat"
+    )
+
+
+def test_resume_rejects_changed_bucket_count(spark, tmp_path):
+    """Lineage bucket ids are only meaningful under the n_buckets that
+    wrote them; a resume with a different count must refuse loudly."""
+    import pytest as _pytest
+
+    from ocr_translation_spark.operators.resume import ResumableRun
+
+    docs = spark.createDataFrame(
+        [("d1", [])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out, st = str(tmp_path / "out"), str(tmp_path / "state")
+    ResumableRun(spark, out, st, n_buckets=4).run(docs, None)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        ResumableRun(spark, out, st, n_buckets=8).run(docs, None)
+
+
+def test_ingest_media_dir_duplicate_files_one_row(spark, tmp_path):
+    """Byte-identical files share a content-address ref; the ingest
+    must emit ONE row per ref (two rows abort extract() with
+    DUPLICATED_MAP_KEY — review finding, reproduced pre-fix)."""
+    from ocr_translation_spark.sources.binary_media import ingest_media_dir
+
+    import os as _os
+
+    d = tmp_path / "media"
+    _os.makedirs(d)
+    payload = b"SYNTHIMGsame-bytes"
+    for name in ("a.png", "copy_of_a.png", "other.png"):
+        with open(d / name, "wb") as f:
+            f.write(payload if "a" in name else b"SYNTHIMGdifferent")
+    media = ingest_media_dir(spark, str(d))
+    rows = media.collect()
+    refs = [r["media_ref"] for r in rows]
+    assert len(refs) == len(set(refs)) == 2  # 2 distinct payloads
+    kinds = {r["media_ref"]: r["media_kind"] for r in rows}
+    assert all(k == "png" for k in kinds.values())
