@@ -36,6 +36,7 @@ def salted_repartition(
     key_col: str = "doc_id",
     weight_col: str | None = None,
     salt_buckets: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Hash-repartition on ``key_col`` with a weight-scaled salt.
 
@@ -43,6 +44,20 @@ def salted_repartition(
     ``salt_buckets`` values (proportional to log2(weight)), so a heavy
     key no longer maps to a single partition. Light rows keep salt 0,
     preserving plain hash partitioning for the common case.
+
+    The salt must be DETERMINISTIC per row: an order-dependent salt
+    (monotonically_increasing_id) re-places rows when a partial stage
+    retry re-executes a map task that now sees rows in a different
+    order — lost/duplicated rows, the SPARK-23207 class of bug. It is
+    derived by hashing (key, weight) plus ``salt_cols``:
+
+    * one-row-per-key inputs (the pipeline's per-doc entry hop) need no
+      more — every key already has its own placement, and hashing the
+      full row would price the whole span array into the shuffle key;
+    * multi-row hot keys (post-explode span streams) should pass cheap
+      discriminator columns (e.g. the span offset) as ``salt_cols`` so
+      the hot key's rows actually spread; same-key rows identical in
+      (weight, salt_cols) co-locate, which is deterministic and safe.
     """
     key_hash = F.xxhash64(F.col(key_col))
     if weight_col is None:
@@ -52,18 +67,10 @@ def salted_repartition(
         F.lit(salt_buckets),
         F.greatest(F.lit(1), F.ceil(F.log2(F.col(weight_col) + F.lit(1)))),
     )
-    # the salt must vary WITHIN a hot key's rows — a key-derived salt
-    # would be constant per key and split nothing — but it must also be
-    # DETERMINISTIC per row: monotonically_increasing_id depends on row
-    # order within the task, and after a partial stage retry (executor
-    # lost mid-shuffle) the re-executed map task can see rows in a
-    # different order, re-salting rows into different partitions than
-    # the already-fetched reducer outputs assumed — lost/duplicated
-    # rows (the SPARK-23207 class of bug). Hash of the FULL row content
-    # is order-independent: identical under any retry, and it varies
-    # across a hot key's rows unless the rows are byte-identical (in
-    # which case their placement together is harmless).
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), buckets)
+    salt_inputs = [F.col(key_col), F.col(weight_col)] + [
+        F.col(c) for c in (salt_cols or [])
+    ]
+    salt = F.pmod(F.xxhash64(*salt_inputs), buckets)
     return df.repartition(num_partitions, key_hash, salt)
 
 

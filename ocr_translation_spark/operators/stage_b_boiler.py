@@ -22,48 +22,54 @@ from .. import semantics as S
 _BOILER_TOKENS = list(S.BOILER_TOKEN_SET)
 _DROP_KINDS = [S.KIND_BOILER, S.KIND_TAG_OPEN, S.KIND_TAG_CLOSE]
 
-# Python str.strip()/str.split() whitespace, as a Java regex class.
-# F.trim strips ONLY ASCII spaces and Java's \s is the ASCII subset
-# [ \t\n\x0B\f\r] — a tab-only span would survive the Spark strip while
-# the golden spec (semantics.keep_span: text.strip()) drops it, and a
-# leading \t would inject an empty first token, diluting the boiler
-# score (2/4 kept vs the golden 2/3 dropped). This class is the exact
-# enumeration of Python's isspace() code points, so the columnar path
-# matches the spec on ANY whitespace, not just spaces.
-PY_WS = (
+# Python str.strip()/str.split() whitespace parity. F.trim strips ONLY
+# ASCII spaces and Java's \\s is the ASCII subset [ \\t\\n\\x0B\\f\\r] - a
+# tab-only span would survive the Spark strip while the golden spec
+# (semantics.keep_span: text.strip()) drops it, and a leading tab would
+# inject an empty first token, diluting the boiler score (2/4 kept vs
+# the golden 2/3 dropped). PY_WS_CLASS is a Java-regex class of the
+# EXACT enumeration of Python's 29 isspace() code points (asserted in
+# tests); splitting on it and dropping empty pieces IS str.split().
+# (A translate()-based char remap and a regexp_replace strip were both
+# benchmarked for this per-span hot path: the plain class split ties
+# the old ASCII trim+\\s+ shape; the others cost 20-100% more.)
+PY_WS_CLASS = (
     "[ \\t\\n\\x0b\\f\\r\\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a"
     "\\u2028\\u2029\\u202f\\u205f\\u3000]"
 )
 
 
-def py_strip(text: Column) -> Column:
-    """Columnar twin of Python ``str.strip()`` (Unicode whitespace)."""
-    return F.regexp_replace(text, f"^{PY_WS}+|{PY_WS}+$", "")
+def py_tokens_strict(text: Column) -> Column:
+    """Columnar twin of Python ``str.split()``: split on every Python
+    whitespace char and drop empty pieces. Blank text yields the EMPTY
+    array (unlike a trim+split shape, which yields [""]), so blank-ness
+    is ``size == 0`` and the token array answers every downstream
+    question - the fused pipeline materializes it once per span."""
+    return F.filter(F.split(text, PY_WS_CLASS), lambda t: t != "")
 
 
-def py_tokens(text: Column) -> Column:
-    """Columnar twin of Python ``str.split()`` for non-blank stripped
-    text: split the stripped string on whitespace runs (no empty
-    tokens, since the ends are stripped first)."""
-    return F.split(py_strip(text), f"{PY_WS}+")
-
-
-def _boiler_score(text: Column) -> Column:
-    toks = py_tokens(text)
-    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(_BOILER_TOKENS)))
-    return hits / F.size(toks)
+def keep_from_tokens(kind: Column, text: Column, toks: Column) -> Column:
+    """``semantics.keep_span`` over a pre-tokenized span. ``toks`` must
+    be ``py_tokens_strict(text)``; size 0 == blank. The score division
+    is guarded (ANSI: it must not evaluate for empty token lists)."""
+    n = F.size(toks)
+    hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(_BOILER_TOKENS))
+    )
+    bad_text = (kind == S.KIND_TEXT) & (
+        text.isNull()
+        | (n == 0)
+        | F.when(n > 0, (hits / n) > F.lit(S.BOILER_THRESHOLD)).otherwise(
+            F.lit(False)
+        )
+    )
+    return ~kind.isin(_DROP_KINDS) & ~bad_text
 
 
 def keep_span_predicate(span: Column) -> Column:
     """Columnar twin of ``semantics.keep_span`` (span = struct column)."""
     kind, text = span["kind"], span["text"]
-    is_dropped_kind = kind.isin(_DROP_KINDS)
-    bad_text = (kind == S.KIND_TEXT) & (
-        text.isNull()
-        | (py_strip(text) == "")
-        | (_boiler_score(text) > F.lit(S.BOILER_THRESHOLD))
-    )
-    return ~is_dropped_kind & ~bad_text
+    return keep_from_tokens(kind, text, py_tokens_strict(span["text"]))
 
 
 def strip_boilerplate(df: DataFrame, spans_col: str = "spans") -> DataFrame:

@@ -58,16 +58,31 @@ def _dict_map_two_level() -> Column:
     return F.create_map(*pairs)
 
 
+def translate_tokens(toks: Column) -> Column:
+    """Dictionary translation over a pre-tokenized span (the fused
+    stage B+C path): map each token through the bucketed dict literal
+    and re-join with single spaces — exactly
+    ``" ".join(XLATE_DICT.get(t.lower(), t) for t in text.split())``."""
+    dict_map = _dict_map_two_level()
+
+    def xlate(t):
+        low = F.lower(t)
+        inner = F.element_at(dict_map, F.substring(low, 1, 1))
+        return F.coalesce(F.element_at(inner, low), t)
+
+    return F.array_join(F.transform(toks, xlate), " ")
+
+
 def translate_text_col(text: Column) -> Column:
     """Columnar twin of ``semantics.translate_text`` (null-safe).
     Tokenization matches Python ``str.split()`` exactly (Unicode
-    whitespace, no empty tokens — ``stage_b_boiler.py_tokens``), so
-    tab/NBSP-separated words translate identically to the golden
-    spec."""
-    from .stage_b_boiler import py_tokens
+    whitespace, no empty tokens — ``stage_b_boiler.py_tokens_strict``),
+    so tab/NBSP-separated words translate identically to the golden
+    spec (blank text -> empty token list -> "")."""
+    from .stage_b_boiler import py_tokens_strict
 
     dict_map = _dict_map_two_level()
-    toks = py_tokens(text)
+    toks = py_tokens_strict(text)
 
     def xlate(t):
         low = F.lower(t)

@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators.partitioning import media_weight, salted_repartition
 from .operators.stage_a_ocr import ocr_distinct_media
-from .operators.stage_b_boiler import strip_boilerplate
+# (strip_boilerplate stays available as a standalone operator; the
+# pipeline uses the fused token path below)
 
 SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
 OUT_SCHEMA = f"doc_id string, spans array<{SPAN_STRUCT}>"
@@ -238,21 +239,42 @@ def extract(
             ).alias("spans"),
         )
 
-    stripped = strip_boilerplate(all_docs)
-    # stage C + re-offset fused into ONE transform (each transform
-    # materializes a new array per row; fusing halves that cost)
-    from .operators.stage_c_translate import translate_text_col
+    # Stages B + C + re-offset fused into ONE expression chain that
+    # tokenizes each span EXACTLY ONCE: an inner transform materializes
+    # the Python-split token array into the span struct (a nested
+    # transform node is evaluated once per row — the per-element
+    # re-evaluation hazard applies to outer subtrees referenced inside
+    # lambdas, not to the lambda's own input), the keep filter and the
+    # dictionary translation then both read that array. The unfused
+    # strip_boilerplate + translate_spans operators (same semantics,
+    # used standalone and by tests) tokenize 3x per span — measured
+    # ~25% slower end-to-end on the extraction headline after the
+    # whitespace-parity fix priced tokenization up.
+    from .operators.stage_b_boiler import keep_from_tokens, py_tokens_strict
+    from .operators.stage_c_translate import translate_tokens
 
-    result = stripped.select(
-        "doc_id",
-        F.transform(
-            F.col("spans"),
-            lambda s, i: F.struct(
-                s["kind"].alias("kind"),
-                translate_text_col(s["text"]).alias("text"),
-                s["media_ref"].alias("media_ref"),
-                i.cast("int").alias("offset"),
-            ),
-        ).alias("spans"),
+    toked = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            py_tokens_strict(s["text"]).alias("toks"),
+        ),
     )
+    kept = F.filter(
+        toked, lambda t: keep_from_tokens(t["kind"], t["text"], t["toks"])
+    )
+    spans_out = F.transform(
+        kept,
+        lambda t, i: F.struct(
+            t["kind"].alias("kind"),
+            F.when(t["text"].isNull(), None)
+            .otherwise(translate_tokens(t["toks"]))
+            .alias("text"),
+            t["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    result = all_docs.select("doc_id", spans_out.alias("spans"))
     return ExtractResult(result, new_cache)

@@ -384,3 +384,22 @@ def test_ingest_media_dir_duplicate_files_one_row(spark, tmp_path):
     assert len(refs) == len(set(refs)) == 2  # 2 distinct payloads
     kinds = {r["media_ref"]: r["media_kind"] for r in rows}
     assert all(k == "png" for k in kinds.values())
+
+
+def test_py_ws_class_matches_python_isspace(spark):
+    """PY_WS_CLASS must match EXACTLY the code points Python's
+    str.isspace()/split()/strip() treat as whitespace — no more (ZWSP,
+    word-joiner, BOM are NOT python whitespace), no fewer."""
+    from pyspark.sql import functions as F
+
+    from ocr_translation_spark.operators.stage_b_boiler import PY_WS_CLASS
+
+    ws = [chr(i) for i in range(0x10000) if chr(i).isspace()]
+    nonws = ["a", "0", ".", "​", "⁠", "﻿", "᠎"]
+    rows = [(c,) for c in ws + nonws]
+    df = spark.createDataFrame(rows, "c string")
+    got = df.select(
+        "c", F.col("c").rlike(f"^{PY_WS_CLASS}$").alias("m")
+    ).collect()
+    for r in got:
+        assert r["m"] == r["c"].isspace(), hex(ord(r["c"]))
