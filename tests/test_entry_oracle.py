@@ -54,6 +54,48 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+# The round driver records correctness rows for the FIRST 50 registry
+# entries only. Pin the window allocation: every distinct operator
+# family must hold a slot inside the first 50; only near-redundant
+# variants of already-represented families may sit past it. Adding a
+# 59th query without demoting a variant breaks this on purpose.
+_VARIANT_TAIL = {
+    "dedup_best_quality",
+    "ngram_jaccard_pairs",
+    "events_percentiles_sampled",
+    "embedding_neardup",
+    "events_hourly_users",
+    "orders_priority_rollup",
+    "clickers_without_purchase",
+    "tpch_q7_volume_shipping",
+}
+
+
+def test_driver_window_covers_every_operator_family():
+    order = list(QUERIES)
+    windowed, tail = set(order[:50]), set(order[50:])
+    assert tail <= _VARIANT_TAIL, (
+        f"non-variant queries fell out of the driver's 50-entry "
+        f"window: {sorted(tail - _VARIANT_TAIL)}"
+    )
+    # each demoted variant's family keeps a representative in-window
+    family_rep = {
+        "dedup_best_quality": "exact_dedup",
+        "ngram_jaccard_pairs": "shingle_fingerprint",
+        "events_percentiles_sampled": "events_percentiles",
+        "embedding_neardup": "embedding_neardup_lsh",
+        "events_hourly_users": "events_hourly",
+        "orders_priority_rollup": "tpch_pricing_summary",
+        "clickers_without_purchase": "customers_no_recent_order",
+        "tpch_q7_volume_shipping": "tpch_q5_region_revenue",
+    }
+    for variant in tail:
+        assert family_rep[variant] in windowed, (
+            f"{variant} demoted but its family rep "
+            f"{family_rep[variant]} is not in the window"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
     sdf = QUERIES[name](spark, SF_DIR).toPandas()
