@@ -69,23 +69,24 @@ def main() -> None:
     max_warm: dict[str, float] = {}
     cold: dict[str, float] = {}
 
-    def timed(name, fn):
+    def timed(name, fn, repeats=None):
         # first run warms JIT/codegen (a freshly generated class executes
         # interpreted; observed 13x slower) and the Python workers —
         # steady-state throughput is the metric, cold times are reported
         # separately. p50 over REPEATS warm runs is the headline: this
         # host shows 3-18x run-to-run noise, single samples mislead.
+        reps = repeats or REPEATS
         t0 = time.monotonic()
         fn()
         cold[name] = round(time.monotonic() - t0, 3)
         warm = []
-        for _ in range(REPEATS):
+        for _ in range(reps):
             t0 = time.monotonic()
             fn()
             warm.append(time.monotonic() - t0)
         warm.sort()
         timings[name] = round(statistics.median(warm), 3)
-        # honestly labeled: at REPEATS=3 this is the max of 3 warm
+        # honestly labeled: at small reps this is the max of the warm
         # samples, not a tail percentile
         max_warm[name] = round(warm[-1], 3)
 
@@ -100,11 +101,14 @@ def main() -> None:
             "extract_synthetic",
             lambda: _force(extract(spark, docs, media).result),
         )
-    # flagship derived-span pipeline over the driver corpus
+    # flagship derived-span pipeline over the driver corpus; >=5 warm
+    # reps so host variance can't mask real drift (r3->r4 committed
+    # 1.65 -> 1.92 s was un-adjudicable from n=3)
     if want("extract_flagship"):
         timed(
             "extract_flagship",
             lambda: _force(queries["extract_flagship"](spark, SF_DIR)),
+            repeats=max(REPEATS, 5),
         )
     for name in (
         "exact_dedup",
@@ -115,6 +119,12 @@ def main() -> None:
         "events_hourly",
         "quality_scores",
         "lang_id",
+        # round-4 operator additions: iterative connected components,
+        # composed curation, TF-IDF ranking, repetition signals
+        "dedup_clusters",
+        "curation_e2e",
+        "tfidf_top_terms",
+        "repetition_signals",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

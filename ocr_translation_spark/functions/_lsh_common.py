@@ -85,7 +85,15 @@ def pin_scalar(site: str, df: DataFrame, compute):
     """Memoized driver-side scalar tied to the pin at ``site``: when the
     pinned plan still matches ``df`` and a value was recorded, return it
     without running a job; otherwise run ``compute(df)`` once and record
-    it. ``pin_exclusive(df, site)`` must have been called first."""
+    it. ``pin_exclusive(df, site)`` must have been called first.
+
+    Caveat (by design, same as ``pin_exclusive``): the memo is keyed on
+    the CANONICAL PLAN only. If the files behind an identical-looking
+    plan are rewritten between calls (same path, new data), the stale
+    scalar is returned — stronger staleness than Spark's own plan-keyed
+    cache, which would at least recompute values. Sources are assumed
+    immutable for the life of the pin; callers that rewrite source
+    paths must call :func:`invalidate` (or :func:`unpin`) first."""
     with _PIN_LOCK:
         pinned = _PINNED.get(site)
         if pinned is not None and site in _PIN_META:
@@ -133,27 +141,68 @@ def pin_scalar(site: str, df: DataFrame, compute):
 _PREPARED: dict[str, tuple] = {}
 
 
-def prepared(site: str, src: DataFrame, params: tuple, build):
+def _same_plan(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    try:
+        return (
+            a._jdf.queryExecution()
+            .analyzed()
+            .sameResult(b._jdf.queryExecution().analyzed())
+        )
+    except Exception:
+        return False
+
+
+def prepared(site: str, src, params: tuple, build):
     """Return the memoized result of ``build()`` for (``src``,
     ``params``) at this call site, rebuilding only when the source plan
-    or the parameters changed."""
+    or the parameters changed. ``src`` is a DataFrame or a tuple of
+    DataFrames/None (every element must match canonically).
+
+    Caveat (by design): the match is on the CANONICAL SOURCE PLAN only.
+    If the files behind an identical-looking plan are rewritten between
+    calls (same path, new data), the memoized result is structurally
+    stale — e.g. a dup fan-out built for the old corpus is returned for
+    the new one — which goes beyond Spark's plan-keyed cache (that
+    would at least recompute values). Sources are assumed immutable for
+    the session; callers that rewrite source paths must call
+    :func:`invalidate` for the site (or :func:`invalidate_all`) first.
+    """
+    srcs = src if isinstance(src, tuple) else (src,)
     with _PIN_LOCK:
         entry = _PREPARED.get(site)
-    if entry is not None and entry[1] == params:
-        try:
-            same = (
-                entry[0]._jdf.queryExecution()
-                .analyzed()
-                .sameResult(src._jdf.queryExecution().analyzed())
-            )
-        except Exception:
-            same = False
-        if same:
-            return entry[2]
+    if (
+        entry is not None
+        and entry[1] == params
+        and len(entry[0]) == len(srcs)
+        and all(_same_plan(a, b) for a, b in zip(entry[0], srcs))
+    ):
+        return entry[2]
     res = build()
     with _PIN_LOCK:
-        _PREPARED[site] = (src, params, res)
+        _PREPARED[site] = (srcs, params, res)
     return res
+
+
+def invalidate(site: str) -> None:
+    """Forget memoized state for ``site``: the prepared plan and the
+    pin scalar. Call when the files behind a source path were
+    rewritten in place — the canonical-plan matching of
+    :func:`prepared` / :func:`pin_scalar` cannot see data changes
+    behind an unchanged plan. Does NOT release the pinned cache
+    (:func:`unpin` does that and also drops the scalar)."""
+    with _PIN_LOCK:
+        _PREPARED.pop(site, None)
+        _PIN_META.pop(site, None)
+
+
+def invalidate_all() -> None:
+    """:func:`invalidate` for every site (e.g. after a bulk fixture
+    rewrite in tests)."""
+    with _PIN_LOCK:
+        _PREPARED.clear()
+        _PIN_META.clear()
 
 
 def unpin(site: str) -> None:

@@ -54,58 +54,95 @@ def connected_components(
 
     Raises RuntimeError if not converged within ``max_iters`` rounds
     (near-dup graphs converge in O(diameter) ~ a handful)."""
-    und = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct()
+    # The loop runs over EDGE-ENDPOINT vertices only: an isolated vertex
+    # can never change label, so carrying the whole corpus through every
+    # round's shuffles is pure waste (near-dup pair graphs touch a tiny
+    # fraction of a pre-curated corpus). Isolated vertices come back as
+    # lazy singleton clusters unioned onto the converged result.
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .persist()  # read EVERY round — never replay pair generation
+    )
 
-    verts = und.select(F.col("u").alias("node"))
-    if nodes is not None:
-        verts = verts.unionByName(nodes.select(F.col(node_col).alias("node")))
-    verts = verts.distinct()
-
+    # eager checkpoint: the vertex set outlives the loop (the returned
+    # plan anti-joins isolated nodes against it AFTER und is released),
+    # and it must not replay pair generation on consumption
+    verts = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)  # materializes und as a side effect
+    )
     labels = verts.select("node", F.col("node").alias("label")).persist()
-    labels.count()  # materialize round 0
+    n_edge_verts = labels.count()  # materialize round 0
+
+    def _with_isolated(cc: DataFrame) -> DataFrame:
+        if nodes is None:
+            return cc
+        iso = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(verts, "node", "left_anti")
+            .select("node", F.col("node").alias("cluster_id"))
+        )
+        return cc.unionByName(iso)
+
+    if n_edge_verts == 0:
+        # dup-free corpus: no loop, every node is its own cluster
+        und.unpersist()
+        labels.unpersist()
+        return _with_isolated(
+            labels.select("node", F.col("label").alias("cluster_id"))
+        )
 
     try:
         for it in range(max_iters):
-            # neighbor labels: edge (u,v) proposes v's current label to u
+            # neighbor labels: edge (u,v) proposes v's current label to
+            # u. The node's OWN previous label rides along (`old`, one
+            # non-null per node) so convergence is read off the same
+            # aggregate — no per-round labels-to-labels join.
             proposals = und.join(
                 labels.select(F.col("node").alias("v"), F.col("label")), "v"
-            ).select(F.col("u").alias("node"), "label")
+            ).select(
+                F.col("u").alias("node"),
+                "label",
+                F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
+            )
             new_labels = (
-                labels.unionByName(proposals)
+                labels.select("node", "label", F.col("label").alias("old"))
+                .unionByName(proposals)
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
+                .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             )
             if (it + 1) % _CHECKPOINT_EVERY == 0:
                 # truncate lineage: round k's plan must not replay 1..k-1
                 new_labels = new_labels.localCheckpoint(eager=False)
             new_labels = new_labels.persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            changed = new_labels.filter(
+                F.col("label") != F.col("old")
+            ).count()  # the round's ONLY job: materializes the persist too
             labels.unpersist()
-            labels = new_labels
+            labels = new_labels  # the PERSISTED 3-col frame (unpersistable)
             if changed == 0:
                 # hand the caller an eagerly localCheckpointed result —
                 # its blocks are released by the ContextCleaner when the
                 # caller drops the DataFrame — and free the loop's
                 # CacheManager entry (a bare persist would otherwise
                 # live for the session; one leak per distinct input)
-                return labels.select(
-                    "node", F.col("label").alias("cluster_id")
-                ).localCheckpoint(eager=True)
+                return _with_isolated(
+                    labels.select(
+                        "node", F.col("label").alias("cluster_id")
+                    ).localCheckpoint(eager=True)
+                )
         raise RuntimeError(
             f"connected_components: not converged after {max_iters} rounds "
             "(pathological chain graph? raise max_iters)"
         )
     finally:
         labels.unpersist()
+        und.unpersist()
 
 
 def dedup_clusters(
@@ -116,11 +153,28 @@ def dedup_clusters(
     """Canonical duplicate clusters from near-dup PAIRS:
     (doc_id, cluster_id, is_survivor). Every doc in ``docs`` appears
     (singletons survive as their own cluster); the survivor is the
-    min-id member — the same survivorship rule as ``exact_dedup``."""
-    nodes = docs.select(F.col(id_col).alias("_id")) if docs is not None else None
-    cc = connected_components(pairs, nodes=nodes)
-    return cc.select(
-        F.col("node").alias(id_col),
-        "cluster_id",
-        (F.col("node") == F.col("cluster_id")).alias("is_survivor"),
+    min-id member — the same survivorship rule as ``exact_dedup``.
+
+    Prepared-plan reuse (same pattern as the LSH generators): the CC
+    loop runs O(diameter) driver-coordinated jobs, so a repeat call
+    with the SAME pair/doc plans returns the already-converged
+    (checkpoint-backed) result outright instead of re-iterating —
+    ``prepared()``'s immutable-source caveat applies."""
+    from ._lsh_common import prepared
+
+    def _build() -> DataFrame:
+        nodes = (
+            docs.select(F.col(id_col).alias("_id"))
+            if docs is not None
+            else None
+        )
+        cc = connected_components(pairs, nodes=nodes)
+        return cc.select(
+            F.col("node").alias(id_col),
+            "cluster_id",
+            (F.col("node") == F.col("cluster_id")).alias("is_survivor"),
+        )
+
+    return prepared(
+        "graph:dedup_clusters", (pairs, docs), (id_col,), _build
     )

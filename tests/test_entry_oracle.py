@@ -125,3 +125,25 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_flagship_plan_shape(spark):
+    """Pin the flagship's physical plan: exactly ONE exchange (the
+    explicit salted doc_id repartition) and ZERO Python crossings —
+    stage B strip + stage C translate are pure JVM column expressions.
+    Perf drift from an added shuffle or an accidental Python UDF shows
+    up here before it shows up as an un-adjudicable bench delta."""
+    df = QUERIES["extract_flagship"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, (
+        f"flagship grew to {plan.count('Exchange')} exchanges"
+    )
+    for marker in (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "PythonUDF",
+    ):
+        assert marker not in plan, f"flagship gained a {marker} crossing"
