@@ -484,8 +484,18 @@ def _build_simhash_near_dup_pairs(
         .select("id_a", "id_b", "hamming")
     )
 
+    from ._lsh_common import pin_exclusive, unpin
+
     if dup_expand is None:
+        unpin("simhash_near_dup_pairs:pairs")  # no stale pin from a prior corpus
         return rep_pairs
+    # Pin the verified rep-level pairs before fanning out: the fan-out
+    # suffix references them under two left joins, and without the pin
+    # the ENTIRE banding+verify subtree is re-derived per reference in
+    # the textual plan (50 exchanges of explain bloat for a plan whose
+    # executed cost was fine) — and genuinely re-executed if the cache
+    # got evicted. Pairs are few post-verify; the pin is tiny.
+    rep_pairs = pin_exclusive(rep_pairs, "simhash_near_dup_pairs:pairs")
     cross = fan_out_pairs(rep_pairs, dup_expand, "hamming")
     within = within_group_pairs(dup_expand).select(
         "id_a", "id_b", F.lit(0).cast("integer").alias("hamming")
