@@ -27,7 +27,11 @@ Where salting matters at 100 TB (and where it doesn't):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
+
+_LOG = logging.getLogger("ocr_translation_spark.partitioning")
 
 
 def salted_repartition(
@@ -37,6 +41,7 @@ def salted_repartition(
     weight_col: str | None = None,
     salt_buckets: int = 8,
     salt_cols: list[str] | None = None,
+    single_row_keys: bool = False,
 ) -> DataFrame:
     """Hash-repartition on ``key_col`` with a weight-scaled salt.
 
@@ -62,6 +67,21 @@ def salted_repartition(
     key_hash = F.xxhash64(F.col(key_col))
     if weight_col is None:
         return df.repartition(num_partitions, key_hash)
+    if salt_buckets > 1 and not salt_cols and not single_row_keys:
+        # the salt is constant per (key, weight): a MULTI-row hot key
+        # whose rows share the weight all land on one partition — zero
+        # spreading. Callers with one-row-per-key inputs (the
+        # pipeline's entry hop) declare it via ``single_row_keys=True``;
+        # anyone else omitting salt_cols is losing skew mitigation
+        # silently, and this warning is how they find out.
+        _LOG.warning(
+            "salted_repartition(key=%s, weight=%s, salt_buckets=%d) "
+            "without salt_cols: the salt is constant per (key, weight) "
+            "— multi-row hot keys will NOT spread; pass cheap "
+            "discriminator columns via salt_cols (or declare "
+            "single_row_keys=True if %s is one-row-per-key)",
+            key_col, weight_col, salt_buckets, key_col,
+        )
     # buckets available to this row: 1 (light) .. salt_buckets (heavy)
     buckets = F.least(
         F.lit(salt_buckets),

@@ -173,8 +173,19 @@ class ResumableRun:
         os.makedirs(self.state_dir, exist_ok=True)
         pf = os.path.join(self.state_dir, "protocol.json")
         if os.path.exists(pf):
-            with open(pf) as f:
-                saved = json.load(f)
+            try:
+                with open(pf) as f:
+                    saved = json.load(f)
+            except (json.JSONDecodeError, OSError) as exc:
+                # truncated/unreadable protocol must surface as the
+                # protocol error it is, not an anonymous decode crash
+                raise ValueError(
+                    f"resume state at {self.state_dir} has a corrupted "
+                    f"protocol.json ({exc}); if the bucket count of the "
+                    "original run is known, restore the file as "
+                    '{"n_buckets": N} — otherwise start a fresh state '
+                    "dir"
+                ) from exc
             if saved.get("n_buckets") != self.n_buckets:
                 raise ValueError(
                     f"resume state at {self.state_dir} was written with "
@@ -184,8 +195,12 @@ class ResumableRun:
                     "original count or start a fresh state dir."
                 )
         else:
-            with open(pf, "w") as f:
+            # atomic publish: a crash mid-write must not leave truncated
+            # JSON that blocks every later resume
+            tmp = pf + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump({"n_buckets": self.n_buckets}, f)
+            os.replace(tmp, pf)
 
     def _commit_bucket(self, b: int, stats, wall_ms: int) -> None:
         """The bucket's commit point: ONE lineage append (serialized by

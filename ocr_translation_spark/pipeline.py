@@ -212,6 +212,7 @@ def extract(
             key_col="doc_id",
             weight_col="_w",
             salt_buckets=salt_buckets,
+            single_row_keys=True,  # one row per doc_id at the entry hop
         ).select("doc_id", "spans")
 
     if resolved is None:

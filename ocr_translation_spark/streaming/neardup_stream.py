@@ -41,9 +41,12 @@ granularity).
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+_LOG = logging.getLogger("ocr_translation_spark.stream_near_dup")
 
 from ..functions.dedup import (
     band_hash,
@@ -185,6 +188,12 @@ def stream_near_dup(
                 SIG_REGISTRY, "fp", where=F.col("p").isin(fp_ps)
             )
             if sig_mine is None:
+                _LOG.warning(
+                    "stream_near_dup: signature registry unreadable — "
+                    "this micro-batch's own signatures stand in for "
+                    "registry history (recall vs history is lost for "
+                    "this batch; see cache-error contract)"
+                )
                 sig_mine = reps.select(
                     "fp", F.col("_claim").alias("canonical_id"), "sig"
                 )
@@ -199,16 +208,22 @@ def stream_near_dup(
             band_reg = cat.load_cache(
                 BAND_REGISTRY, "k", where=F.col("p").isin(band_ps)
             )
-            band_reg = (
-                band_reg.select(
+            if band_reg is not None:
+                band_reg = band_reg.select(
                     "band", "band_hash", F.col("fp").alias("fp_reg")
                 )
-                if band_reg is not None
-                # degraded registry: within-batch candidates only
-                else banded.select(
+            else:
+                # degraded registry: within-batch candidates only — a
+                # recall reduction, so it is LOGGED like every other
+                # drop (cap_buckets convention), never silent
+                _LOG.warning(
+                    "stream_near_dup: band registry unreadable — this "
+                    "micro-batch is matched only against itself; all "
+                    "historical near-dup recall is lost for this batch"
+                )
+                band_reg = banded.select(
                     "band", "band_hash", F.col("fp").alias("fp_reg")
                 )
-            )
             if max_registry_bucket is not None:
                 from ..functions._lsh_common import cap_buckets
 
@@ -235,13 +250,17 @@ def stream_near_dup(
             sig_theirs = cat.load_cache(
                 SIG_REGISTRY, "fp", where=F.col("p").isin(reg_ps)
             )
-            sig_theirs = (
-                sig_theirs.drop("p")
-                if sig_theirs is not None
-                else reps.select(
+            if sig_theirs is not None:
+                sig_theirs = sig_theirs.drop("p")
+            else:
+                _LOG.warning(
+                    "stream_near_dup: signature registry unreadable for "
+                    "candidate partners — matching degrades to this "
+                    "micro-batch's own signatures"
+                )
+                sig_theirs = reps.select(
                     "fp", F.col("_claim").alias("canonical_id"), "sig"
                 )
-            )
             mine = sig_mine.select(
                 "fp",
                 F.col("canonical_id").alias("_my_id"),

@@ -43,6 +43,24 @@ def test_resume_after_crash_equals_single_run(spark, fixture_dir, tmp_path):
     assert len({r["run_id"] for r in lineage}) == 2
 
 
+def test_corrupted_protocol_raises_clear_error(spark, fixture_dir, tmp_path):
+    """A crash mid-protocol-write (or disk corruption) must surface as
+    a clear ValueError naming the file and the fix — not an anonymous
+    JSONDecodeError that blocks resume until someone reads a stack
+    trace."""
+    import os
+
+    docs = load_fixture(spark, fixture_dir, "documents")
+    media = load_fixture(spark, fixture_dir, "media")
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    os.makedirs(state, exist_ok=True)
+    with open(os.path.join(state, "protocol.json"), "w") as f:
+        f.write('{"n_buck')  # truncated mid-write
+    run = ResumableRun(spark, out, state, n_buckets=2)
+    with pytest.raises(ValueError, match="corrupted protocol.json"):
+        run.run(docs, media)
+
+
 def test_resume_noop_when_complete(spark, fixture_dir, tmp_path):
     docs = load_fixture(spark, fixture_dir, "documents")
     media = load_fixture(spark, fixture_dir, "media")
