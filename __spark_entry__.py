@@ -45,6 +45,7 @@ from ocr_translation_spark.functions.text import (
     add_lang_id,
     add_quality,
     add_token_count,
+    token_concentration,
 )
 from ocr_translation_spark.pipeline import extract
 
@@ -1351,6 +1352,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_metadata"] = _media_meta
 
+    # ---- round-5 curation additions: benchmark decontamination,
+    # vocabulary/OOV coverage, unigram concentration signals, and
+    # deterministic mixture resampling ----
+
+    def _decontam(spark, sf):
+        """Benchmark decontamination: docs with doc_id % 29 == 0 play
+        the (small, broadcastable) eval suite; every other doc is
+        flagged if it shares any word 4-gram with it. n=4 here because
+        the synthetic corpus draws from a 31-token vocabulary — 31^4
+        ~ 1M possible grams gives the same specificity a 13-gram has on
+        natural text; production calls use the default n=8+."""
+        from ocr_translation_spark.functions.decontam import (
+            ngram_decontaminate,
+        )
+
+        docs = _read(spark, sf, "documents")
+        return ngram_decontaminate(
+            docs.filter(F.col("doc_id") % 29 != 0),
+            docs.filter(F.col("doc_id") % 29 == 0),
+            n=4,
+        )
+
+    q["ngram_decontaminate"] = _decontam
+
+    def _vocab_oov(spark, sf):
+        """Two-pass vocabulary coverage: top-16 tokens by corpus
+        frequency (16 of the corpus's 31 types, so OOV rates are
+        non-degenerate at test scale; production = 32k-100k), then
+        per-doc OOV occurrence rate against the broadcast vocab."""
+        from ocr_translation_spark.functions.vocab import (
+            build_vocab,
+            oov_rate,
+        )
+
+        docs = _read(spark, sf, "documents")
+        return oov_rate(docs, build_vocab(docs, 16))
+
+    q["vocab_oov_rate"] = _vocab_oov
+
+    q["token_concentration"] = lambda spark, sf: token_concentration(
+        _read_spread(spark, sf, "documents")
+    )
+
+    def _mixture(spark, sf):
+        """Deterministic mixture resampling: every source downsampled
+        toward an expected 15 docs via content-addressed acceptance
+        (exact integer threshold — see sampling.weighted_mixture_sample).
+        Zero corpus shuffle: counts are |sources| rows, broadcast."""
+        from ocr_translation_spark.functions.sampling import (
+            weighted_mixture_sample,
+        )
+
+        docs = _read(spark, sf, "documents")
+        return weighted_mixture_sample(
+            docs, "source", "doc_id", 15
+        ).select("doc_id", "source")
+
+    q["mixture_resample"] = _mixture
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -1368,6 +1428,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   orders_priority_rollup    filter+groupBy, same as pricing_summary
     #   clickers_without_purchase anti-join, same as customers_no_recent_order
     #   tpch_q7_volume_shipping   multi-join+agg, same as tpch_q5
+    #   content_hash              raw-sha variant of fingerprint_sha
+    #   events_top_users          partitioned top-k window, same as
+    #                             source_top_docs
+    #   big_spender_customers     groupBy+HAVING, same shape as
+    #                             customers_above_nation_avg
+    #   tpch_q10_returned_items   join+agg+top-k, same as tpch_q3_shipping
     _DEMOTED_VARIANTS = (
         "dedup_best_quality",
         "ngram_jaccard_pairs",
@@ -1377,6 +1443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_priority_rollup",
         "clickers_without_purchase",
         "tpch_q7_volume_shipping",
+        "content_hash",
+        "events_top_users",
+        "big_spender_customers",
+        "tpch_q10_returned_items",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -2359,6 +2429,102 @@ SELECT query_id, neighbor_id, sim, rank::INTEGER AS rank FROM (
     PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
   FROM s
 ) WHERE rank <= 5
+"""
+
+    # ---- round-5 curation twins ----
+
+    # DuckDB list slicing is 1-based INCLUSIVE: t[i:i+3] is 4 tokens.
+    o["ngram_decontaminate"] = f"""
+WITH dtoks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), dgrams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 3, 0)),
+           i -> array_to_string(t[i:i+3], ' '))) AS gs
+  FROM dtoks
+), bg AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM dgrams WHERE doc_id % 29 = 0
+), ex AS (
+  SELECT doc_id, unnest(gs) AS gram FROM dgrams WHERE doc_id % 29 <> 0
+), hits AS (
+  SELECT ex.doc_id AS doc_id, count(*)::BIGINT AS n_grams,
+         count(bg.gram)::BIGINT AS n_hits
+  FROM ex LEFT JOIN bg ON ex.gram = bg.gram
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 29 <> 0
+"""
+
+    o["vocab_oov_rate"] = f"""
+WITH vtoks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t
+  FROM documents WHERE trim(text) <> ''
+), ex AS (
+  SELECT doc_id, unnest(t) AS tok FROM vtoks
+), vc AS (
+  SELECT tok, count(*) AS c FROM ex GROUP BY tok
+), v AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn FROM vc
+  ) WHERE rn <= 16
+), per AS (
+  SELECT ex.doc_id AS doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+  FROM ex LEFT JOIN v ON ex.tok = v.tok
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(p.n_oov, 0)::BIGINT AS n_oov,
+       CASE WHEN p.n_tokens IS NULL THEN 0.0
+            ELSE round(p.n_oov::DOUBLE / p.n_tokens, 6) END AS oov_rate
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+    o["token_concentration"] = f"""
+WITH ctoks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t
+  FROM documents WHERE trim(text) <> ''
+), cex AS (
+  SELECT doc_id, unnest(t) AS tok FROM ctoks
+), ct AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS c FROM cex GROUP BY 1, 2
+), cd AS (
+  SELECT doc_id, sum(c)::BIGINT AS n, sum(c * c)::BIGINT AS sum_c2,
+         max(c)::BIGINT AS m, count(*)::BIGINT AS types,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+  FROM ct GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(cd.n, 0)::BIGINT AS n_tokens,
+       CASE WHEN cd.n IS NULL THEN 0.0
+            ELSE round(cd.m::DOUBLE / cd.n, 6) END AS top_token_frac,
+       CASE WHEN cd.n IS NULL THEN 0.0
+            ELSE round(1.0 - cd.sum_c2::DOUBLE / (cd.n * cd.n), 6)
+       END AS simpson_index,
+       CASE WHEN cd.n IS NULL THEN 0.0
+            ELSE round(cd.hapax::DOUBLE / cd.types, 6) END AS hapax_frac
+FROM documents d LEFT JOIN cd ON d.doc_id = cd.doc_id
+"""
+
+    # same 60-bit hash + exact-integer threshold as
+    # sampling.weighted_mixture_sample (HUGEINT = the DECIMAL(38,0)
+    # arithmetic Spark uses)
+    o["mixture_resample"] = """
+WITH mc AS (
+  SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN mc USING (source)
+WHERE (('0x' || substr(sha256(d.doc_id::VARCHAR), 1, 15))::UBIGINT)::HUGEINT
+        * n_s::HUGEINT
+      < 15::HUGEINT * 1152921504606846976::HUGEINT
 """
 
     return o

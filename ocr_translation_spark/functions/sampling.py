@@ -46,3 +46,46 @@ def hash_sample(df: DataFrame, id_col: str, mod: int, keep: int = 0) -> DataFram
     downstream shuffle."""
     h = F.conv(sample_key(F.col(id_col)), 16, 10).cast("decimal(20,0)")
     return df.filter(h % mod == keep)
+
+
+def weighted_mixture_sample(
+    df: DataFrame, strata_col: str, id_col: str, cap: float
+) -> DataFrame:
+    """Deterministic mixture resampling: downsample every stratum
+    (source/domain) toward an expected ``cap`` rows, leaving smaller
+    strata untouched — the standard move to stop one crawl/domain from
+    dominating a training mixture.
+
+    Acceptance is content-addressed, not RNG: row kept iff
+
+        h(id) * n_s  <  cap * 2^60,     h(id) = first 60 bits of
+                                        sha256(id), n_s = stratum size
+
+    i.e. accept with probability min(1, cap / n_s), decided purely by
+    the row's own hash — reproducible on any engine, any partitioning,
+    resumable mid-run.  The comparison runs in exact DECIMAL(38,0)
+    integer arithmetic (h < 2^60, so h * n_s needs up to ~38 digits at
+    trillion-row strata): no float threshold, no engine-rounding drift,
+    which is what makes the DuckDB twin (HUGEINT there) bit-exact.
+
+    Shape at 100 TB: one tiny aggregation for the per-stratum counts
+    (|strata| rows — domains, not docs), broadcast back, then a pure
+    per-row predicate.  ZERO shuffle of the corpus itself.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n_s"))
+    h = F.conv(
+        F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 15),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    # exact integer threshold: int cap stays exact; a fractional cap is
+    # snapped to its 53-bit float value on BOTH engines identically.
+    # The value exceeds int64 (cap * 2^60), so it travels as a string
+    # literal cast to DECIMAL — F.lit(int) would overflow py4j's long.
+    _t = cap * (16**15) if isinstance(cap, int) else int(cap * float(16**15))
+    threshold = F.lit(str(_t)).cast("decimal(38,0)")
+    return (
+        df.join(F.broadcast(counts), strata_col)
+        .filter(h * F.col("_n_s") < threshold)
+        .drop("_n_s")
+    )

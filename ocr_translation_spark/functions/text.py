@@ -276,3 +276,69 @@ def chunk_documents(
             ),
         )
     )
+
+
+def token_concentration(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram concentration quality signals per doc (the token-level
+    complement of ``repetition_signals``' bigram/trigram view):
+
+    * ``top_token_frac`` — most frequent token's share of occurrences
+      (a doc that is 40% one word is keyword stuffing);
+    * ``simpson_index`` — 1 - sum(c^2)/n^2, the probability two random
+      token draws differ: collapses toward 0 on degenerate docs without
+      needing logarithms (entropy would drag libm into the oracle
+      comparison; Simpson is pure integer arithmetic + one division,
+      so any engine is bit-exact);
+    * ``hapax_frac`` — fraction of the doc's distinct tokens occurring
+      exactly once (hapax legomena rate; natural prose is hapax-rich,
+      templated text is not).
+
+    Shape: explode -> (doc, token) hash agg -> doc hash agg, both on
+    uniform composite keys; no windows, no state — corpus-size-proof.
+    Short/empty docs come back 0-valued through the LEFT join.
+    """
+    per_tok = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(normalized_text(F.col(text_col)))).alias("tok"),
+        )
+        .groupBy("_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = per_tok.groupBy("_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.max("c").alias("m"),
+        F.count("*").alias("types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+    )
+    n = F.coalesce("n", F.lit(0))
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, df[id_col] == per_doc["_id"], "left")
+        .select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            F.when(n == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("m").cast("double") / F.col("n"), 6))
+            .alias("top_token_frac"),
+            F.when(n == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.lit(1.0)
+                    - F.col("sum_c2").cast("double")
+                    / (F.col("n") * F.col("n")),
+                    6,
+                )
+            )
+            .alias("simpson_index"),
+            F.when(n == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("hapax").cast("double") / F.col("types"), 6)
+            )
+            .alias("hapax_frac"),
+        )
+    )

@@ -68,6 +68,10 @@ _VARIANT_TAIL = {
     "orders_priority_rollup",
     "clickers_without_purchase",
     "tpch_q7_volume_shipping",
+    "content_hash",
+    "events_top_users",
+    "big_spender_customers",
+    "tpch_q10_returned_items",
 }
 
 
@@ -88,6 +92,10 @@ def test_driver_window_covers_every_operator_family():
         "orders_priority_rollup": "tpch_pricing_summary",
         "clickers_without_purchase": "customers_no_recent_order",
         "tpch_q7_volume_shipping": "tpch_q5_region_revenue",
+        "content_hash": "fingerprint_sha",
+        "events_top_users": "source_top_docs",
+        "big_spender_customers": "customers_above_nation_avg",
+        "tpch_q10_returned_items": "tpch_q3_shipping",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
