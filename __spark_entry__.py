@@ -650,40 +650,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         of it): pure integer-ratio arithmetic reproduces bit-for-bit in
         any engine, while ln()'s last ulp is libm-dependent and breaks
         a value oracle. Shape: explode -> two hash aggregations (term
-        frequency per doc, document frequency per term) -> broadcast
-        the df table implicitly via AQE -> rank window per doc."""
+        frequency per doc, document frequency per term; partial
+        map-side aggregation collapses occurrences to distinct pairs
+        BEFORE either shuffle) -> broadcast the df table implicitly via
+        AQE -> per-doc top-3 as a HASH aggregation (collect the doc's
+        scored terms, in-row sort, slice): a rank window here would
+        pay a full sort shuffle to rank groups whose top-3 never leaves
+        the row. Buffer size is bounded by per-doc DISTINCT terms (the
+        same bound the window's per-group sort had). Plan memoized per
+        source via prepared()."""
+        from ocr_translation_spark.functions._lsh_common import prepared
         from ocr_translation_spark.functions.text import normalized_text
-        from pyspark.sql import Window
 
         docs = _read_spread(spark, sf, "documents")
-        toks = docs.select(
-            "doc_id",
-            F.explode(
-                F.split(normalized_text(F.col("text")), " ")
-            ).alias("term"),
-        ).filter(F.col("term") != "")
-        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-        dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
-        n_docs = docs.select(F.count("*").alias("_n"))
-        scored = (
-            tf.join(dfreq, "term")
-            .crossJoin(F.broadcast(n_docs))
-            .withColumn(
-                "score",
-                F.round(
-                    (F.col("tf") * (F.col("_n") + 1)) / (F.col("df_t") + 1),
-                    6,
-                ),
+
+        def _build():
+            toks = docs.select(
+                "doc_id",
+                F.explode(
+                    F.split(normalized_text(F.col("text")), " ")
+                ).alias("term"),
+            ).filter(F.col("term") != "")
+            tf = toks.groupBy("doc_id", "term").agg(
+                F.count("*").alias("tf")
             )
-        )
-        w = Window.partitionBy("doc_id").orderBy(
-            F.col("score").desc(), F.col("term").asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 3)
-            .select("doc_id", "term", "tf", "df_t", "score", "rank")
-        )
+            dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+            n_docs = docs.select(F.count("*").alias("_n"))
+            # dfreq is dictionary-sized (one row per distinct TERM, not
+            # per document) at any corpus scale — broadcast it so the
+            # big tf table is never re-shuffled onto the term key
+            scored = (
+                tf.join(F.broadcast(dfreq), "term")
+                .crossJoin(F.broadcast(n_docs))
+                .withColumn(
+                    "score",
+                    F.round(
+                        (F.col("tf") * (F.col("_n") + 1))
+                        / (F.col("df_t") + 1),
+                        6,
+                    ),
+                )
+            )
+            # (-score, term) struct sort == ORDER BY score DESC, term ASC
+            keyed = F.struct(
+                (-F.col("score")).alias("_ns"),
+                F.col("term").alias("term"),
+                F.col("tf").alias("tf"),
+                F.col("df_t").alias("df_t"),
+                F.col("score").alias("score"),
+            )
+            return (
+                scored.groupBy("doc_id")
+                .agg(
+                    F.slice(
+                        F.array_sort(F.collect_list(keyed)), 1, 3
+                    ).alias("_top")
+                )
+                .select("doc_id", F.posexplode("_top").alias("_i", "_s"))
+                .select(
+                    "doc_id",
+                    F.col("_s.term").alias("term"),
+                    F.col("_s.tf").alias("tf"),
+                    F.col("_s.df_t").alias("df_t"),
+                    F.col("_s.score").alias("score"),
+                    (F.col("_i") + 1).cast("int").alias("rank"),
+                )
+            )
+
+        return prepared("entry.tfidf_top_terms", docs, (sf,), _build)
 
     q["tfidf_top_terms"] = _tfidf_top_terms
 

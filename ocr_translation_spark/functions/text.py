@@ -167,6 +167,93 @@ def word_grams(toks: Column, k: int) -> Column:
     return F.filter(grams, lambda g: g.isNotNull())
 
 
+def run_length_stats(arr: Column) -> Column:
+    """Multiset statistics of an array's values, computed IN-ROW:
+    ``struct(mx, dup, types, hapax, sumc2)`` where, over the value
+    counts ``c`` of the array's elements,
+
+    * ``mx``    = max(c)                 (most frequent value's count)
+    * ``dup``   = sum(c where c >= 2)    (occurrences of repeated values)
+    * ``types`` = count(distinct values)
+    * ``hapax`` = count(values with c == 1)
+    * ``sumc2`` = sum(c^2)               (Simpson numerator)
+
+    Shape: ``array_sort`` then ONE sequential ``aggregate`` scan over
+    the sorted array tracking the current run — equal values are
+    adjacent after the sort, so every count is a run length. All of it
+    runs inside whole-stage codegen on the row's own array: the
+    explode -> (id, value) shuffle -> re-aggregate dance this replaces
+    moved O(total occurrences) rows through TWO shuffles to compute
+    numbers that never leave the row. Per-doc cost is O(g log g)
+    comparisons; cross-doc cost is ZERO — embarrassingly parallel at
+    any corpus size.
+
+    The merge lambda references only its own (acc, x) arguments — no
+    outer subtree — so the per-element re-evaluation hazard
+    (Catalyst performs no CSE across lambda boundaries) does not bite.
+    """
+    zero = F.lit(0).cast("long")
+
+    def _flushed(acc):
+        # close the open run into the totals
+        return {
+            "mx": F.greatest(acc["mx"], acc["run"]),
+            "dup": acc["dup"]
+            + F.when(acc["run"] >= 2, acc["run"]).otherwise(zero),
+            "types": acc["types"]
+            + F.when(acc["run"] > 0, F.lit(1).cast("long")).otherwise(zero),
+            "hapax": acc["hapax"]
+            + F.when(acc["run"] == 1, F.lit(1).cast("long")).otherwise(zero),
+            "sumc2": acc["sumc2"] + acc["run"] * acc["run"],
+        }
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("mx"),
+        zero.alias("dup"),
+        zero.alias("types"),
+        zero.alias("hapax"),
+        zero.alias("sumc2"),
+    )
+
+    def merge(acc, x):
+        extend = F.struct(
+            x.alias("prev"),
+            (acc["run"] + 1).alias("run"),
+            acc["mx"].alias("mx"),
+            acc["dup"].alias("dup"),
+            acc["types"].alias("types"),
+            acc["hapax"].alias("hapax"),
+            acc["sumc2"].alias("sumc2"),
+        )
+        fl = _flushed(acc)
+        new_run = F.struct(
+            x.alias("prev"),
+            F.lit(1).cast("long").alias("run"),
+            fl["mx"].alias("mx"),
+            fl["dup"].alias("dup"),
+            fl["types"].alias("types"),
+            fl["hapax"].alias("hapax"),
+            fl["sumc2"].alias("sumc2"),
+        )
+        return F.when(
+            (acc["run"] > 0) & (acc["prev"] == x), extend
+        ).otherwise(new_run)
+
+    def finish(acc):
+        fl = _flushed(acc)
+        return F.struct(
+            fl["mx"].alias("mx"),
+            fl["dup"].alias("dup"),
+            fl["types"].alias("types"),
+            fl["hapax"].alias("hapax"),
+            fl["sumc2"].alias("sumc2"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, merge, finish)
+
+
 def repetition_signals(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -179,50 +266,61 @@ def repetition_signals(
     * ``distinct_token_ratio`` — vocabulary diversity (keyword-stuffed
       pages crater it).
 
-    Shape: explode grams -> two hash aggregations keyed on
-    (doc_id, gram) then doc_id — both shuffles on uniformly distributed
-    composite keys, no per-doc state beyond the aggregation buffers, so
-    the plan is corpus-size-proof. Documents too short to have grams
-    report 0 fractions (LEFT join + coalesce). All arithmetic is exact
-    integer counting + one double division, so any engine reproduces it
-    (DuckDB twin in __spark_entry__)."""
-    toks = tokens(normalized_text(F.col(text_col)))
-    base = df.select(F.col(id_col).alias("_id"), toks.alias("t"))
+    Shape: ZERO shuffle. Every signal is a function of the row's own
+    gram multiset, so the counts are computed in-row by
+    ``run_length_stats`` (sort + one codegen scan) instead of the
+    explode -> (doc_id, gram) shuffle -> re-aggregate dance an
+    aggregation-shaped plan would pay — that plan moved O(gram
+    occurrences) rows through two exchanges to compute numbers that
+    never leave the row. Embarrassingly parallel at any corpus size.
+    Documents too short to have grams report 0 fractions. All
+    arithmetic is exact integer counting + one double division, so any
+    engine reproduces it (DuckDB twin in __spark_entry__)."""
+    from ._lsh_common import prepared
 
-    def _agg(k: int):
-        ex = base.select("_id", F.explode(word_grams(F.col("t"), k)).alias("g"))
-        cnt = ex.groupBy("_id", "g").agg(F.count("*").alias("c"))
-        return cnt.groupBy("_id").agg(
-            F.sum("c").alias(f"n{k}"),
-            F.max("c").alias(f"m{k}"),
-            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
-                f"d{k}"
-            ),
-        )
+    def _build():
+        return _repetition_signals_plan(df, id_col, text_col)
 
-    # renamed join keys avoid ambiguous self-column references
-    a2 = _agg(2).withColumnRenamed("_id", "_id2")
-    a3 = _agg(3).withColumnRenamed("_id", "_id3")
-    out = (
-        base.join(a2, base["_id"] == a2["_id2"], "left")
-        .join(a3, base["_id"] == a3["_id3"], "left")
-        .select(
-            base["_id"].alias(id_col),
-            F.coalesce("n2", F.lit(0)).alias("n_bigrams"),
-            F.round(
-                F.coalesce(F.col("m2") / F.col("n2"), F.lit(0.0)), 6
-            ).alias("top_bigram_frac"),
-            F.round(
-                F.coalesce(F.col("d3") / F.col("n3"), F.lit(0.0)), 6
-            ).alias("dup_trigram_frac"),
-            F.round(
-                F.size(F.array_distinct(base["t"]))
-                / F.size(base["t"]),
-                6,
-            ).alias("distinct_token_ratio"),
-        )
+    # the gram chains + run-scan are a large expression tree; building
+    # and analyzing it costs ~0.7 s of pure driver time at ANY data
+    # size. Memoize the built plan per (source, params) like a prepared
+    # statement (same pattern and immutable-source caveat as the LSH
+    # family — see _lsh_common.prepared / invalidate).
+    return prepared(
+        "text.repetition_signals", df, (id_col, text_col), _build
     )
-    return out
+
+
+def _repetition_signals_plan(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    toks = tokens(normalized_text(F.col(text_col)))
+    # materialize each gram array ONCE per row (a projection column is
+    # evaluated once; repeating the word_grams subtree in every output
+    # expression would rebuild it per reference — no CSE across HOFs)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("t"),
+        word_grams(toks, 2).alias("_g2"),
+        word_grams(toks, 3).alias("_g3"),
+    )
+    g2 = run_length_stats(F.col("_g2"))
+    g3 = run_length_stats(F.col("_g3"))
+    n2 = F.size(F.col("_g2"))
+    n3 = F.size(F.col("_g3"))
+    return base.select(
+        F.col("_id").alias(id_col),
+        n2.cast("long").alias("n_bigrams"),
+        F.round(
+            F.when(n2 == 0, F.lit(0.0)).otherwise(g2["mx"] / n2), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(n3 == 0, F.lit(0.0)).otherwise(g3["dup"] / n3), 6
+        ).alias("dup_trigram_frac"),
+        F.round(
+            F.size(F.array_distinct(F.col("t"))) / F.size(F.col("t")), 6
+        ).alias("distinct_token_ratio"),
+    )
 
 
 def chunk_documents(
@@ -295,50 +393,51 @@ def token_concentration(
       exactly once (hapax legomena rate; natural prose is hapax-rich,
       templated text is not).
 
-    Shape: explode -> (doc, token) hash agg -> doc hash agg, both on
-    uniform composite keys; no windows, no state — corpus-size-proof.
-    Short/empty docs come back 0-valued through the LEFT join.
+    Shape: ZERO shuffle — every signal is a function of the row's own
+    token multiset, so the counts come from ``run_length_stats`` (one
+    in-row sort + codegen scan) instead of an explode -> shuffle ->
+    re-aggregate plan. Embarrassingly parallel at any corpus size.
+    Short/empty docs report 0 values.
+
+    Plan memoized per (source, params) like ``repetition_signals`` —
+    same ``prepared()`` pattern and immutable-source caveat.
     """
-    per_tok = (
-        df.filter(F.trim(F.col(text_col)) != "")
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(tokens(normalized_text(F.col(text_col)))).alias("tok"),
-        )
-        .groupBy("_id", "tok")
-        .agg(F.count("*").alias("c"))
+    from ._lsh_common import prepared
+
+    return prepared(
+        "text.token_concentration",
+        df,
+        (id_col, text_col),
+        lambda: _token_concentration_plan(df, id_col, text_col),
     )
-    per_doc = per_tok.groupBy("_id").agg(
-        F.sum("c").alias("n"),
-        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
-        F.max("c").alias("m"),
-        F.count("*").alias("types"),
-        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+
+
+def _token_concentration_plan(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    toks = tokens(normalized_text(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        F.when(F.trim(F.col(text_col)) != "", toks)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_t"),
     )
-    n = F.coalesce("n", F.lit(0))
-    return (
-        df.select(F.col(id_col))
-        .join(per_doc, df[id_col] == per_doc["_id"], "left")
-        .select(
-            F.col(id_col),
-            n.alias("n_tokens"),
-            F.when(n == 0, F.lit(0.0))
-            .otherwise(F.round(F.col("m").cast("double") / F.col("n"), 6))
-            .alias("top_token_frac"),
-            F.when(n == 0, F.lit(0.0))
-            .otherwise(
-                F.round(
-                    F.lit(1.0)
-                    - F.col("sum_c2").cast("double")
-                    / (F.col("n") * F.col("n")),
-                    6,
-                )
+    s = run_length_stats(F.col("_t"))
+    n = F.size(F.col("_t")).cast("long")
+    return base.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(s["mx"].cast("double") / n, 6))
+        .alias("top_token_frac"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0) - s["sumc2"].cast("double") / (n * n), 6
             )
-            .alias("simpson_index"),
-            F.when(n == 0, F.lit(0.0))
-            .otherwise(
-                F.round(F.col("hapax").cast("double") / F.col("types"), 6)
-            )
-            .alias("hapax_frac"),
         )
+        .alias("simpson_index"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(s["hapax"].cast("double") / s["types"], 6))
+        .alias("hapax_frac"),
     )
