@@ -161,3 +161,38 @@ def test_mixture_sample_matches_probability_rule(spark):
         < 10 * 16**15
     ]
     assert got == want
+
+
+# -------------------------------------------------------- run_length_stats
+
+
+def test_run_length_stats_randomized_against_counter(spark):
+    """Cross-check the in-row run scan against collections.Counter on
+    deterministic pseudo-random token arrays (incl. empty)."""
+    import random
+    from collections import Counter
+
+    from ocr_translation_spark.functions.text import run_length_stats
+
+    rng = random.Random(42)
+    arrays = [[]] + [
+        [rng.choice("abcdef") for _ in range(rng.randrange(1, 40))]
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i long, arr array<string>"
+    )
+    got = {
+        r["i"]: r["s"].asDict()
+        for r in df.select("i", run_length_stats(F.col("arr")).alias("s")).collect()
+    }
+    for i, a in enumerate(arrays):
+        c = Counter(a)
+        want = {
+            "mx": max(c.values(), default=0),
+            "dup": sum(v for v in c.values() if v >= 2),
+            "types": len(c),
+            "hapax": sum(1 for v in c.values() if v == 1),
+            "sumc2": sum(v * v for v in c.values()),
+        }
+        assert got[i] == want, (i, a, got[i], want)
