@@ -1445,6 +1445,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_resample"] = _mixture
 
+    # ---- round-5b curation additions: passage-level global dedup
+    # (C4/RefinedWeb repeated-span removal), corpus-trained bigram LM
+    # fluency scoring (CCNet-style), and quality-decile stratification.
+
+    def _passage(spark, sf):
+        """Corpus-global repeated-passage removal: any word 4-gram
+        occurring >= 3 times corpus-wide marks its tokens boiler; the
+        survivors are re-joined in order. k=4/min_count=3 because the
+        synthetic 31-token vocabulary makes 3-grams collide by chance
+        (k=3 strips 60-99%% of all text — degenerate); at 31^4 ~ 1M
+        possible grams the threshold isolates genuinely repeated
+        passages (2%% of tokens at sf0.01, 21%% at sf0.1). Production
+        natural-text calls use the C4 defaults (larger k, min_count=2).
+        """
+        from ocr_translation_spark.functions.passage import passage_dedup
+
+        return passage_dedup(
+            _read_spread(spark, sf, "documents"), k=4, min_count=3
+        )
+
+    q["passage_dedup"] = _passage
+
+    def _lm_score(spark, sf):
+        """CCNet-style LM fluency signal: train bigram counts on the
+        corpus (two hash aggs), score every document's mean smoothed
+        transition probability in exact micro-unit integers."""
+        from ocr_translation_spark.functions.lm import bigram_lm_score
+
+        return bigram_lm_score(_read_spread(spark, sf, "documents"))
+
+    q["bigram_lm_score"] = _lm_score
+
+    def _quality_deciles(spark, sf):
+        """Quality stratification WITHOUT a global sort: decile cutoffs
+        come from one exact-percentile aggregate (9 doubles, broadcast
+        back via crossJoin), each row buckets itself against the
+        cutoffs, and a 10-group hash agg summarises. The classic
+        ntile(10) window would single-partition the corpus — this shape
+        is the 100 TB-safe equivalent (tie rows land in the lower
+        decile; cutoffs and ratios are rounded to 6 so the comparison
+        is over identical doubles in both engines)."""
+        from ocr_translation_spark.functions.text import (
+            stopword_ratio,
+            token_count,
+        )
+
+        docs = _read(spark, sf, "documents")
+        feat = docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            F.round(stopword_ratio(F.col("text")), 6).alias("ratio"),
+        )
+        cuts = feat.agg(
+            F.expr(
+                "transform(percentile(ratio, array(0.1,0.2,0.3,0.4,0.5,"
+                "0.6,0.7,0.8,0.9)), c -> round(c, 6))"
+            ).alias("cuts")
+        )
+        return (
+            feat.crossJoin(F.broadcast(cuts))
+            .select(
+                "n_tokens",
+                "ratio",
+                (
+                    1
+                    + F.size(
+                        F.filter(
+                            F.col("cuts"), lambda c: F.col("ratio") > c
+                        )
+                    )
+                ).alias("decile"),
+            )
+            .groupBy("decile")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("ratio").alias("min_ratio"),
+                F.max("ratio").alias("max_ratio"),
+                F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            )
+        )
+
+    q["quality_decile_stats"] = _quality_deciles
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -1468,7 +1551,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   big_spender_customers     groupBy+HAVING, same shape as
     #                             customers_above_nation_avg
     #   tpch_q10_returned_items   join+agg+top-k, same as tpch_q3_shipping
+    #   revenue_by_nation         join+groupBy revenue, same family as
+    #                             tpch_q5_region_revenue
+    #   simhash_sketch            the sketch STAGE of simhash_near_dup
+    #                             (in-window), which consumes it
+    #   boiler_strip_rate         derived metric over the same extraction
+    #                             pipeline as extract_flagship +
+    #                             extract_synthetic_e2e (both in-window)
     _DEMOTED_VARIANTS = (
+        "revenue_by_nation",
+        "simhash_sketch",
+        "boiler_strip_rate",
         "dedup_best_quality",
         "ngram_jaccard_pairs",
         "events_percentiles_sampled",
@@ -2559,6 +2652,95 @@ FROM documents d JOIN mc USING (source)
 WHERE (('0x' || substr(sha256(d.doc_id::VARCHAR), 1, 15))::UBIGINT)::HUGEINT
         * n_s::HUGEINT
       < 15::HUGEINT * 1152921504606846976::HUGEINT
+"""
+
+    # ---- round-5b curation twins ----
+
+    # DuckDB lambda indices are 1-based, Spark's 0-based: i-1 aligns.
+    o["passage_dedup"] = f"""
+WITH base AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split({_NORM}, ' ') END AS t FROM documents
+), g AS (
+  SELECT doc_id, i - 1 AS gpos, array_to_string(t[i:i+3], ' ') AS gram
+  FROM base, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)
+), boiler AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 3
+), starts AS (
+  SELECT doc_id, list(DISTINCT gpos) AS ss
+  FROM g JOIN boiler USING (gram) GROUP BY doc_id
+), joined AS (
+  SELECT b.doc_id, b.t, coalesce(s.ss, []::BIGINT[]) AS ss
+  FROM base b LEFT JOIN starts s USING (doc_id)
+), cleaned AS (
+  SELECT doc_id, t,
+         list_filter(t, (x, i) -> NOT len(list_filter(ss,
+             s -> i - 1 >= s AND i - 1 <= s + 3)) > 0) AS kept
+  FROM joined
+)
+SELECT doc_id, len(t)::BIGINT AS n_words,
+       (len(t) - len(kept))::BIGINT AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+FROM cleaned
+"""
+
+    o["bigram_lm_score"] = f"""
+WITH base AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split({_NORM}, ' ') END AS t FROM documents
+), ex AS (SELECT unnest(t) AS w FROM base),
+vocab AS (SELECT count(DISTINCT w)::BIGINT AS V FROM ex),
+bi AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+  FROM base, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+), bic AS (SELECT gram, count(*)::BIGINT AS c12 FROM bi GROUP BY gram),
+pre AS (
+  SELECT split_part(gram, ' ', 1) AS w1, sum(c12)::BIGINT AS c1
+  FROM bic GROUP BY 1
+), model AS (
+  SELECT gram, c12, c1
+  FROM bic JOIN pre ON split_part(bic.gram, ' ', 1) = pre.w1
+), scored AS (
+  SELECT doc_id, ((c12 + 1) * 1000000) // (c1 + V) AS p_micro
+  FROM bi JOIN model USING (gram), vocab
+), per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         sum(p_micro)::BIGINT AS sum_p_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(p.sum_p_micro, 0)::BIGINT AS sum_p_micro,
+       coalesce(p.sum_p_micro // p.n_bigrams, 0)::BIGINT AS mean_p_micro
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+    # Spark percentile (exact, interpolated) == DuckDB quantile_cont;
+    # both sides round cutoffs AND ratios to 6 before comparing, so the
+    # decile assignment compares identical doubles.
+    o["quality_decile_stats"] = f"""
+WITH feat AS (
+  SELECT doc_id,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len({_TOKS}) END)::INTEGER AS n_tokens,
+         round(CASE WHEN len({_TOKS}) = 0 THEN 0.0
+               ELSE len(list_filter({_TOKS},
+                        t -> list_contains([{_EN}], lower(t))))::DOUBLE
+                    / len({_TOKS}) END, 6) AS ratio
+  FROM documents
+), cuts AS (
+  SELECT list_transform(
+           quantile_cont(ratio, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+           c -> round(c, 6)) AS cs
+  FROM feat
+)
+SELECT decile, count(*)::BIGINT AS n_docs,
+       min(ratio) AS min_ratio, max(ratio) AS max_ratio,
+       sum(n_tokens)::BIGINT AS sum_tokens
+FROM (
+  SELECT n_tokens, ratio,
+         (1 + len(list_filter(cs, c -> ratio > c)))::INTEGER AS decile
+  FROM feat, cuts
+) GROUP BY decile
 """
 
     return o

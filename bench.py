@@ -125,6 +125,16 @@ def main() -> None:
         "curation_e2e",
         "tfidf_top_terms",
         "repetition_signals",
+        # round-5 curation additions: decontamination, vocabulary
+        # coverage, mixture resampling, passage-level global dedup,
+        # bigram LM scoring, quality stratification
+        "ngram_decontaminate",
+        "vocab_oov_rate",
+        "token_concentration",
+        "mixture_resample",
+        "passage_dedup",
+        "bigram_lm_score",
+        "quality_decile_stats",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -60,6 +60,9 @@ def test_every_oracle_has_a_query():
 # variants of already-represented families may sit past it. Adding a
 # 59th query without demoting a variant breaks this on purpose.
 _VARIANT_TAIL = {
+    "revenue_by_nation",
+    "simhash_sketch",
+    "boiler_strip_rate",
     "dedup_best_quality",
     "ngram_jaccard_pairs",
     "events_percentiles_sampled",
@@ -84,6 +87,9 @@ def test_driver_window_covers_every_operator_family():
     )
     # each demoted variant's family keeps a representative in-window
     family_rep = {
+        "revenue_by_nation": "tpch_q5_region_revenue",
+        "simhash_sketch": "simhash_near_dup",
+        "boiler_strip_rate": "extract_synthetic_e2e",
         "dedup_best_quality": "exact_dedup",
         "ngram_jaccard_pairs": "shingle_fingerprint",
         "events_percentiles_sampled": "events_percentiles",

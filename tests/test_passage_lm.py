@@ -1,0 +1,130 @@
+"""Round-5b curation operators: passage-level global dedup (C4-style
+repeated-span removal) and corpus-trained bigram LM fluency scoring.
+Hand-computed micro-corpora value checks; DuckDB value parity at
+driver-testdata scale lives in tools/check_oracles.py."""
+
+from __future__ import annotations
+
+from ocr_translation_spark.functions.lm import bigram_lm_score
+from ocr_translation_spark.functions.passage import passage_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------- passage
+
+
+def test_passage_dedup_removes_repeated_passage(spark):
+    # "the quick brown fox" appears in docs 1 and 2 -> boiler at
+    # min_count=2; doc 3 shares no repeated 4-gram.
+    docs = _docs(
+        spark,
+        [
+            (1, "intro the quick brown fox outro one"),
+            (2, "the quick brown fox closing words here"),
+            (3, "completely unrelated text with other tokens"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in passage_dedup(docs, k=4, min_count=2).collect()
+    }
+    assert got[1]["cleaned_text"] == "intro outro one"
+    assert got[1]["n_words"] == 7 and got[1]["n_removed"] == 4
+    assert got[2]["cleaned_text"] == "closing words here"
+    assert got[3]["n_removed"] == 0
+    assert got[3]["cleaned_text"] == "completely unrelated text with other tokens"
+
+
+def test_passage_dedup_overlapping_grams_union_coverage(spark):
+    # "a b c" and "b c d" both repeated: coverage is the UNION of the
+    # two spans, so "a b c d" vanishes entirely from both docs.
+    docs = _docs(
+        spark,
+        [(1, "a b c d x"), (2, "a b c d y"), (3, "p q r s t")],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in passage_dedup(docs, k=3, min_count=2).collect()
+    }
+    assert got[1]["cleaned_text"] == "x" and got[1]["n_removed"] == 4
+    assert got[2]["cleaned_text"] == "y"
+
+
+def test_passage_dedup_within_doc_repetition_counts(spark):
+    # the SAME doc repeating a passage twice reaches min_count=2 alone
+    docs = _docs(
+        spark,
+        [(1, "a b c z z z a b c"), (2, "u v w x y q r")],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in passage_dedup(docs, k=3, min_count=2).collect()
+    }
+    assert got[1]["cleaned_text"] == "z z z"  # 'z z z' occurs once
+    assert got[2]["n_removed"] == 0
+
+
+def test_passage_dedup_blank_and_short_docs(spark):
+    docs = _docs(spark, [(1, "   "), (2, "a b"), (3, "a b")])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in passage_dedup(docs, k=3, min_count=2).collect()
+    }
+    # blank -> 0 tokens; 2-token docs emit no 3-grams -> untouched
+    assert got[1] == {
+        "doc_id": 1, "n_words": 0, "n_removed": 0, "cleaned_text": ""
+    }
+    assert got[2]["cleaned_text"] == "a b" and got[2]["n_removed"] == 0
+
+
+def test_passage_dedup_plan_no_cartesian(spark):
+    docs = _docs(spark, [(i, f"w{i} x{i} y{i} z{i}") for i in range(20)])
+    plan = passage_dedup(docs, k=3, min_count=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------------ lm
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    # corpus: "a b", "a b", "a c".  V = 3 (a, b, c).
+    # bigram counts: (a b)->2, (a c)->1; prefix c(a)=3.
+    # P(b|a) = (2+1)/(3+3) = 1/2 -> 500000 micro
+    # P(c|a) = (1+1)/(3+3) = 1/3 -> 333333 micro (floor)
+    docs = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a c")])
+    got = {
+        r["doc_id"]: r.asDict() for r in bigram_lm_score(docs).collect()
+    }
+    assert got[1] == {
+        "doc_id": 1, "n_bigrams": 1, "sum_p_micro": 500000,
+        "mean_p_micro": 500000,
+    }
+    assert got[3]["sum_p_micro"] == 333333
+
+
+def test_bigram_lm_score_ranks_fluent_above_shuffled(spark):
+    # docs repeating the corpus-dominant transition score above a doc
+    # of one-off transitions — the CCNet filtering direction.
+    rows = [(i, "a b a b a b a b") for i in range(5)]
+    rows.append((99, "b b a a b a q a"))
+    got = {
+        r["doc_id"]: r["mean_p_micro"]
+        for r in bigram_lm_score(_docs(spark, rows)).collect()
+    }
+    assert got[0] > got[99]
+
+
+def test_bigram_lm_score_short_docs_zero(spark):
+    docs = _docs(spark, [(1, "solo"), (2, ""), (3, "a b")])
+    got = {
+        r["doc_id"]: r.asDict() for r in bigram_lm_score(docs).collect()
+    }
+    for d in (1, 2):
+        assert got[d]["n_bigrams"] == 0
+        assert got[d]["sum_p_micro"] == 0
+        assert got[d]["mean_p_micro"] == 0
+    assert got[3]["n_bigrams"] == 1
