@@ -1479,9 +1479,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _quality_deciles(spark, sf):
         """Quality stratification WITHOUT a global sort: decile cutoffs
-        come from one exact-percentile aggregate (9 doubles, broadcast
-        back via crossJoin), each row buckets itself against the
-        cutoffs, and a 10-group hash agg summarises. The classic
+        come from one exact-percentile aggregate whose 9 doubles are
+        collected driver-side (O(k) control metadata, the IVF-centroid
+        precedent) and re-embedded as literals, each row buckets itself
+        against them, and a 10-group hash agg summarises. The classic
         ntile(10) window would single-partition the corpus — this shape
         is the 100 TB-safe equivalent (tie rows land in the lower
         decile; cutoffs and ratios are rounded to 6 so the comparison
@@ -1502,18 +1503,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "transform(percentile(ratio, array(0.1,0.2,0.3,0.4,0.5,"
                 "0.6,0.7,0.8,0.9)), c -> round(c, 6))"
             ).alias("cuts")
-        )
+        ).collect()[0]["cuts"]
+        cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
         return (
-            feat.crossJoin(F.broadcast(cuts))
-            .select(
+            feat.select(
                 "n_tokens",
                 "ratio",
                 (
                     1
                     + F.size(
-                        F.filter(
-                            F.col("cuts"), lambda c: F.col("ratio") > c
-                        )
+                        F.filter(cut_arr, lambda c: F.col("ratio") > c)
                     )
                 ).alias("decile"),
             )

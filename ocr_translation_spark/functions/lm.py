@@ -66,10 +66,18 @@ def bigram_lm_score(
     ex = base.select(F.explode("t").alias("w"))
     vsize = ex.agg(F.count_distinct("w").alias("V"))
 
+    # explode_outer keeps gram-less documents (<2 tokens) as one
+    # null-gram row, so the per-doc re-aggregation already covers every
+    # input document — no third corpus scan + doc_id re-join to restore
+    # them afterwards.
     bi = base.select(
-        "_id", F.explode(word_grams(F.col("t"), 2)).alias("gram")
+        "_id", F.explode_outer(word_grams(F.col("t"), 2)).alias("gram")
     )
-    bic = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c12"))
+    bic = (
+        bi.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
     pre = (
         bic.withColumn("w1", F.substring_index("gram", " ", 1))
         .groupBy("w1")
@@ -80,31 +88,26 @@ def bigram_lm_score(
     ).select("gram", "c12", "c1")
 
     scored = (
-        bi.join(model, "gram")  # inner: every corpus bigram has c12>=1
+        bi.join(model, "gram", "left")  # null gram matches nothing
         .crossJoin(F.broadcast(vsize))
         .select(
             "_id",
+            "gram",
             F.expr(
                 f"CAST((c12 + 1) * {_SCALE} DIV (c1 + V) AS BIGINT)"
             ).alias("p_micro"),
         )
     )
     per = scored.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("p_micro").alias("sum_p_micro"),
+        F.count("gram").alias("n_bigrams"),  # non-null grams only
+        F.coalesce(F.sum("p_micro"), F.lit(0)).alias("sum_p_micro"),
     )
-    return (
-        df.select(F.col(id_col).alias("_id"))
-        .join(per, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            F.coalesce("sum_p_micro", F.lit(0))
-            .cast("long")
-            .alias("sum_p_micro"),
-            F.when(F.col("n_bigrams").isNull(), F.lit(0))
-            .otherwise(F.expr("sum_p_micro DIV n_bigrams"))
-            .cast("long")
-            .alias("mean_p_micro"),
-        )
+    return per.select(
+        F.col("_id").alias(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("sum_p_micro").cast("long").alias("sum_p_micro"),
+        F.when(F.col("n_bigrams") == 0, F.lit(0))
+        .otherwise(F.expr("sum_p_micro DIV n_bigrams"))
+        .cast("long")
+        .alias("mean_p_micro"),
     )
