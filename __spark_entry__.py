@@ -1527,6 +1527,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_decile_stats"] = _quality_deciles
 
+    def _shuffle_order(spark, sf):
+        """Deterministic global training-order shuffle: one shuffle on
+        the 256-way hash bucket + a per-bucket rank window (bucket
+        count = the parallelism knob at scale; no global sort)."""
+        from ocr_translation_spark.functions.sampling import (
+            training_shuffle_order,
+        )
+
+        return training_shuffle_order(_read(spark, sf, "documents"))
+
+    q["training_shuffle_order"] = _shuffle_order
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -1557,10 +1569,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   boiler_strip_rate         derived metric over the same extraction
     #                             pipeline as extract_flagship +
     #                             extract_synthetic_e2e (both in-window)
+    #   embedding_clusters        connected components over SRP pairs;
+    #                             the CC family rep is dedup_clusters
+    #                             (in-window), the SRP pair generator is
+    #                             embedding_neardup_lsh (in-window)
     _DEMOTED_VARIANTS = (
         "revenue_by_nation",
         "simhash_sketch",
         "boiler_strip_rate",
+        "embedding_clusters",
         "dedup_best_quality",
         "ngram_jaccard_pairs",
         "events_percentiles_sampled",
@@ -2740,6 +2757,21 @@ FROM (
          (1 + len(list_filter(cs, c -> ratio > c)))::INTEGER AS decile
   FROM feat, cuts
 ) GROUP BY decile
+"""
+
+    # same 64-bit-prefix sha256 key as sampling.sample_key; bucket =
+    # first 8 hex digits mod 256
+    o["training_shuffle_order"] = """
+WITH keyed AS (
+  SELECT doc_id, substr(sha256(doc_id::VARCHAR), 1, 16) AS hkey,
+         (('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::UBIGINT
+          % 256)::INTEGER AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       row_number() OVER (PARTITION BY bucket ORDER BY hkey, doc_id)::BIGINT
+         AS pos
+FROM keyed
 """
 
     return o

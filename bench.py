@@ -135,6 +135,7 @@ def main() -> None:
         "passage_dedup",
         "bigram_lm_score",
         "quality_decile_stats",
+        "training_shuffle_order",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

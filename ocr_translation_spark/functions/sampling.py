@@ -89,3 +89,40 @@ def weighted_mixture_sample(
         .filter(h * F.col("_n_s") < threshold)
         .drop("_n_s")
     )
+
+
+def training_shuffle_order(
+    df: DataFrame, n_buckets: int = 256, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, bucket, pos): a deterministic global shuffle for training
+    order — the "shuffle your corpus before training" step, made
+    reproducible and resumable.
+
+    Every row gets a content-addressed 64-bit hash key; the corpus is
+    split into ``n_buckets`` hash buckets and ordered by the key
+    within each bucket.  Reading buckets in index order, each bucket
+    by ``pos``, visits the corpus in a deterministic pseudo-random
+    permutation any engine reproduces bit-for-bit (the DuckDB twin
+    does) — unlike ``df.orderBy(rand())``, which is
+    partition-order-dependent and changes on every run/retry.
+
+    100 TB shape: ONE shuffle on the bucket key, then a per-bucket
+    rank window — no global sort, no single-partition window.
+    ``n_buckets`` is the parallelism knob (the pack_documents
+    precedent): size it so a bucket fits one task, e.g. 2^16 buckets
+    puts ~1.5 GB of a 100 TB corpus in each window partition.  The
+    (bucket, pos) pair is a total order, so downstream packing/sharding
+    can range-read any slice of the permutation.
+    """
+    h = sample_key(F.col(id_col))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    ).cast("int")
+    w = Window.partitionBy("bucket").orderBy("hkey", id_col)
+    return (
+        df.select(
+            F.col(id_col), bucket.alias("bucket"), h.alias("hkey")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "bucket", "pos")
+    )

@@ -63,6 +63,7 @@ _VARIANT_TAIL = {
     "revenue_by_nation",
     "simhash_sketch",
     "boiler_strip_rate",
+    "embedding_clusters",
     "dedup_best_quality",
     "ngram_jaccard_pairs",
     "events_percentiles_sampled",
@@ -90,6 +91,7 @@ def test_driver_window_covers_every_operator_family():
         "revenue_by_nation": "tpch_q5_region_revenue",
         "simhash_sketch": "simhash_near_dup",
         "boiler_strip_rate": "extract_synthetic_e2e",
+        "embedding_clusters": "dedup_clusters",
         "dedup_best_quality": "exact_dedup",
         "ngram_jaccard_pairs": "shingle_fingerprint",
         "events_percentiles_sampled": "events_percentiles",

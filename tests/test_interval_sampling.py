@@ -290,3 +290,48 @@ def test_pack_documents_bucket_share_bounded_at_scale(spark):
     # noise ceiling for this n.
     assert shares["mx"] <= max(10, n * 0.005), shares
     assert shares["n_buckets"] > 1000  # the id space actually spreads
+
+
+# ------------------------------------------------- training shuffle order
+
+
+def test_training_shuffle_order_is_a_permutation(spark):
+    from ocr_translation_spark.functions.sampling import (
+        training_shuffle_order,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(300)], "doc_id long, text string"
+    )
+    out = training_shuffle_order(docs, n_buckets=16).collect()
+    # bijection: every doc exactly once
+    assert sorted(r["doc_id"] for r in out) == list(range(300))
+    # pos is 1..n_b dense within each bucket
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["pos"])
+    for b, ps in by_bucket.items():
+        assert 0 <= b < 16
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # hash spreads across many buckets
+    assert len(by_bucket) > 8
+
+
+def test_training_shuffle_order_deterministic_and_shuffled(spark):
+    from ocr_translation_spark.functions.sampling import (
+        training_shuffle_order,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, training_shuffle_order(docs, 8).collect()))
+    b = sorted(map(tuple, training_shuffle_order(docs, 8).collect()))
+    assert a == b  # reproducible on re-run
+    # the permutation is not the identity order: reading bucket-major
+    # must interleave doc_ids
+    order = [r[0] for r in sorted(
+        training_shuffle_order(docs, 8).collect(),
+        key=lambda r: (r["bucket"], r["pos"]),
+    )]
+    assert order != sorted(order)
