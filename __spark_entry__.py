@@ -1539,6 +1539,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["training_shuffle_order"] = _shuffle_order
 
+    def _pii(spark, sf):
+        """PII redaction audit. The test corpus is PII-free by
+        construction, so the query first augments 2/3 of documents with
+        deterministic synthetic PII (email + phone + IPv4 derived from
+        doc_id — IDENTICAL expressions in both engines) and then
+        scrubs: the oracle exercises real match/replace behavior
+        instead of passing trivially on untouched text. Pure per-row
+        regex codegen — zero shuffle at any corpus scale."""
+        from ocr_translation_spark.functions.pii import scrub_pii
+
+        docs = _read(spark, sf, "documents")
+        d = F.col("doc_id")
+        aug = F.when(d % 3 == 2, F.col("text")).otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@example.com or 555-123-4567 from 10.0."),
+                (d % 256).cast("string"),
+                F.lit(".1"),
+            )
+        )
+        return scrub_pii(docs.select("doc_id", aug.alias("text"))).select(
+            "doc_id", "n_email", "n_phone", "n_ipv4", "scrubbed_text"
+        )
+
+    q["pii_scrub"] = _pii
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -1573,7 +1601,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                             the CC family rep is dedup_clusters
     #                             (in-window), the SRP pair generator is
     #                             embedding_neardup_lsh (in-window)
+    #   purchases_in_session      bin-explode interval join; same
+    #                             timeseries-join family as
+    #                             purchase_attribution_asof (in-window)
     _DEMOTED_VARIANTS = (
+        "purchases_in_session",
         "revenue_by_nation",
         "simhash_sketch",
         "boiler_strip_rate",
@@ -2772,6 +2804,39 @@ SELECT doc_id, bucket,
        row_number() OVER (PARTITION BY bucket ORDER BY hkey, doc_id)::BIGINT
          AS pos
 FROM keyed
+"""
+
+    # sequential class order matches pii.scrub_pii: each class counted
+    # on the text AFTER the previous class was scrubbed
+    from ocr_translation_spark.functions.pii import PII_PATTERNS
+
+    _pii_pats = dict(PII_PATTERNS)
+    o["pii_scrub"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 2 THEN text
+              ELSE text || ' contact user' || doc_id::VARCHAR ||
+                   '@example.com or 555-123-4567 from 10.0.' ||
+                   (doc_id % 256)::VARCHAR || '.1' END AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_pii_pats["email"]}'))::BIGINT
+           AS n_email,
+         regexp_replace(text, '{_pii_pats["email"]}', '<PII>', 'g') AS t1
+  FROM aug
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '{_pii_pats["phone"]}'))::BIGINT
+           AS n_phone,
+         regexp_replace(t1, '{_pii_pats["phone"]}', '<PII>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_email, n_phone,
+       len(regexp_extract_all(t2, '{_pii_pats["ipv4"]}'))::BIGINT AS n_ipv4,
+       regexp_replace(t2, '{_pii_pats["ipv4"]}', '<PII>', 'g')
+         AS scrubbed_text
+FROM s2
 """
 
     return o

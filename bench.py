@@ -136,6 +136,7 @@ def main() -> None:
         "bigram_lm_score",
         "quality_decile_stats",
         "training_shuffle_order",
+        "pii_scrub",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

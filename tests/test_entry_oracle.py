@@ -64,6 +64,7 @@ _VARIANT_TAIL = {
     "simhash_sketch",
     "boiler_strip_rate",
     "embedding_clusters",
+    "purchases_in_session",
     "dedup_best_quality",
     "ngram_jaccard_pairs",
     "events_percentiles_sampled",
@@ -92,6 +93,7 @@ def test_driver_window_covers_every_operator_family():
         "simhash_sketch": "simhash_near_dup",
         "boiler_strip_rate": "extract_synthetic_e2e",
         "embedding_clusters": "dedup_clusters",
+        "purchases_in_session": "purchase_attribution_asof",
         "dedup_best_quality": "exact_dedup",
         "ngram_jaccard_pairs": "shingle_fingerprint",
         "events_percentiles_sampled": "events_percentiles",

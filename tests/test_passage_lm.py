@@ -128,3 +128,42 @@ def test_bigram_lm_score_short_docs_zero(spark):
         assert got[d]["sum_p_micro"] == 0
         assert got[d]["mean_p_micro"] == 0
     assert got[3]["n_bigrams"] == 1
+
+
+# ----------------------------------------------------------------- pii
+
+
+def test_scrub_pii_classes_and_order(spark):
+    from ocr_translation_spark.functions.pii import scrub_pii
+
+    docs = _docs(
+        spark,
+        [
+            (1, "mail joe.doe+x@exa-mple.co.uk and jane@b.org now"),
+            (2, "call 555-123-4567 or 555.987.6543 from 192.168.0.1"),
+            (3, "clean text with no identifiers at all"),
+            (4, ""),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in scrub_pii(docs).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_phone"] == 0
+    assert got[1]["scrubbed_text"] == "mail <PII> and <PII> now"
+    assert got[2]["n_phone"] == 2 and got[2]["n_ipv4"] == 1
+    assert got[2]["scrubbed_text"] == "call <PII> or <PII> from <PII>"
+    assert got[3] == {
+        "doc_id": 3, "text": "clean text with no identifiers at all",
+        "n_email": 0, "n_phone": 0, "n_ipv4": 0,
+        "scrubbed_text": "clean text with no identifiers at all",
+    }
+    assert got[4]["scrubbed_text"] == ""
+
+
+def test_scrub_pii_email_claims_digits_before_phone(spark):
+    # the digit run inside an email local part must be scrubbed as
+    # EMAIL, not double-counted by the phone class afterwards
+    from ocr_translation_spark.functions.pii import scrub_pii
+
+    docs = _docs(spark, [(1, "reach 555-123-4567x@corp.io today")])
+    r = scrub_pii(docs).collect()[0]
+    assert r["n_email"] == 1 and r["n_phone"] == 0
+    assert r["scrubbed_text"] == "reach <PII> today"
