@@ -167,3 +167,76 @@ def test_scrub_pii_email_claims_digits_before_phone(spark):
     r = scrub_pii(docs).collect()[0]
     assert r["n_email"] == 1 and r["n_phone"] == 0
     assert r["scrubbed_text"] == "reach <PII> today"
+
+
+# ----------------------------------------- randomized brute-force parity
+
+
+def _rand_corpus(seed, n_docs=80, vocab=8, max_len=15):
+    import random
+
+    rnd = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    return [
+        (i, " ".join(rnd.choice(words) for _ in range(rnd.randint(0, max_len))))
+        for i in range(n_docs)
+    ]
+
+
+def test_passage_dedup_matches_bruteforce_random(spark):
+    from collections import Counter
+
+    k, mc = 3, 3
+    rows = _rand_corpus(seed=42)
+    # brute force: global gram counts, then per-doc coverage filter
+    toks = {i: t.split() if t.strip() else [] for i, t in rows}
+    counts = Counter(
+        " ".join(ts[j:j + k])
+        for ts in toks.values()
+        for j in range(max(len(ts) - k + 1, 0))
+    )
+    want = {}
+    for i, ts in toks.items():
+        starts = [
+            j for j in range(max(len(ts) - k + 1, 0))
+            if counts[" ".join(ts[j:j + k])] >= mc
+        ]
+        covered = {p for s in starts for p in range(s, s + k)}
+        kept = [w for j, w in enumerate(ts) if j not in covered]
+        want[i] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["cleaned_text"])
+        for r in passage_dedup(
+            _docs(spark, rows), k=k, min_count=mc
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bigram_lm_score_matches_bruteforce_random(spark):
+    from collections import Counter
+
+    rows = _rand_corpus(seed=7, n_docs=60, vocab=5, max_len=12)
+    toks = {i: t.split() if t.strip() else [] for i, t in rows}
+    vocab_size = len({w for ts in toks.values() for w in ts})
+    bic = Counter(
+        (ts[j], ts[j + 1]) for ts in toks.values()
+        for j in range(len(ts) - 1)
+    )
+    pre = Counter()
+    for (w1, _), c in bic.items():
+        pre[w1] += c
+    want = {}
+    for i, ts in toks.items():
+        ps = [
+            ((bic[(ts[j], ts[j + 1])] + 1) * 1_000_000)
+            // (pre[ts[j]] + vocab_size)
+            for j in range(len(ts) - 1)
+        ]
+        n, s = len(ps), sum(ps)
+        want[i] = (n, s, s // n if n else 0)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_p_micro"], r["mean_p_micro"])
+        for r in bigram_lm_score(_docs(spark, rows)).collect()
+    }
+    assert got == want
