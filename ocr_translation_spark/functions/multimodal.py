@@ -189,3 +189,127 @@ def extract_media_features(media_df: DataFrame) -> DataFrame:
     return media_df.select("media_ref", "media_bytes").mapInPandas(
         feature_batches, schema=FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------- resize
+
+RESIZE_SCHEMA = (
+    "media_ref string, resized_bytes binary, out_width int, "
+    "out_height int, resize_ok boolean"
+)
+
+
+def resize_tokens(media_bytes: bytes, new_w: int, new_h: int) -> bytes:
+    """Resize a SYNTHIMG payload onto a new_w x new_h grid by integer
+    coordinate scaling (deterministic nearest-cell — the stand-in for a
+    pixel resampler). Real raster formats raise NotImplementedError in
+    the gated hook where PIL's ``Image.resize`` would slot in."""
+    try:
+        toks = S.decode_media(media_bytes)
+    except ValueError:
+        raise NotImplementedError(
+            "real-format resize needs an image library (PIL hook)"
+        )
+    old_w = max((x for _, _, x in toks), default=0) + 1
+    old_h = max((y for _, y, _ in toks), default=0) + 1
+    out = [
+        (tok, y * new_h // old_h, x * new_w // old_w) for tok, y, x in toks
+    ]
+    return S.encode_media(out)
+
+
+def resize_batches(new_w: int, new_h: int):
+    def _body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, b in zip(pdf["media_ref"], pdf["media_bytes"]):
+                try:
+                    rows.append(
+                        (ref, resize_tokens(bytes(b), new_w, new_h),
+                         new_w, new_h, True)
+                    )
+                except NotImplementedError:
+                    rows.append((ref, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "resized_bytes", "out_width",
+                    "out_height", "resize_ok",
+                ],
+            )
+
+    return _body
+
+
+def resize_media(media_df: DataFrame, new_w: int, new_h: int) -> DataFrame:
+    """mapInPandas resize over (media_ref, media_bytes); embarrassingly
+    parallel, batch-sized Arrow transfer, no shuffle."""
+    return media_df.select("media_ref", "media_bytes").mapInPandas(
+        resize_batches(new_w, new_h), schema=RESIZE_SCHEMA
+    )
+
+
+# ---------------------------------------------------- video frame sampling
+
+VIDEO_MAGIC = b"SYNTHVID/1\0"
+FRAME_SCHEMA = (
+    "media_ref string, frame_idx int, frame_bytes binary, n_frames int"
+)
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Deterministic synthetic video container: magic + per-frame
+    4-byte big-endian length prefixes. Frames are SYNTHIMG payloads."""
+    parts = [VIDEO_MAGIC]
+    for f in frames:
+        parts.append(len(f).to_bytes(4, "big"))
+        parts.append(f)
+    return b"".join(parts)
+
+
+def decode_video_frames(media_bytes: bytes) -> list[bytes]:
+    """Split a SYNTHVID payload back into frame payloads. Real video
+    containers (mp4/webm) raise NotImplementedError in the gated hook
+    where ffmpeg/pyav would slot in."""
+    if not media_bytes.startswith(VIDEO_MAGIC):
+        raise NotImplementedError(
+            "real-format demux needs a video library (ffmpeg hook)"
+        )
+    out, i = [], len(VIDEO_MAGIC)
+    while i < len(media_bytes):
+        n = int.from_bytes(media_bytes[i:i + 4], "big")
+        i += 4
+        out.append(media_bytes[i:i + n])
+        i += n
+    return out
+
+
+def frame_sample_batches(every_n: int):
+    def _body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, b in zip(pdf["media_ref"], pdf["media_bytes"]):
+                try:
+                    frames = decode_video_frames(bytes(b))
+                except NotImplementedError:
+                    rows.append((ref, None, None, None))
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    rows.append((ref, idx, frames[idx], len(frames)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "frame_idx", "frame_bytes", "n_frames"],
+            )
+
+    return _body
+
+
+def sample_frames(media_df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Every ``every_n``-th frame of each video payload, exploded to
+    one row per sampled frame — the shape a frame-level
+    embed/caption/filter stage consumes. Fan-out happens INSIDE the
+    Arrow batch (no Spark-side explode of raw bytes), undecodable
+    payloads surface as a single null-frame row, never a dropped ref."""
+    return media_df.select("media_ref", "media_bytes").mapInPandas(
+        frame_sample_batches(every_n), schema=FRAME_SCHEMA
+    )

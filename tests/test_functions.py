@@ -248,3 +248,52 @@ def test_repetition_signals_matches_python_reference(spark):
         assert r["distinct_token_ratio"] == round(
             len(set(toks)) / len(toks), 6
         ), (i, text)
+
+
+def test_resize_media_scales_synthetic_grid(spark):
+    from ocr_translation_spark import semantics as S
+    from ocr_translation_spark.functions.multimodal import resize_media
+
+    img = S.encode_media([("a", 0, 0), ("b", 3, 7)])  # 8x4 grid
+    media = spark.createDataFrame(
+        [("m1", bytearray(img)), ("m2", bytearray(b"\x89PNG\r\n fake"))],
+        "media_ref string, media_bytes binary",
+    )
+    got = {r["media_ref"]: r.asDict()
+           for r in resize_media(media, 4, 2).collect()}
+    assert got["m1"]["resize_ok"] and got["m1"]["out_width"] == 4
+    toks = S.decode_media(bytes(got["m1"]["resized_bytes"]))
+    # (y,x): (0,0) -> (0,0); (3,7) -> (3*2//4, 7*4//8) = (1, 3)
+    assert sorted(toks) == [("a", 0, 0), ("b", 1, 3)]
+    # real raster format: gated, surfaced as resize_ok=False not a crash
+    assert got["m2"]["resize_ok"] is False
+    assert got["m2"]["resized_bytes"] is None
+
+
+def test_video_frame_sampling(spark):
+    from ocr_translation_spark import semantics as S
+    from ocr_translation_spark.functions.multimodal import (
+        decode_video_frames,
+        encode_video,
+        sample_frames,
+    )
+
+    frames = [S.encode_media([(f"f{i}", 0, 0)]) for i in range(5)]
+    vid = encode_video(frames)
+    assert decode_video_frames(vid) == frames  # container round-trips
+    media = spark.createDataFrame(
+        [("v1", bytearray(vid)), ("v2", bytearray(b"\x00\x00\x00\x18ftypmp4"))],
+        "media_ref string, media_bytes binary",
+    )
+    rows = sample_frames(media, every_n=2).collect()
+    v1 = sorted(
+        (r["frame_idx"], bytes(r["frame_bytes"]))
+        for r in rows if r["media_ref"] == "v1"
+    )
+    # every 2nd frame of 5: indices 0, 2, 4
+    assert [i for i, _ in v1] == [0, 2, 4]
+    assert v1[1][1] == frames[2]
+    assert all(r["n_frames"] == 5 for r in rows if r["media_ref"] == "v1")
+    # real container: one null-frame row, the ref is never dropped
+    v2 = [r for r in rows if r["media_ref"] == "v2"]
+    assert len(v2) == 1 and v2[0]["frame_idx"] is None
