@@ -1567,6 +1567,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub"] = _pii
 
+    def _editdist(spark, sf):
+        """Exact edit-distance similarity self-join (PassJoin pigeonhole
+        segment filter, PVLDB 2011) — every pair within Levenshtein
+        distance 2, no cross join, no recall loss. The derived key
+        substr(text, 1, 16 + doc_id % 5) varies lengths 16-20 so the
+        length-band + segment-geometry logic is genuinely exercised by
+        the oracle comparison (the corpus text itself is fixed-width at
+        these SFs). Candidate generation is explode + ONE equi-join on
+        (L, segment-slot, substring) — bucketable at 100 TB."""
+        from ocr_translation_spark.functions.editdist import (
+            edit_distance_self_join,
+        )
+
+        docs = _read_spread(spark, sf, "documents").select(
+            "doc_id",
+            F.expr("substring(text, 1, 16 + doc_id % 5)").alias("s"),
+        )
+        return edit_distance_self_join(docs, "doc_id", "s", k=2)
+
+    q["edit_distance_pairs"] = _editdist
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -1604,7 +1625,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   purchases_in_session      bin-explode interval join; same
     #                             timeseries-join family as
     #                             purchase_attribution_asof (in-window)
+    #   tpch_q5_region_revenue    multi-join+agg; family rep in-window
+    #                             is tpch_q3_shipping (demoted to make
+    #                             room for the edit-distance join, a
+    #                             NEW family)
     _DEMOTED_VARIANTS = (
+        "tpch_q5_region_revenue",
         "purchases_in_session",
         "revenue_by_nation",
         "simhash_sketch",
@@ -2837,6 +2863,21 @@ SELECT doc_id, n_email, n_phone,
        regexp_replace(t2, '{_pii_pats["ipv4"]}', '<PII>', 'g')
          AS scrubbed_text
 FROM s2
+"""
+
+    # Exact pair semantics: the Spark side's PassJoin segment filter is
+    # a lossless candidate generator, so a plain length-banded
+    # nested-loop levenshtein is the value-identical oracle.
+    o["edit_distance_pairs"] = """
+WITH s AS (
+  SELECT doc_id, substr(text, 1, 16 + doc_id % 5) AS s FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.s, b.s)::INTEGER AS dist
+FROM s a JOIN s b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.s) - length(b.s)) <= 2
+ AND levenshtein(a.s, b.s) <= 2
 """
 
     return o

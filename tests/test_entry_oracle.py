@@ -60,6 +60,7 @@ def test_every_oracle_has_a_query():
 # variants of already-represented families may sit past it. Adding a
 # 59th query without demoting a variant breaks this on purpose.
 _VARIANT_TAIL = {
+    "tpch_q5_region_revenue",
     "revenue_by_nation",
     "simhash_sketch",
     "boiler_strip_rate",
@@ -89,7 +90,8 @@ def test_driver_window_covers_every_operator_family():
     )
     # each demoted variant's family keeps a representative in-window
     family_rep = {
-        "revenue_by_nation": "tpch_q5_region_revenue",
+        "tpch_q5_region_revenue": "tpch_q3_shipping",
+        "revenue_by_nation": "tpch_q3_shipping",
         "simhash_sketch": "simhash_near_dup",
         "boiler_strip_rate": "extract_synthetic_e2e",
         "embedding_clusters": "dedup_clusters",
@@ -101,7 +103,7 @@ def test_driver_window_covers_every_operator_family():
         "events_hourly_users": "events_hourly",
         "orders_priority_rollup": "tpch_pricing_summary",
         "clickers_without_purchase": "customers_no_recent_order",
-        "tpch_q7_volume_shipping": "tpch_q5_region_revenue",
+        "tpch_q7_volume_shipping": "tpch_q3_shipping",
         "content_hash": "fingerprint_sha",
         "events_top_users": "source_top_docs",
         "big_spender_customers": "customers_above_nation_avg",
