@@ -137,6 +137,8 @@ def main() -> None:
         "quality_decile_stats",
         "training_shuffle_order",
         "pii_scrub",
+        # exact string-similarity self-join (PassJoin segment filter)
+        "edit_distance_pairs",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))
