@@ -1588,6 +1588,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["edit_distance_pairs"] = _editdist
 
+    def _fuzzy_decontam(spark, sf):
+        """Fuzzy benchmark decontamination: the two-table (R-S) form of
+        the PassJoin edit-distance join. Docs with doc_id % 29 == 0
+        play the eval suite (the ngram_decontaminate split); every
+        other doc reports how many eval keys sit within Levenshtein
+        distance 2 of its derived key and the closest distance —
+        catching contamination that exact n-gram overlap misses after
+        small edits. Tail VARIANT of edit_distance_pairs (in-window)."""
+        from ocr_translation_spark.functions.editdist import (
+            edit_distance_join,
+        )
+
+        docs = _read_spread(spark, sf, "documents").select(
+            "doc_id",
+            F.expr("substring(text, 1, 16 + doc_id % 5)").alias("s"),
+        )
+        pairs = edit_distance_join(
+            docs.filter(F.col("doc_id") % 29 != 0),
+            docs.filter(F.col("doc_id") % 29 == 0),
+            k=2,
+        )
+        return pairs.groupBy(F.col("id_l").alias("doc_id")).agg(
+            F.count("*").alias("n_matches"),
+            F.min("dist").alias("min_dist"),
+        )
+
+    q["fuzzy_decontaminate"] = _fuzzy_decontam
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -1629,7 +1657,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                             is tpch_q3_shipping (demoted to make
     #                             room for the edit-distance join, a
     #                             NEW family)
+    #   fuzzy_decontaminate       two-table variant of the PassJoin
+    #                             edit-distance family
+    #                             (edit_distance_pairs in-window)
     _DEMOTED_VARIANTS = (
+        "fuzzy_decontaminate",
         "tpch_q5_region_revenue",
         "purchases_in_session",
         "revenue_by_nation",
@@ -2878,6 +2910,22 @@ FROM s a JOIN s b
   ON a.doc_id < b.doc_id
  AND abs(length(a.s) - length(b.s)) <= 2
  AND levenshtein(a.s, b.s) <= 2
+"""
+
+    o["fuzzy_decontaminate"] = """
+WITH c AS (
+  SELECT doc_id, substr(text, 1, 16 + doc_id % 5) AS s
+  FROM documents WHERE doc_id % 29 <> 0
+), b AS (
+  SELECT doc_id, substr(text, 1, 16 + doc_id % 5) AS s
+  FROM documents WHERE doc_id % 29 = 0
+)
+SELECT c.doc_id, count(*)::BIGINT AS n_matches,
+       min(levenshtein(c.s, b.s))::INTEGER AS min_dist
+FROM c JOIN b
+  ON abs(length(c.s) - length(b.s)) <= 2
+ AND levenshtein(c.s, b.s) <= 2
+GROUP BY c.doc_id
 """
 
     return o

@@ -72,16 +72,23 @@ def _segments_expr(k: int, len_col: str, s_col: str) -> str:
     """
 
 
-def _probe_expr(k: int, len_col: str, s_col: str) -> str:
+def _probe_expr(
+    k: int, len_col: str, s_col: str, extend_up: bool = False
+) -> str:
     """SQL expr: array<struct<L,i,sub>> — all substrings of ``s_col``
     that could equal segment i of a partner of length L, for
-    L in [max(k+1, M-k), M] (shorter-or-equal partners only) and start
-    positions within ±k of the partner segment's start (clamped to the
-    string).  The ±k window is the sound simplification of PassJoin's
-    tighter per-slot bound: any edit-free segment's shift is bounded by
-    the total number of edits, <= k.
+    L in [max(k+1, M-k), M] (shorter-or-equal partners only — the
+    self-join case, where each pair is generated from its longer
+    member) or [max(k+1, M-k), M+k] when ``extend_up`` (the two-table
+    case, where only one side is indexed so the probe must look both
+    up and down in length), and start positions within ±k of the
+    partner segment's start (clamped to the string).  The ±k window is
+    the sound simplification of PassJoin's tighter per-slot bound: any
+    edit-free segment's shift is bounded by the total number of edits,
+    <= k.
     """
     p = k + 1
+    up = f"{len_col} + {k}" if extend_up else len_col
     # Partner-segment geometry as functions of (L, i); kept as inline
     # SQL so Catalyst folds it per lambda element (3x3 elements).
     st = f"(i * (L div {p}) + greatest(0, i - ({p} - L % {p})))"
@@ -89,7 +96,9 @@ def _probe_expr(k: int, len_col: str, s_col: str) -> str:
     lo = f"greatest(0, {st} - {k})"
     hi = f"least({len_col} - {sl}, {st} + {k})"
     return f"""
-      flatten(transform(sequence(greatest({p}, {len_col} - {k}), {len_col}), L ->
+      flatten(transform(
+        if({up} < greatest({p}, {len_col} - {k}), array(),
+           sequence(greatest({p}, {len_col} - {k}), {up})), L ->
         flatten(transform(sequence(0, {k}), i ->
           transform(
             if({hi} < {lo}, array(), sequence({lo}, {hi})),
@@ -183,4 +192,83 @@ def edit_distance_self_join(
         pairs.withColumn("dist", dist)
         .filter(F.col("dist") >= 0)
         .select("doc_a", "doc_b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 2,
+    left_id: str = "doc_id",
+    left_text: str = "s",
+    right_id: str = "doc_id",
+    right_text: str = "s",
+) -> DataFrame:
+    """Two-table (R-S) exact edit-distance join: every (left, right)
+    pair within Levenshtein distance ``k`` — fuzzy decontamination /
+    fuzzy lookup against a reference set.
+
+    Same PassJoin machinery as the self-join, but only the LEFT side is
+    indexed, so the RIGHT side probes both UP and DOWN in length
+    (L in [max(k+1, M-k), M+k]) instead of relying on pair symmetry.
+    Left strings too short to segment (length <= k) can only match
+    right strings of length <= 2k — both micro-subsets are resolved by
+    a broadcast brute-force leg.  Output: (id_l, id_r, dist).
+
+    At scale the LEFT is naturally the big corpus and the RIGHT the
+    (often broadcast-able) reference set, but the candidate join is a
+    hash equi-join on (L, slot, substring) either way.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    p = k + 1
+
+    lbase = left.select(
+        F.col(left_id).alias("id_l"),
+        F.col(left_text).alias("s_l"),
+        F.length(left_text).alias("_ll"),
+    )
+    rbase = right.select(
+        F.col(right_id).alias("id_r"),
+        F.col(right_text).alias("s_r"),
+        F.length(right_text).alias("_lr"),
+    )
+
+    idx = lbase.filter(F.col("_ll") >= p).select(
+        "id_l", "s_l",
+        F.col("_ll").alias("L"),
+        F.explode(F.expr(_segments_expr(k, "_ll", "s_l"))).alias("e"),
+    ).select(
+        "id_l", "s_l", "L",
+        F.col("e.i").alias("i"),
+        F.col("e.seg").alias("seg"),
+    )
+
+    probe = rbase.select(
+        "id_r", "s_r",
+        F.explode(
+            F.expr(_probe_expr(k, "_lr", "s_r", extend_up=True))
+        ).alias("e"),
+    ).select(
+        "id_r", "s_r",
+        F.col("e.L").alias("L"),
+        F.col("e.i").alias("i"),
+        F.col("e.sub").alias("seg"),
+    )
+
+    cand = idx.join(probe, ["L", "i", "seg"]).select(
+        "id_l", "s_l", "id_r", "s_r"
+    )
+
+    short_l = lbase.filter(F.col("_ll") < p).select("id_l", "s_l")
+    short_r = rbase.filter(F.col("_lr") <= 2 * k).select("id_r", "s_r")
+    short_cand = short_l.crossJoin(F.broadcast(short_r))
+
+    dist = F.levenshtein("s_l", "s_r", k)
+    return (
+        cand.unionByName(short_cand)
+        .dropDuplicates(["id_l", "id_r"])
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("id_l", "id_r", F.col("dist").cast("int").alias("dist"))
     )

@@ -99,6 +99,27 @@ def test_main_leg_is_equi_join_not_cartesian(spark):
             assert "Broadcast" in line, line
 
 
+def test_two_table_join_parity(spark):
+    rng = random.Random(11)
+    L = [(i, "".join(rng.choice("abcd") for _ in range(
+        rng.choice([0, 1, 2, 3, 5, 9, 13, 14, 15])))) for i in range(150)]
+    R = [(i, "".join(rng.choice("abcd") for _ in range(
+        rng.choice([0, 1, 2, 4, 8, 13, 14, 16])))) for i in range(80)]
+    from ocr_translation_spark.functions.editdist import edit_distance_join
+
+    ldf = spark.createDataFrame(L, "doc_id int, s string")
+    rdf = spark.createDataFrame(R, "doc_id int, s string")
+    got = {
+        (r.id_l, r.id_r, r.dist)
+        for r in edit_distance_join(ldf, rdf, k=2).collect()
+    }
+    exp = {
+        (il, ir, _lev(sl, sr))
+        for il, sl in L for ir, sr in R if _lev(sl, sr) <= 2
+    }
+    assert got == exp
+
+
 def test_dist_values_and_symmetric_generation(spark):
     # equal-length pairs are generated from both probe directions and
     # must collapse to ONE row with the true distance
