@@ -139,6 +139,8 @@ def main() -> None:
         "pii_scrub",
         # exact string-similarity self-join (PassJoin segment filter)
         "edit_distance_pairs",
+        # one-scan curation-cascade drop accounting
+        "filter_funnel_report",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -60,6 +60,7 @@ def test_every_oracle_has_a_query():
 # variants of already-represented families may sit past it. Adding a
 # 59th query without demoting a variant breaks this on purpose.
 _VARIANT_TAIL = {
+    "documents_stratified_sample",
     "fuzzy_decontaminate",
     "tpch_q5_region_revenue",
     "revenue_by_nation",
@@ -91,6 +92,7 @@ def test_driver_window_covers_every_operator_family():
     )
     # each demoted variant's family keeps a representative in-window
     family_rep = {
+        "documents_stratified_sample": "mixture_resample",
         "fuzzy_decontaminate": "edit_distance_pairs",
         "tpch_q5_region_revenue": "tpch_q3_shipping",
         "revenue_by_nation": "tpch_q3_shipping",
