@@ -54,6 +54,19 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# Planted suffixes for canonical_fingerprint, keyed on doc_id % 4: the
+# driver corpus is pure ASCII, so the Unicode-canonicalization oracle
+# would be degenerate without NFD-decomposed accents (U+0301/U+0308
+# combining marks), case noise, and whitespace runs planted
+# deterministically. Index i applies to docs with doc_id % 4 == i.
+_CANON_AUGS = (
+    " CAFE\u0301  MENU",
+    "  U\u0308ber\tSALE",
+    "",
+    " re\u0301sume\u0301 DRAFT ",
+)
+
+
 def _dsum(c, digits: int, dec: str = "decimal(30,9)") -> F.Column:
     """Order-insensitive float sum: exact DECIMAL accumulation
     (associative — identical on any engine / partition count), rounded
@@ -1646,6 +1659,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["filter_funnel_report"] = _funnel_report
 
+    def _canonical_fp(spark, sf):
+        """Unicode canonicalization (NFC -> lower -> whitespace
+        collapse -> trim) + canonical dedup fingerprint. The corpus
+        text is ASCII, so the query PLANTS deterministic NFD-decomposed
+        suffixes (combining accents, case noise, whitespace runs) keyed
+        on doc_id %% 4 — the oracle comparison fails unless the NFC
+        composition, case fold, and collapse all match DuckDB's
+        nfc_normalize/lower byte-for-byte. Row-local: zero shuffles."""
+        from ocr_translation_spark.functions.normalize import (
+            canonical_fingerprint,
+        )
+
+        docs = _read_spread(spark, sf, "documents")
+        aug = docs.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.element_at(
+                    F.array(*[F.lit(s) for s in _CANON_AUGS]),
+                    (F.col("doc_id") % 4 + 1).cast("int"),
+                ),
+            ),
+        )
+        return canonical_fingerprint(aug)
+
+    q["canonical_fingerprint"] = _canonical_fp
+
+    def _classifier(spark, sf):
+        """fastText-style hashed unigram+bigram linear quality scorer:
+        the model-based keep/drop filter every LLM curation pipeline
+        runs. Whole score is row-local JVM codegen (split -> sha256
+        bucket -> signed weight -> aggregate()): ZERO shuffles, ZERO
+        Python crossings, exact BIGINT logits."""
+        from ocr_translation_spark.functions.classifier import (
+            hashed_linear_score,
+        )
+
+        return hashed_linear_score(_read_spread(spark, sf, "documents"))
+
+    q["hashed_classifier_score"] = _classifier
+
+    def _retention(spark, sf):
+        """Cohort retention triangle over the event stream: ONE window
+        shuffle on user_id annotates each event with its user's first
+        seen timestamp, ONE tiny agg on (cohort_week, week_offset).
+        Exact integer DATE math (Monday weeks, day-diff/7)."""
+        from ocr_translation_spark.functions.retention import (
+            cohort_retention,
+        )
+
+        return cohort_retention(_read(spark, sf, "events"))
+
+    q["user_retention_cohorts"] = _retention
+
+    def _semantic_dedup(spark, sf):
+        """SemDeDup-style embedding-space dedup summary: SRP-LSH
+        candidate pairs -> connected components -> ONE ROW PER CLUSTER
+        (survivor id = min vec_id, cluster size, docs removed). Tail
+        VARIANT: pair generator is embedding_neardup_lsh (in-window),
+        CC family rep is dedup_clusters (in-window)."""
+        from ocr_translation_spark.functions.graph import dedup_clusters
+
+        emb = _read(spark, sf, "embeddings")
+        pairs = srp_near_dup_pairs(
+            emb, dim=64, threshold=0.42, n_tables=8, planes_per_table=4
+        )
+        cc = dedup_clusters(pairs, emb, id_col="vec_id")
+        return (
+            cc.groupBy(F.col("cluster_id").alias("vec_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+            .withColumn("n_removed", F.col("cluster_size") - F.lit(1))
+        )
+
+    q["semantic_dedup"] = _semantic_dedup
+
+    def _domain_reputation(spark, sf):
+        """Domain-level curation: keep documents from sources whose
+        mean document length is at or above the corpus mean — the
+        source-reputation prior (domain blocklists, per-domain quality
+        priors) of web curation. The keep rule compares EXACT integer
+        cross-products (sum_chars * global_count >= global_sum *
+        source_count), no float boundary. Per-source stats are a tiny
+        agg; the keep set broadcasts back — no row shuffle of the fact
+        table. Tail VARIANT of the per-source curation family
+        (source_top_docs / curation_e2e)."""
+        docs = _read(spark, sf, "documents")
+        per = docs.groupBy("source").agg(
+            F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("c")
+        )
+        g = docs.agg(
+            F.sum("n_chars").alias("gs"), F.count(F.lit(1)).alias("gc")
+        )
+        rep = (
+            per.crossJoin(F.broadcast(g))
+            .filter(F.col("s") * F.col("gc") >= F.col("gs") * F.col("c"))
+            .select("source")
+        )
+        return docs.join(F.broadcast(rep), "source").select(
+            "doc_id", "source"
+        )
+
+    q["domain_reputation_filter"] = _domain_reputation
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -1695,7 +1811,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                             as mixture_resample (in-window);
     #                             demoted for filter_funnel_report, a
     #                             NEW drop-accounting family
+    #   events_pivot              wide reshaping of the same grouped
+    #                             counts as events_cube (in-window);
+    #                             demoted for canonical_fingerprint, a
+    #                             NEW Unicode-canonicalization family
+    #   source_top_docs           partitioned top-k cap; the per-source
+    #                             curation family rep in-window is
+    #                             curation_e2e (whose final stage IS
+    #                             this cap); demoted for
+    #                             hashed_classifier_score, a NEW
+    #                             model-based-filter family
+    #   token_concentration       corpus token-mass concentration;
+    #                             same corpus-vocab-statistics family
+    #                             as vocab_oov_rate (in-window);
+    #                             demoted for user_retention_cohorts,
+    #                             a NEW cohort-analytics family
+    #   semantic_dedup            cluster-rollup view of the embedding
+    #                             CC family (dedup_clusters +
+    #                             embedding_neardup_lsh in-window)
+    #   domain_reputation_filter  per-source prior filter; family kept
+    #                             by curation_e2e (in-window)
     _DEMOTED_VARIANTS = (
+        "events_pivot",
+        "source_top_docs",
+        "token_concentration",
+        "semantic_dedup",
+        "domain_reputation_filter",
         "documents_stratified_sample",
         "fuzzy_decontaminate",
         "tpch_q5_region_revenue",
@@ -2998,6 +3139,103 @@ SELECT 1 AS stage, 'min_chars' AS filter, f1 AS n_fail,
 UNION ALL SELECT 2, 'lang_en', f2, d2, r2 FROM a
 UNION ALL SELECT 3, 'min_tokens', f3, d3, r3 FROM a
 UNION ALL SELECT 4, 'diversity', f4, d4, r4 FROM a
+"""
+
+    # Same planted NFD suffixes as the Spark side (_CANON_AUGS), same
+    # op ORDER: nfc_normalize -> lower -> collapse [ \t\r\n]+ -> trim.
+    _a0, _a1, _a2, _a3 = _CANON_AUGS
+    o["canonical_fingerprint"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN '{_a0}' WHEN 1 THEN '{_a1}'
+           WHEN 2 THEN '{_a2}' ELSE '{_a3}' END AS text
+  FROM documents
+), canon AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(nfc_normalize(text)),
+                             '[ \t\r\n]+', ' ', 'g')) AS ct
+  FROM aug
+)
+SELECT doc_id, length(ct)::BIGINT AS canon_len,
+       sha256(ct) AS canon_sha256
+FROM canon
+"""
+
+    # Hashed linear classifier: weight(s) = (first 5 sha256 hex chars
+    # as int) % 2001 - 1000 — identical signed-BIGINT arithmetic to the
+    # Spark side's conv(substr(sha2,1,5),16,10) % 2001 - 1000.
+    _w = (
+        "(('0x' || substr(sha256({s}), 1, 5))::UBIGINT % 2001)::BIGINT"
+        " - 1000"
+    )
+    o["hashed_classifier_score"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+    coalesce(list_sum(list_transform(toks,
+      tok -> {_w.format(s='tok')})), 0)::BIGINT AS uni,
+    CASE WHEN len(toks) >= 2 THEN
+      coalesce(list_sum(list_transform(range(1, len(toks)),
+        i -> {_w.format(s="toks[i] || ' ' || toks[i + 1]")})), 0)::BIGINT
+    ELSE 0 END AS bi
+  FROM t
+)
+SELECT doc_id, n_tokens, (uni + bi)::BIGINT AS logit,
+       (uni + bi) > 0 AS keep
+FROM s
+"""
+
+    o["user_retention_cohorts"] = """
+WITH f AS (
+  SELECT user_id, ts,
+         min(ts) OVER (PARTITION BY user_id) AS fts
+  FROM events
+)
+SELECT strftime(date_trunc('week', fts), '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', date_trunc('week', fts)::DATE,
+                  date_trunc('week', ts)::DATE) // 7)::BIGINT
+         AS week_offset,
+       count(DISTINCT user_id)::BIGINT AS active_users,
+       count(*)::BIGINT AS n_events
+FROM f GROUP BY 1, 2
+"""
+
+    # Cluster-level rollup of the embedding_clusters closure: one row
+    # per connected component, survivor = min vec_id.
+    o["semantic_dedup"] = f"""
+WITH RECURSIVE {_srp_ctes}, und AS (
+  SELECT id_a AS u, id_b AS v FROM spairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM spairs
+), reach(u, v) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u
+), lab AS (
+  SELECT u, min(v) AS cluster_id FROM reach GROUP BY u
+)
+SELECT cluster_id AS vec_id, count(*)::BIGINT AS cluster_size,
+       (count(*) - 1)::BIGINT AS n_removed
+FROM lab GROUP BY cluster_id
+"""
+
+    # Exact integer cross-product keep rule — no float at the
+    # threshold boundary on either engine.
+    o["domain_reputation_filter"] = """
+WITH per AS (
+  SELECT source, sum(n_chars)::BIGINT AS s, count(*)::BIGINT AS c
+  FROM documents GROUP BY source
+), g AS (
+  SELECT sum(n_chars)::BIGINT AS gs, count(*)::BIGINT AS gc
+  FROM documents
+), rep AS (
+  SELECT source FROM per, g WHERE s * gc >= gs * c
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rep USING (source)
 """
 
     return o

@@ -141,6 +141,13 @@ def main() -> None:
         "edit_distance_pairs",
         # one-scan curation-cascade drop accounting
         "filter_funnel_report",
+        # round-5 continuation: Unicode canonicalization (Arrow NFC),
+        # hashed linear quality classifier (pure codegen map),
+        # cohort retention triangle, embedding-cluster dedup rollup
+        "canonical_fingerprint",
+        "hashed_classifier_score",
+        "user_retention_cohorts",
+        "semantic_dedup",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

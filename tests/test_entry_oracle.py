@@ -60,6 +60,11 @@ def test_every_oracle_has_a_query():
 # variants of already-represented families may sit past it. Adding a
 # 59th query without demoting a variant breaks this on purpose.
 _VARIANT_TAIL = {
+    "events_pivot",
+    "source_top_docs",
+    "token_concentration",
+    "semantic_dedup",
+    "domain_reputation_filter",
     "documents_stratified_sample",
     "fuzzy_decontaminate",
     "tpch_q5_region_revenue",
@@ -92,6 +97,11 @@ def test_driver_window_covers_every_operator_family():
     )
     # each demoted variant's family keeps a representative in-window
     family_rep = {
+        "events_pivot": "events_cube",
+        "source_top_docs": "curation_e2e",
+        "token_concentration": "vocab_oov_rate",
+        "semantic_dedup": "dedup_clusters",
+        "domain_reputation_filter": "curation_e2e",
         "documents_stratified_sample": "mixture_resample",
         "fuzzy_decontaminate": "edit_distance_pairs",
         "tpch_q5_region_revenue": "tpch_q3_shipping",
@@ -109,7 +119,7 @@ def test_driver_window_covers_every_operator_family():
         "clickers_without_purchase": "customers_no_recent_order",
         "tpch_q7_volume_shipping": "tpch_q3_shipping",
         "content_hash": "fingerprint_sha",
-        "events_top_users": "source_top_docs",
+        "events_top_users": "curation_e2e",
         "big_spender_customers": "customers_above_nation_avg",
         "tpch_q10_returned_items": "tpch_q3_shipping",
     }
