@@ -1762,6 +1762,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_reputation_filter"] = _domain_reputation
 
+    def _pagerank(spark, sf):
+        """Fixed-iteration (K=3) integer PageRank over a deterministic
+        sha256-derived link graph (each doc links to up to 3 targets
+        hash-mapped into the contiguous doc_id space, self-links
+        dropped row-locally before the explode — no distinct shuffle).
+        The iterative-graph family beyond connected components: each
+        power step is one co-partitionable equi-join + one partial-agg
+        sum. Exact BIGINT micro-unit ranks (`div`, never `/`), so the
+        DuckDB twin is the same recurrence unrolled in CTEs. The
+        corpus count used to fold hashes into the id space is ONE
+        driver-side scalar (same pattern as quality_decile_stats'
+        cutoffs)."""
+        from ocr_translation_spark.functions.graph import pagerank
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+
+        def _tgt(k: int) -> F.Column:
+            return (
+                F.conv(
+                    F.substring(
+                        F.sha2(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(f":{k}"),
+                            ),
+                            256,
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n_docs
+            )
+
+        links = docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.filter(
+                    F.array(_tgt(1), _tgt(2), _tgt(3)),
+                    lambda t: t != F.col("doc_id"),
+                )
+            ).alias("ts"),
+        )
+        edges = links.select(
+            F.col("doc_id").alias("src"), F.explode("ts").alias("dst")
+        )
+        return pagerank(
+            edges, docs.select("doc_id"), node_col="doc_id"
+        )
+
+    q["pagerank_centrality"] = _pagerank
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -1831,7 +1886,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                             embedding_neardup_lsh in-window)
     #   domain_reputation_filter  per-source prior filter; family kept
     #                             by curation_e2e (in-window)
+    #   events_sessionize         gap-sessionization is STAGE 1 of
+    #                             events_funnel (in-window); demoted
+    #                             for pagerank_centrality, a NEW
+    #                             fixed-iteration graph-ranking family
     _DEMOTED_VARIANTS = (
+        "events_sessionize",
         "events_pivot",
         "source_top_docs",
         "token_concentration",
@@ -3236,6 +3296,46 @@ WITH per AS (
 )
 SELECT d.doc_id, d.source
 FROM documents d JOIN rep USING (source)
+"""
+
+    # PageRank: the same integer recurrence as functions/graph.pagerank
+    # (base 150000, damping 850000 ppm, floor division), K=3 steps
+    # unrolled as chained CTEs — no recursion, bit-exact.
+    _pr_tgt = (
+        "((('0x' || substr(sha256(doc_id::VARCHAR || ':{k}'), 1, 12))"
+        "::UBIGINT)::BIGINT % n)"
+    )
+    _pr_steps = []
+    _prev = "r0"
+    for _i in (1, 2, 3):
+        _pr_steps.append(
+            f"s{_i} AS (\n"
+            f"  SELECT e.dst, sum({_prev}.r // e.d)::BIGINT AS s\n"
+            f"  FROM e JOIN {_prev} ON {_prev}.node = e.src\n"
+            f"  GROUP BY e.dst\n"
+            f"), r{_i} AS (\n"
+            f"  SELECT d.doc_id AS node,\n"
+            f"         (150000 + (850000 * coalesce(s{_i}.s, 0))"
+            f" // 1000000)::BIGINT AS r\n"
+            f"  FROM documents d LEFT JOIN s{_i} ON s{_i}.dst = d.doc_id\n"
+            f")"
+        )
+        _prev = f"r{_i}"
+    o["pagerank_centrality"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tg AS (
+  SELECT doc_id, list_distinct(list_filter(
+    [{_pr_tgt.format(k=1)},
+     {_pr_tgt.format(k=2)},
+     {_pr_tgt.format(k=3)}], t -> t <> doc_id)) AS ts
+  FROM documents, nn
+),
+e0 AS (SELECT doc_id AS src, unnest(ts) AS dst FROM tg),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM e0 GROUP BY src),
+e AS (SELECT e0.src, e0.dst, deg.d FROM e0 JOIN deg USING (src)),
+r0 AS (SELECT doc_id AS node, 1000000::BIGINT AS r FROM documents),
+{", ".join(_pr_steps)}
+SELECT node AS doc_id, r AS rank_micro FROM r3
 """
 
     return o

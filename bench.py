@@ -148,6 +148,8 @@ def main() -> None:
         "hashed_classifier_score",
         "user_retention_cohorts",
         "semantic_dedup",
+        # fixed-iteration integer PageRank over the derived link graph
+        "pagerank_centrality",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

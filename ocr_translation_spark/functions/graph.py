@@ -178,3 +178,70 @@ def dedup_clusters(
     return prepared(
         "graph:dedup_clusters", (pairs, docs), (id_col,), _build
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    iterations: int = 3,
+    damping_ppm: int = 850_000,
+    rank_scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer micro-units:
+    (node, rank_micro) after ``iterations`` synchronous power steps.
+
+    Integer recurrence (every engine reproduces it bit-for-bit —
+    floor division at both the contribution and damping steps):
+
+        contrib(u)  = r_k(u) // out_deg(u)
+        r_{k+1}(v)  = base + (damping_ppm * sum_in(v)) // 1_000_000
+        base        = rank_scale * (1_000_000 - damping_ppm) // 1e6
+
+    Dangling mass (nodes with no out-links) is dropped, the common
+    large-scale simplification: redistributing it needs a global
+    scalar per round, an O(1) driver value we deliberately omit so
+    the oracle twin stays a pure unrolled SQL expression.
+
+    Spark shape at 100 TB: out-degrees are aggregated ONCE and joined
+    into the edge table, which persists across iterations; each
+    iteration is then ONE equi-join (ranks x edges on src — both
+    sides hash-partitioned on uniformly distributed node ids, AQE
+    handles stragglers) + ONE groupBy-sum on dst (partial map-side
+    aggregation collapses the in-neighbor fan-in) + ONE left join
+    back to the node list for no-inlink nodes. The plan GROWS with
+    ``iterations`` — bounded by construction (fixed K), unlike the
+    convergence-looped connected_components above; K is small (3-10)
+    in every ranking use."""
+    e0 = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    deg = e0.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    e = e0.join(deg, "_s").persist()
+
+    base = rank_scale * (1_000_000 - damping_ppm) // 1_000_000
+    n = nodes.select(F.col(node_col).alias("_n"))
+    ranks = n.select(
+        "_n", F.lit(rank_scale).cast("long").alias("_r")
+    )
+    for _ in range(iterations):
+        inbound = (
+            e.join(ranks, e["_s"] == ranks["_n"])
+            # `div`, not `/`: SQL integer division on longs — `/` is
+            # DOUBLE division and a cast-truncate could round across
+            # an integer boundary; the oracle twin uses `//`.
+            .select("_d", F.expr("_r div _deg").alias("_c"))
+            .groupBy("_d")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        ranks = n.join(inbound, n["_n"] == inbound["_d"], "left").select(
+            "_n",
+            F.expr(
+                f"CAST({base} + (({damping_ppm} * coalesce(_sum, 0))"
+                f" div 1000000) AS LONG)"
+            ).alias("_r"),
+        )
+    e.unpersist()
+    return ranks.select(
+        F.col("_n").alias(node_col), F.col("_r").alias("rank_micro")
+    )

@@ -60,6 +60,7 @@ def test_every_oracle_has_a_query():
 # variants of already-represented families may sit past it. Adding a
 # 59th query without demoting a variant breaks this on purpose.
 _VARIANT_TAIL = {
+    "events_sessionize",
     "events_pivot",
     "source_top_docs",
     "token_concentration",
@@ -97,6 +98,7 @@ def test_driver_window_covers_every_operator_family():
     )
     # each demoted variant's family keeps a representative in-window
     family_rep = {
+        "events_sessionize": "events_funnel",
         "events_pivot": "events_cube",
         "source_top_docs": "curation_e2e",
         "token_concentration": "vocab_oov_rate",
