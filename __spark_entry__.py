@@ -3222,26 +3222,30 @@ SELECT doc_id, length(ct)::BIGINT AS canon_len,
 FROM canon
 """
 
-    # Hashed linear classifier: weight(s) = (first 5 sha256 hex chars
-    # as int) % 2001 - 1000 — identical signed-BIGINT arithmetic to the
-    # Spark side's conv(substr(sha2,1,5),16,10) % 2001 - 1000.
-    _w = (
-        "(('0x' || substr(sha256({s}), 1, 5))::UBIGINT % 2001)::BIGINT"
-        " - 1000"
-    )
-    o["hashed_classifier_score"] = f"""
+    # Hashed linear classifier. Each token hashed ONCE (first 5
+    # sha256 hex chars as int h < 2^20); unigram weight = h % 2001 -
+    # 1000; bigram weight mixes adjacent hashes arithmetically
+    # ((31*h1 + h2) % 2001 - 1000) — identical signed-BIGINT
+    # arithmetic to the Spark side.
+    o["hashed_classifier_score"] = """
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
   FROM documents
-), s AS (
+), h AS (
   SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-    coalesce(list_sum(list_transform(toks,
-      tok -> {_w.format(s='tok')})), 0)::BIGINT AS uni,
-    CASE WHEN len(toks) >= 2 THEN
-      coalesce(list_sum(list_transform(range(1, len(toks)),
-        i -> {_w.format(s="toks[i] || ' ' || toks[i + 1]")})), 0)::BIGINT
-    ELSE 0 END AS bi
+         list_transform(toks, tok ->
+           (('0x' || substr(sha256(tok), 1, 5))::UBIGINT)::BIGINT)
+           AS hs
   FROM t
+), s AS (
+  SELECT doc_id, n_tokens,
+    coalesce(list_sum(list_transform(hs,
+      x -> x % 2001 - 1000)), 0)::BIGINT AS uni,
+    CASE WHEN n_tokens >= 2 THEN
+      coalesce(list_sum(list_transform(range(1, n_tokens::INTEGER),
+        i -> (hs[i] * 31 + hs[i + 1]) % 2001 - 1000)), 0)::BIGINT
+    ELSE 0 END AS bi
+  FROM h
 )
 SELECT doc_id, n_tokens, (uni + bi)::BIGINT AS logit,
        (uni + bi) > 0 AS keep

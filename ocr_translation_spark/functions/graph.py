@@ -217,6 +217,14 @@ def pagerank(
     in every ranking use."""
     e0 = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     deg = e0.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    # Persist and do NOT unpersist here: this function only BUILDS the
+    # plan (no action runs inside it), so the cache materializes on
+    # the caller's first action and is then reused by all K join
+    # references. An unpersist before return would drop the mark at
+    # plan-build time — before anything populated it — and every
+    # iteration would recompute the edge+degree join. The cache is
+    # MEMORY_AND_DISK and sized O(edges); callers iterating many
+    # graphs can release it via spark.catalog.clearCache().
     e = e0.join(deg, "_s").persist()
 
     base = rank_scale * (1_000_000 - damping_ppm) // 1_000_000
@@ -241,7 +249,6 @@ def pagerank(
                 f" div 1000000) AS LONG)"
             ).alias("_r"),
         )
-    e.unpersist()
     return ranks.select(
         F.col("_n").alias(node_col), F.col("_r").alias("rank_micro")
     )
