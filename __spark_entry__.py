@@ -1817,6 +1817,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_centrality"] = _pagerank
 
+    def _snapshot_diff(spark, sf):
+        """Incremental crawl-snapshot diff (CDC accounting): the
+        "current" snapshot is derived deterministically from the
+        corpus (doc_id %% 17 == 3 removed, %% 11 == 5 text-revised,
+        %% 13 == 7 re-added under a disjoint id range) so every status
+        class is non-degenerate. ONE full-outer equi-join on doc_id
+        carrying 64-byte digests computed row-locally pre-join —
+        co-partitioned (shuffle-free) on a bucketed-by-id layout."""
+        from ocr_translation_spark.functions.diff import snapshot_diff
+
+        docs = _read(spark, sf, "documents")
+        old = docs.select("doc_id", "text")
+        new = (
+            docs.filter(F.col("doc_id") % 17 != 3)
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 11 == 5,
+                    F.concat(F.col("text"), F.lit(" rev2")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 13 == 7).select(
+                    (F.col("doc_id") + F.lit(10_000_000)).alias(
+                        "doc_id"
+                    ),
+                    F.concat(F.lit("new "), F.col("text")).alias(
+                        "text"
+                    ),
+                )
+            )
+        )
+        return snapshot_diff(old, new)
+
+    q["snapshot_diff"] = _snapshot_diff
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -1890,7 +1928,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                             events_funnel (in-window); demoted
     #                             for pagerank_centrality, a NEW
     #                             fixed-iteration graph-ranking family
+    #   lsh_ann_topk              one of the two bucketed ANN scale
+    #                             paths (family kept by ivf_ann_topk +
+    #                             the exact ann_cosine_topk baseline,
+    #                             both in-window); demoted for
+    #                             snapshot_diff, a NEW incremental
+    #                             CDC-diff family
     _DEMOTED_VARIANTS = (
+        "lsh_ann_topk",
         "events_sessionize",
         "events_pivot",
         "source_top_docs",
@@ -3340,6 +3385,30 @@ e AS (SELECT e0.src, e0.dst, deg.d FROM e0 JOIN deg USING (src)),
 r0 AS (SELECT doc_id AS node, 1000000::BIGINT AS r FROM documents),
 {", ".join(_pr_steps)}
 SELECT node AS doc_id, r AS rank_micro FROM r3
+"""
+
+    # Same deterministic snapshot derivation as the Spark side;
+    # digests computed per side, ONE full outer join on doc_id.
+    o["snapshot_diff"] = """
+WITH old AS (SELECT doc_id, text FROM documents),
+nw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 5 THEN text || ' rev2'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'new ' || text AS text
+  FROM documents WHERE doc_id % 13 = 7
+),
+a AS (SELECT doc_id, sha256(text) AS old_sha FROM old),
+b AS (SELECT doc_id, sha256(text) AS new_sha FROM nw)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN old_sha <> new_sha THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old_sha, new_sha
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 """
 
     return o

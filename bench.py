@@ -150,6 +150,8 @@ def main() -> None:
         "semantic_dedup",
         # fixed-iteration integer PageRank over the derived link graph
         "pagerank_centrality",
+        # incremental crawl-snapshot CDC diff
+        "snapshot_diff",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -60,6 +60,7 @@ def test_every_oracle_has_a_query():
 # variants of already-represented families may sit past it. Adding a
 # 59th query without demoting a variant breaks this on purpose.
 _VARIANT_TAIL = {
+    "lsh_ann_topk",
     "events_sessionize",
     "events_pivot",
     "source_top_docs",
@@ -98,6 +99,7 @@ def test_driver_window_covers_every_operator_family():
     )
     # each demoted variant's family keeps a representative in-window
     family_rep = {
+        "lsh_ann_topk": "ivf_ann_topk",
         "events_sessionize": "events_funnel",
         "events_pivot": "events_cube",
         "source_top_docs": "curation_e2e",
