@@ -9,8 +9,11 @@ premise of `operators/resume.py` at the corpus level).
 
 Spark shape at 100 TB: ONE full-outer equi-join on the id — with both
 snapshots bucketed by id (the Iceberg bucket(N, doc_id) layout the
-engine assumes everywhere) this is a co-partitioned zipper with no
-shuffle; otherwise it is one hash-partitioned shuffle per side.
+engine assumes everywhere) this runs with ZERO exchanges
+(plan-asserted in tests/test_snapshot_diff_bucketed.py; only cheap
+within-partition merge sorts remain, since Spark trusts bucket sort
+metadata only in narrow layouts); otherwise it is one
+hash-partitioned shuffle per side.
 Content comparison is by sha256 of the payload, computed row-locally
 on each side BEFORE the join, so the join carries 64-byte digests
 instead of document bodies — at 2 KB/doc that is a 30x reduction in
