@@ -1855,6 +1855,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snapshot_diff"] = _snapshot_diff
 
+    def _winnow(spark, sf):
+        """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 /
+        MOSS) over a true ROLLING polynomial hash — character k-grams
+        (k=8) hashed mod a 31-bit prime, window-of-w (w=4) minima
+        kept: any shared substring of length >= k+w-1 = 11 chars
+        yields an identical fingerprint. Row-local codegen, exact
+        BIGINT arithmetic, zero shuffles."""
+        from ocr_translation_spark.functions.winnow import (
+            winnowing_fingerprint,
+        )
+
+        return winnowing_fingerprint(
+            _read_spread(spark, sf, "documents")
+        )
+
+    q["winnowing_fingerprint"] = _winnow
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -1934,7 +1951,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                             both in-window); demoted for
     #                             snapshot_diff, a NEW incremental
     #                             CDC-diff family
+    #   shingle_fingerprint       sha-min-shingle fingerprint; the
+    #                             fingerprint family keeps
+    #                             fingerprint_sha AND the new
+    #                             winnowing_fingerprint (rolling-hash
+    #                             upgrade of the same idea) in-window
     _DEMOTED_VARIANTS = (
+        "shingle_fingerprint",
         "lsh_ann_topk",
         "events_sessionize",
         "events_pivot",
@@ -3409,6 +3432,40 @@ SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
             ELSE 'unchanged' END AS status,
        old_sha, new_sha
 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+    # Winnowing: identical rolling-hash recurrence. DuckDB list_reduce
+    # seeds the fold with the FIRST element — equal to Spark's
+    # aggregate from 0, since (0*257 + c0) % M = c0.
+    o["winnowing_fingerprint"] = """
+WITH cs AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ord(text[i])::BIGINT) AS cs
+  FROM documents
+), gh AS (
+  SELECT doc_id,
+    CASE WHEN len(cs) >= 8 THEN
+      list_transform(range(1, len(cs) - 6), i ->
+        list_reduce(list_slice(cs, i, i + 7),
+                    (acc, c) -> (acc * 257 + c) % 1000000007))
+    ELSE [] END AS gh
+  FROM cs
+), fp AS (
+  SELECT doc_id,
+    CASE WHEN len(gh) >= 4 THEN
+      list_sort(list_distinct(list_transform(range(1, len(gh) - 2),
+        j -> list_min(list_slice(gh, j, j + 3)))))
+    ELSE [] END AS fps
+  FROM gh
+)
+SELECT doc_id, len(fps)::BIGINT AS n_fingerprints,
+       CASE WHEN len(fps) > 0 THEN list_min(fps) END AS min_fp,
+       CASE WHEN len(fps) > 0 THEN
+         sha256(array_to_string(
+           list_transform(fps, x -> x::VARCHAR), ','))
+       END AS fp_sha256
+FROM fp
 """
 
     return o

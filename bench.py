@@ -152,6 +152,8 @@ def main() -> None:
         "pagerank_centrality",
         # incremental crawl-snapshot CDC diff
         "snapshot_diff",
+        # rolling-hash winnowing fingerprints (row-local codegen)
+        "winnowing_fingerprint",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

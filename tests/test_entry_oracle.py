@@ -60,6 +60,7 @@ def test_every_oracle_has_a_query():
 # variants of already-represented families may sit past it. Adding a
 # 59th query without demoting a variant breaks this on purpose.
 _VARIANT_TAIL = {
+    "shingle_fingerprint",
     "lsh_ann_topk",
     "events_sessionize",
     "events_pivot",
@@ -99,6 +100,7 @@ def test_driver_window_covers_every_operator_family():
     )
     # each demoted variant's family keeps a representative in-window
     family_rep = {
+        "shingle_fingerprint": "winnowing_fingerprint",
         "lsh_ann_topk": "ivf_ann_topk",
         "events_sessionize": "events_funnel",
         "events_pivot": "events_cube",
@@ -115,7 +117,7 @@ def test_driver_window_covers_every_operator_family():
         "embedding_clusters": "dedup_clusters",
         "purchases_in_session": "purchase_attribution_asof",
         "dedup_best_quality": "exact_dedup",
-        "ngram_jaccard_pairs": "shingle_fingerprint",
+        "ngram_jaccard_pairs": "winnowing_fingerprint",
         "events_percentiles_sampled": "events_percentiles",
         "embedding_neardup": "embedding_neardup_lsh",
         "events_hourly_users": "events_hourly",
