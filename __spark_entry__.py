@@ -1751,9 +1751,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = docs.agg(
             F.sum("n_chars").alias("gs"), F.count(F.lit(1)).alias("gc")
         )
+        # cross-products in DECIMAL(38,0): at 100 TB (sum_chars ~1e14,
+        # doc counts ~5e10) the products pass 1e24 — silent BIGINT
+        # wraparound in non-ANSI Spark would invert keep decisions.
+        # DuckDB twin uses HUGEINT; both are exact integers.
+        dec = "decimal(38,0)"
         rep = (
             per.crossJoin(F.broadcast(g))
-            .filter(F.col("s") * F.col("gc") >= F.col("gs") * F.col("c"))
+            .filter(
+                F.col("s").cast(dec) * F.col("gc")
+                >= F.col("gs").cast(dec) * F.col("c")
+            )
             .select("source")
         )
         return docs.join(F.broadcast(rep), "source").select(
@@ -1799,20 +1807,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 % n_docs
             )
 
-        links = docs.select(
-            "doc_id",
-            F.array_distinct(
-                F.filter(
-                    F.array(_tgt(1), _tgt(2), _tgt(3)),
-                    lambda t: t != F.col("doc_id"),
-                )
-            ).alias("ts"),
+        from ocr_translation_spark.functions._lsh_common import (
+            prepared,
         )
-        edges = links.select(
-            F.col("doc_id").alias("src"), F.explode("ts").alias("dst")
-        )
-        return pagerank(
-            edges, docs.select("doc_id"), node_col="doc_id"
+
+        def _build():
+            links = docs.select(
+                "doc_id",
+                F.array_distinct(
+                    F.filter(
+                        F.array(_tgt(1), _tgt(2), _tgt(3)),
+                        lambda t: t != F.col("doc_id"),
+                    )
+                ).alias("ts"),
+            )
+            edges = links.select(
+                F.col("doc_id").alias("src"),
+                F.explode("ts").alias("dst"),
+            )
+            return pagerank(
+                edges, docs.select("doc_id"), node_col="doc_id"
+            )
+
+        # prepared() memoizes per (source plan, params): repeated
+        # invocations in one session reuse ONE plan and ONE persisted
+        # edge table instead of stacking a fresh persist() per call
+        # (pagerank() itself persists its edge+degree join and leaves
+        # release to the caller).
+        return prepared(
+            "entry:pagerank_centrality", (docs,), (n_docs,), _build
         )
 
     q["pagerank_centrality"] = _pagerank
@@ -3364,7 +3387,8 @@ WITH per AS (
   SELECT sum(n_chars)::BIGINT AS gs, count(*)::BIGINT AS gc
   FROM documents
 ), rep AS (
-  SELECT source FROM per, g WHERE s * gc >= gs * c
+  SELECT source FROM per, g
+  WHERE s::HUGEINT * gc >= gs::HUGEINT * c
 )
 SELECT d.doc_id, d.source
 FROM documents d JOIN rep USING (source)
@@ -3387,7 +3411,7 @@ FROM documents d JOIN rep USING (source)
             f"  GROUP BY e.dst\n"
             f"), r{_i} AS (\n"
             f"  SELECT d.doc_id AS node,\n"
-            f"         (150000 + (850000 * coalesce(s{_i}.s, 0))"
+            f"         (150000 + (850000::HUGEINT * coalesce(s{_i}.s, 0))"
             f" // 1000000)::BIGINT AS r\n"
             f"  FROM documents d LEFT JOIN s{_i} ON s{_i}.dst = d.doc_id\n"
             f")"
@@ -3428,7 +3452,7 @@ b AS (SELECT doc_id, sha256(text) AS new_sha FROM nw)
 SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
        CASE WHEN a.doc_id IS NULL THEN 'added'
             WHEN b.doc_id IS NULL THEN 'removed'
-            WHEN old_sha <> new_sha THEN 'changed'
+            WHEN old_sha IS DISTINCT FROM new_sha THEN 'changed'
             ELSE 'unchanged' END AS status,
        old_sha, new_sha
 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id

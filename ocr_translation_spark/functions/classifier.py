@@ -100,10 +100,14 @@ def hashed_linear_score(
     else:
         bi = F.lit(0).cast("long")
 
-    logit = (uni + bi).alias("logit")
-    return hashed.select(
+    # Two-step projection: `keep` derives from the NAMED logit column
+    # (attribute reference), not a second copy of the uni+bi
+    # expression tree — lambda-bearing aggregates are excluded from
+    # subexpression elimination, so an inline copy would run both
+    # array aggregates twice per row.
+    scored = hashed.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
-        logit,
-        ((uni + bi) > 0).alias("keep"),
+        (uni + bi).alias("logit"),
     )
+    return scored.withColumn("keep", F.col("logit") > 0)

@@ -38,19 +38,29 @@ def snapshot_diff(
     """(id, status, old_sha, new_sha) with status in
     added | removed | changed | unchanged — one row per id present in
     either snapshot."""
+    # Presence is carried by explicit per-side marker columns, NOT by
+    # digest nullness: sha2(NULL payload) is NULL, so a NULL-text doc
+    # present on both sides would otherwise masquerade as added.
     a = old.select(
         F.col(id_col).alias("__id"),
         F.sha2(F.col(payload_col), 256).alias("old_sha"),
+        F.lit(True).alias("__in_old"),
     )
     b = new.select(
         F.col(id_col).alias("__id"),
         F.sha2(F.col(payload_col), 256).alias("new_sha"),
+        F.lit(True).alias("__in_new"),
     )
     j = a.join(b, "__id", "full_outer")
     status = (
-        F.when(F.col("old_sha").isNull(), F.lit("added"))
-        .when(F.col("new_sha").isNull(), F.lit("removed"))
-        .when(F.col("old_sha") != F.col("new_sha"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        # null-safe inequality: a NULL payload on exactly one side is
+        # a content change, on both sides it is unchanged
+        .when(
+            ~F.col("old_sha").eqNullSafe(F.col("new_sha")),
+            F.lit("changed"),
+        )
         .otherwise(F.lit("unchanged"))
     )
     return j.select(

@@ -242,11 +242,18 @@ def pagerank(
             .groupBy("_d")
             .agg(F.sum("_c").alias("_sum"))
         )
+        # damping in DECIMAL(38,0): _sum for a hub node is bounded
+        # only by total mass (N * rank_scale); damping_ppm * _sum
+        # passes 2^63 once N exceeds ~1e7 in the worst case, and
+        # non-ANSI Spark would wrap silently. `div` on decimals
+        # returns the integral quotient as LONG — exact, and the
+        # resulting rank is <= base + 0.85 * N * rank_scale, inside
+        # LONG for any N below ~1e13 nodes. DuckDB twin: HUGEINT.
         ranks = n.join(inbound, n["_n"] == inbound["_d"], "left").select(
             "_n",
             F.expr(
-                f"CAST({base} + (({damping_ppm} * coalesce(_sum, 0))"
-                f" div 1000000) AS LONG)"
+                f"CAST({base} + (({damping_ppm} * CAST(coalesce(_sum, 0)"
+                f" AS DECIMAL(38,0))) div 1000000) AS LONG)"
             ).alias("_r"),
         )
     return ranks.select(

@@ -49,14 +49,21 @@ def winnowing_fingerprint(
     # codepoint array, materialized once; 1-based char walk via
     # substr — identical semantics in DuckDB (ord(text[i])), avoiding
     # split('')'s engine-specific empty-edge behavior
+    # sequence(1, 0) DESCENDS ([1, 0]) and ascii('') = 0, so an empty
+    # document would fabricate a phantom [0, 0] codepoint array —
+    # masked by the n >= k guard at the default k, but wrong for
+    # k <= 2. Guard the empty case explicitly.
     with_cs = df.withColumn(
         "__cs",
-        F.transform(
-            F.sequence(F.lit(1), F.length(text_col)),
-            lambda i: F.ascii(
-                F.col(text_col).substr(i, F.lit(1))
-            ).cast("long"),
-        ),
+        F.when(
+            F.length(text_col) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col)),
+                lambda i: F.ascii(
+                    F.col(text_col).substr(i, F.lit(1))
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>")),
     )
     n = F.size(F.col("__cs"))
     # gram hashes: h(i) = fold of k codepoints, (acc*BASE + c) % MOD
