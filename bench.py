@@ -159,9 +159,31 @@ def main() -> None:
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))
 
     total = round(sum(timings.values()), 3)
+    # round-over-round comparable subset: the query set bench carried
+    # in round 4 — `value` grows every round as operators are added,
+    # core_total tracks the same 12 queries across rounds
+    _CORE = (
+        "extract_synthetic",
+        "extract_flagship",
+        "exact_dedup",
+        "minhash_near_dup",
+        "simhash_sketch",
+        "ann_cosine_topk",
+        "tpch_pricing_summary",
+        "events_hourly",
+        "quality_scores",
+        "lang_id",
+        "dedup_clusters",
+        "curation_e2e",
+    )
+    core_total = round(
+        sum(timings[q] for q in _CORE if q in timings), 3
+    )
     out = {
         "metric": "headline_total",
         "value": total,
+        "core_total": core_total,
+        "core_queries": [q for q in _CORE if q in timings],
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR,
