@@ -1895,6 +1895,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winnowing_fingerprint"] = _winnow
 
+    def _heavy_hitters(spark, sf):
+        """Exact heavy hitters via the 2-pass Misra-Gries sketch
+        (bounded O(capacity) state per task, candidate superset
+        guarantee, exact broadcast recount — functions/sketches.py).
+        The key stream plants deterministic skew (1/3 of events fold
+        into 5 hot keys, the rest stay singletons) so the sketch's
+        decrement path and the threshold both genuinely bite: with
+        capacity 64 exactly the 5 hot keys clear count*64 > N."""
+        from ocr_translation_spark.functions.sketches import (
+            misra_gries_heavy_hitters,
+        )
+
+        keyed = _read(spark, sf, "events").select(
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.concat(
+                    F.lit("hot_"), (F.col("event_id") % 5).cast("string")
+                ),
+            )
+            .otherwise(
+                F.concat(F.lit("cold_"), F.col("event_id").cast("string"))
+            )
+            .alias("key")
+        )
+        return misra_gries_heavy_hitters(keyed, "key", capacity=64).orderBy(
+            "key"
+        )
+
+    q["heavy_hitters"] = _heavy_hitters
+
+    def _kmv(spark, sf):
+        """KMV cardinality sketch over document texts (k=64 minima of
+        a 60-bit sha256-derived hash; deterministic exact-integer
+        estimator — functions/sketches.py). k < the distinct count at
+        every test SF, so the ESTIMATION path (not the exact-count
+        fallback) is what the oracle pins."""
+        from ocr_translation_spark.functions.sketches import kmv_distinct
+
+        return kmv_distinct(
+            _read(spark, sf, "documents"), key_col="text", k=64
+        )
+
+    q["kmv_distinct"] = _kmv
+
+    def _bloom_decontam(spark, sf):
+        """Bloom-prefiltered EXACT decontamination anti-join
+        (functions/bloom.py): the reference set is the fingerprints of
+        the deterministic 5% doc_id slice; definitely-clean rows skip
+        the join entirely, the maybe-rows get the exact anti-join.
+        Value-identical to the plain anti-join the oracle runs."""
+        from ocr_translation_spark.functions.bloom import bloom_anti_join
+
+        docs = _read(spark, sf, "documents").select(
+            "doc_id", F.sha2("text", 256).alias("fp")
+        )
+        ref = docs.where(F.col("doc_id").cast("long") % 20 == 0).select(
+            "fp"
+        )
+        return bloom_anti_join(docs, ref, "fp").orderBy(
+            F.col("doc_id").cast("long")
+        )
+
+    q["bloom_prefilter_decontaminate"] = _bloom_decontam
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -1979,6 +2043,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                             fingerprint_sha AND the new
     #                             winnowing_fingerprint (rolling-hash
     #                             upgrade of the same idea) in-window
+    #   top_trigrams              global n-gram frequency top-k; the
+    #                             corpus-term-statistics family keeps
+    #                             tfidf_top_terms in-window and gains
+    #                             heavy_hitters (the bounded-memory
+    #                             scale path of the SAME count-then-
+    #                             rank shape); demoted for
+    #                             heavy_hitters, a NEW sketch family
+    #   customers_no_recent_order plain anti-join; subsumed by
+    #                             bloom_prefilter_decontaminate, whose
+    #                             exact semantics ARE an anti-join
+    #                             (the Bloom pass only reroutes rows);
+    #                             demoted for that NEW family
+    #   fingerprint_sha           raw sha-over-text map; the hashing
+    #                             family keeps exact_dedup (same hash,
+    #                             consumed) and canonical_fingerprint
+    #                             (the canonicalized upgrade)
+    #                             in-window; demoted for kmv_distinct,
+    #                             a NEW cardinality-sketch family
     _DEMOTED_VARIANTS = (
         "shingle_fingerprint",
         "lsh_ann_topk",
@@ -2008,6 +2090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users",
         "big_spender_customers",
         "tpch_q10_returned_items",
+        "top_trigrams",
+        "customers_no_recent_order",
+        "fingerprint_sha",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -3490,6 +3575,50 @@ SELECT doc_id, len(fps)::BIGINT AS n_fingerprints,
            list_transform(fps, x -> x::VARCHAR), ','))
        END AS fp_sha256
 FROM fp
+"""
+
+    # Misra-Gries is exact by construction (the sketch only narrows
+    # candidates; pass 2 recounts), so the oracle is the plain
+    # count-and-threshold over the same planted-skew key stream.
+    o["heavy_hitters"] = """
+WITH keyed AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 'hot_' || (event_id % 5)::VARCHAR
+              ELSE 'cold_' || event_id::VARCHAR END AS key
+  FROM events
+)
+SELECT key, count(*)::BIGINT AS cnt
+FROM keyed
+GROUP BY key
+HAVING count(*) * 64 > (SELECT count(*) FROM keyed)
+ORDER BY key
+"""
+
+    # Same 60-bit hash, same k minima, same truncating integer
+    # estimator — HUGEINT `//` here, decimal `div` on the Spark side.
+    o["kmv_distinct"] = """
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(sha256(text), 1, 15))::UBIGINT::BIGINT AS h
+  FROM documents
+), mins AS (
+  SELECT h FROM h ORDER BY h LIMIT 64
+)
+SELECT count(*)::BIGINT AS n_kept,
+       max(h) AS kth_min,
+       (CASE WHEN count(*) < 64 THEN count(*)::HUGEINT
+             ELSE (63::HUGEINT * 1152921504606846976::HUGEINT) // max(h)
+        END)::BIGINT AS est_distinct
+FROM mins
+"""
+
+    # The Bloom pass never drops a true match (no false negatives), so
+    # the composition is value-identical to this plain anti-join.
+    o["bloom_prefilter_decontaminate"] = """
+SELECT d.doc_id, sha256(d.text) AS fp
+FROM documents d
+ANTI JOIN (
+  SELECT sha256(text) AS fp FROM documents WHERE doc_id::BIGINT % 20 = 0
+) r ON sha256(d.text) = r.fp
+ORDER BY d.doc_id::BIGINT
 """
 
     return o

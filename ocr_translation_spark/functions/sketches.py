@@ -1,0 +1,201 @@
+"""Bounded-memory frequency / cardinality sketches (heavy hitters, KMV).
+
+At 100 TB the two questions a curation pipeline asks of a heavy-tailed
+key column (URLs, hosts, user ids, n-grams) are "which keys dominate?"
+and "how many distinct keys are there?" — and the naive answers
+(full groupBy, countDistinct) shuffle the ENTIRE key space. These two
+operators bound that cost:
+
+* :func:`misra_gries_heavy_hitters` — the classic 2-pass exact heavy
+  hitter algorithm. Pass 1 runs Misra-Gries (SODA'82 / the "Frequent"
+  algorithm) per partition inside an Arrow-batched ``mapInPandas``:
+  O(capacity) memory per task regardless of the distinct-key count,
+  emitting <= capacity candidate keys per partition. The averaging
+  argument gives the superset guarantee: any key with global count
+  > N/capacity must exceed N_p/capacity in at least one partition, so
+  the candidate union contains every global heavy hitter. Pass 2
+  broadcast-joins the tiny candidate set back and counts EXACTLY, so
+  the result is exact (not approximate) while the only shuffle carries
+  <= |candidates|+1 groups after map-side partial aggregation.
+
+* :func:`kmv_distinct` — the K-Minimum-Values cardinality sketch
+  (Bar-Yossef et al., RANDOM'02). Each partition streams its rows
+  through a running "k smallest distinct 60-bit hashes" set (bounded
+  O(k + batch) memory), the per-partition survivors (<= k each) merge
+  into the global k minima, and the estimate is the deterministic
+  integer (k-1) * 2^60 / h_k. Everything is exact integer arithmetic
+  over a sha256-derived hash both engines can compute, so the DuckDB
+  oracle is bit-identical — a *deterministically verifiable* sketch.
+
+Reference parity note: the reference (a Node OCR/translate service)
+has no analytics surface; these belong to the training-data-pipeline
+operator families the brief requires beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: 60-bit hash space size; 15 hex chars of sha256. Chosen so the
+#: KMV numerator (k-1) * 2^60 stays far inside DECIMAL(38,0) /
+#: HUGEINT range and the hash itself inside signed BIGINT.
+HASH_BITS = 60
+HASH_SPACE = 1 << HASH_BITS
+
+
+def hash60(c: Column) -> Column:
+    """First 15 hex chars of sha256 as an integer in [0, 2^60).
+
+    Portable: DuckDB spells the same value
+    ``('0x' || substr(sha256(x), 1, 15))::UBIGINT``.
+    """
+    return F.conv(F.substring(F.sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+
+def _mg_scan(capacity: int):
+    """Per-partition Misra-Gries pass: stream Arrow batches through a
+    counter dict of at most ``capacity`` entries, emit surviving keys.
+
+    The decrement step is amortized O(1) per element (each arrival
+    adds one unit of "credit"; each decrement round consumes one per
+    surviving key), so the pass is linear in the partition size with
+    O(capacity) state — the whole point at 100 TB.
+    """
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for key in pdf.iloc[:, 0]:
+                if key is None:
+                    continue
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < capacity:
+                    counters[key] = 1
+                else:
+                    # decrement-all; drop zeros (dict is small: O(cap))
+                    dead = []
+                    for k2 in counters:
+                        counters[k2] -= 1
+                        if counters[k2] == 0:
+                            dead.append(k2)
+                    for k2 in dead:
+                        del counters[k2]
+        yield pd.DataFrame({"key": list(counters.keys())})
+
+    return scan
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame,
+    key_col: str = "key",
+    capacity: int = 64,
+    key_type: str = "string",
+) -> DataFrame:
+    """Exact heavy hitters: every key with count * capacity > N.
+
+    Returns (key, cnt) with EXACT counts — the sketch only narrows the
+    candidate set; pass 2 recounts. The N in the threshold is derived
+    in-plan (a window sum over the tiny aggregated result), so the
+    whole query is one deterministic DataFrame with no driver-side
+    values baked in.
+
+    Plan shape: pass 1 is a map-only Python stage emitting <= capacity
+    rows per partition; pass 2 is one scan + broadcast semi-annotation
+    + one hash aggregate whose map-side partial collapse bounds the
+    shuffle at |candidates| + 1 groups per partition.
+    """
+    key = F.col(key_col)
+    keyed = df.select(key.alias("key")).where(key.isNotNull())
+
+    candidates = (
+        keyed.mapInPandas(_mg_scan(capacity), schema=f"key {key_type}")
+        .distinct()
+        .withColumn("__cand", F.lit(True))
+    )
+
+    # One scan: non-candidate rows fold into a single NULL group so the
+    # same aggregate yields both the candidate counts and (summed) N.
+    annotated = keyed.join(F.broadcast(candidates), on="key", how="left")
+    grouped = (
+        annotated.groupBy(
+            F.when(F.col("__cand"), F.col("key")).alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # grouped holds <= |candidates| + 1 rows in total, so the
+    # unpartitioned window (single task) is over control-sized data.
+    n_total = F.sum("cnt").over(Window.partitionBy())
+    return (
+        grouped.withColumn("__n", n_total)
+        .where(F.col("key").isNotNull())
+        .where(F.col("cnt") * F.lit(capacity) > F.col("__n"))
+        .select("key", "cnt")
+    )
+
+
+def _kmv_scan(k: int):
+    """Per-partition running k-smallest-distinct-hash pass."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kept = pd.Series([], dtype="int64")
+        for pdf in batches:
+            kept = (
+                pd.concat([kept, pdf.iloc[:, 0].dropna().astype("int64")])
+                .drop_duplicates()
+                .nsmallest(k)
+            )
+        yield pd.DataFrame({"h": kept.reset_index(drop=True)})
+
+    return scan
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str = "key",
+    k: int = 64,
+) -> DataFrame:
+    """KMV distinct-count sketch: one row
+    (n_kept, kth_min, est_distinct).
+
+    * n_kept < k  => the merged minima ARE the full distinct hash set:
+      est_distinct = n_kept exactly.
+    * n_kept == k => est_distinct = floor((k-1) * 2^60 / kth_min) —
+      the standard (unbiased up to the -1 correction) KMV estimator,
+      computed in exact DECIMAL(38,0) integer arithmetic so any engine
+      reproduces it bit-for-bit.
+
+    The merge is associative and order-independent (set-min), so the
+    result is invariant to partitioning — asserted in tests.
+    """
+    hashed = df.select(hash60(F.col(key_col)).alias("h"))
+    per_part = hashed.mapInPandas(_kmv_scan(k), schema="h long")
+    # global merge: <= k rows per partition in, k rows out
+    minima = per_part.distinct().orderBy("h").limit(k)
+
+    numer = F.lit(k - 1).cast("decimal(38,0)") * F.lit(HASH_SPACE).cast(
+        "decimal(38,0)"
+    )
+    # integral `div`, not floor(a / b): decimal division rounds
+    # half-up at its result scale, so floor() of it can land one above
+    # the true quotient when the exact ratio sits just under an
+    # integer; `div` (IntegralDivide) truncates exactly, matching
+    # DuckDB's HUGEINT `//`.
+    return minima.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth_min"),
+    ).select(
+        "n_kept",
+        "kth_min",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("long"))
+        .otherwise(
+            F.call_function(
+                "div", numer, F.col("kth_min").cast("decimal(38,0)")
+            )
+        )
+        .alias("est_distinct"),
+    )

@@ -88,6 +88,9 @@ _VARIANT_TAIL = {
     "events_top_users",
     "big_spender_customers",
     "tpch_q10_returned_items",
+    "top_trigrams",
+    "customers_no_recent_order",
+    "fingerprint_sha",
 }
 
 
@@ -122,12 +125,15 @@ def test_driver_window_covers_every_operator_family():
         "embedding_neardup": "embedding_neardup_lsh",
         "events_hourly_users": "events_hourly",
         "orders_priority_rollup": "tpch_pricing_summary",
-        "clickers_without_purchase": "customers_no_recent_order",
+        "clickers_without_purchase": "bloom_prefilter_decontaminate",
         "tpch_q7_volume_shipping": "tpch_q3_shipping",
-        "content_hash": "fingerprint_sha",
+        "content_hash": "canonical_fingerprint",
         "events_top_users": "curation_e2e",
         "big_spender_customers": "customers_above_nation_avg",
         "tpch_q10_returned_items": "tpch_q3_shipping",
+        "top_trigrams": "heavy_hitters",
+        "customers_no_recent_order": "bloom_prefilter_decontaminate",
+        "fingerprint_sha": "canonical_fingerprint",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

@@ -1,0 +1,202 @@
+"""Unit tests for the bounded-memory sketches (Misra-Gries heavy
+hitters, KMV cardinality) and the Bloom-prefiltered exact anti-join.
+
+Each operator is checked three ways: against a pure-Python reference
+on randomized data, for partition invariance (the merge logic must be
+associative/commutative), and on the algorithmic edge its bound is
+about (capacity smaller than the distinct count so the MG decrement
+path actually runs; k smaller than the distinct count so KMV's
+estimator path runs; Bloom false positives forced through the slow
+path without changing the answer).
+"""
+
+import collections
+import hashlib
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocr_translation_spark.functions.bloom import (
+    bloom_anti_join,
+    bloom_build,
+    bloom_might_contain,
+)
+from ocr_translation_spark.functions.sketches import (
+    HASH_SPACE,
+    kmv_distinct,
+    misra_gries_heavy_hitters,
+)
+
+
+def _hash60_py(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------- MG
+
+
+def _mg_exact(rows, capacity):
+    exact = collections.Counter(rows)
+    n = sum(exact.values())
+    return {k: c for k, c in exact.items() if c * capacity > n}
+
+
+def test_mg_exact_counts_with_decrement_path(spark):
+    # 4000 distinct keys >> capacity 32: every partition's dict
+    # overflows and decrements, yet the recount stays exact.
+    rng = random.Random(7)
+    rows = [f"hot_{i % 3}" for i in range(3000)] + [
+        f"cold_{rng.randrange(4000)}" for _ in range(2000)
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], ["key"]).repartition(5)
+    got = {
+        r["key"]: r["cnt"]
+        for r in misra_gries_heavy_hitters(df, "key", capacity=32).collect()
+    }
+    assert got == _mg_exact(rows, 32)
+    assert set(got) == {"hot_0", "hot_1", "hot_2"}
+
+
+def test_mg_partition_invariance(spark):
+    rows = [f"hot_{i % 4}" for i in range(800)] + [
+        f"c{i}" for i in range(900)
+    ]
+    df1 = spark.createDataFrame([(r,) for r in rows], ["key"]).coalesce(1)
+    df7 = spark.createDataFrame([(r,) for r in rows], ["key"]).repartition(7)
+    out1 = sorted(
+        map(tuple, misra_gries_heavy_hitters(df1, "key", 16).collect())
+    )
+    out7 = sorted(
+        map(tuple, misra_gries_heavy_hitters(df7, "key", 16).collect())
+    )
+    assert out1 == out7 == sorted(_mg_exact(rows, 16).items())
+
+
+def test_mg_no_heavy_hitters_is_empty(spark):
+    # uniform: nothing clears N/capacity with capacity < distinct
+    df = spark.createDataFrame([(f"k{i % 50}",) for i in range(1000)], ["key"])
+    assert misra_gries_heavy_hitters(df, "key", capacity=20).count() == 0
+
+
+def test_mg_nulls_ignored(spark):
+    rows = [("a",)] * 10 + [(None,)] * 90
+    df = spark.createDataFrame(rows, "key string")
+    got = {
+        r["key"]: r["cnt"]
+        for r in misra_gries_heavy_hitters(df, "key", capacity=4).collect()
+    }
+    # N counts only non-null keys: 10 * 4 > 10
+    assert got == {"a": 10}
+
+
+# --------------------------------------------------------------- KMV
+
+
+def test_kmv_exact_path_below_k(spark):
+    df = spark.createDataFrame([(f"v{i % 23}",) for i in range(500)], ["key"])
+    row = kmv_distinct(df, "key", k=64).collect()[0]
+    assert row["n_kept"] == 23
+    assert row["est_distinct"] == 23
+
+
+def test_kmv_estimator_matches_python_reference(spark):
+    vals = [f"item-{i % 700}" for i in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["key"]).repartition(9)
+    row = kmv_distinct(df, "key", k=48).collect()[0]
+    hs = sorted({_hash60_py(v) for v in set(vals)})[:48]
+    assert row["n_kept"] == 48
+    assert row["kth_min"] == hs[-1]
+    assert row["est_distinct"] == (48 - 1) * HASH_SPACE // hs[-1]
+    # the estimate should be in the right ballpark of the truth (700)
+    assert 0.5 * 700 < row["est_distinct"] < 2.0 * 700
+
+
+def test_kmv_partition_invariance(spark):
+    vals = [(f"x{i % 300}",) for i in range(2000)]
+    r1 = kmv_distinct(
+        spark.createDataFrame(vals, ["key"]).coalesce(1), "key", k=32
+    ).collect()[0]
+    r13 = kmv_distinct(
+        spark.createDataFrame(vals, ["key"]).repartition(13), "key", k=32
+    ).collect()[0]
+    assert tuple(r1) == tuple(r13)
+
+
+# ------------------------------------------------------------- Bloom
+
+
+def test_bloom_build_matches_python_reference(spark):
+    keys = [f"ref-{i}" for i in range(200)]
+    ref = spark.createDataFrame([(k,) for k in keys], ["fp"]).repartition(4)
+    m_bits, k = 1 << 12, 3
+    words = bloom_build(ref, "fp", m_bits=m_bits, k=k)
+
+    expect = [0] * (m_bits // 64)
+    for key in keys:
+        h = _hash60_py(key)
+        h1, h2 = h % m_bits, 1 + (h >> 30) % (m_bits - 1)
+        for i in range(k):
+            p = (h1 + i * h2) % m_bits
+            expect[p >> 6] |= 1 << (p & 63)
+    # python ints are unbounded; fold to signed 64-bit two's complement
+    expect = [w - (1 << 64) if w >= (1 << 63) else w for w in expect]
+    assert words == expect
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = [f"k{i}" for i in range(500)]
+    ref = spark.createDataFrame([(k,) for k in keys], ["fp"])
+    words = bloom_build(ref, "fp", m_bits=1 << 13)
+    flagged = (
+        ref.where(bloom_might_contain(words, F.col("fp"), m_bits=1 << 13))
+        .count()
+    )
+    assert flagged == 500  # every build key must probe positive
+
+
+def test_bloom_anti_join_equals_plain_anti_join(spark):
+    rng = random.Random(11)
+    big = spark.createDataFrame(
+        [(f"d{i}", f"fp{rng.randrange(600)}") for i in range(3000)],
+        ["id", "fp"],
+    ).repartition(6)
+    ref = spark.createDataFrame(
+        [(f"fp{i}",) for i in range(0, 600, 5)], ["fp"]
+    )
+    got = sorted(
+        map(tuple, bloom_anti_join(big, ref, "fp").select("id", "fp").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            big.join(ref, "fp", "left_anti").select("id", "fp").collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_bloom_empty_ref_keeps_everything(spark):
+    big = spark.createDataFrame([(f"d{i}", f"f{i}") for i in range(50)],
+                                ["id", "fp"])
+    ref = big.where(F.lit(False)).select("fp")
+    assert bloom_anti_join(big, ref, "fp").count() == 50
+
+
+def test_bloom_rejects_unaligned_m():
+    with pytest.raises(ValueError):
+        bloom_build(None, "fp", m_bits=100)
+
+
+def test_bloom_fast_path_actually_skips_rows(spark):
+    # with a comfortably sized filter most clean rows must bypass the
+    # join: the maybe-rate stays near the true match rate, not 100%.
+    big = spark.createDataFrame(
+        [(f"d{i}", f"fp{i}") for i in range(2000)], ["id", "fp"]
+    )
+    ref = spark.createDataFrame([(f"fp{i}",) for i in range(100)], ["fp"])
+    words = bloom_build(ref, "fp")
+    maybe = big.where(bloom_might_contain(words, F.col("fp"))).count()
+    assert maybe < 2000 * 0.2  # 5% true matches + small fp rate
