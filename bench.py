@@ -154,6 +154,11 @@ def main() -> None:
         "snapshot_diff",
         # rolling-hash winnowing fingerprints (row-local codegen)
         "winnowing_fingerprint",
+        # bounded-memory sketches: Misra-Gries exact heavy hitters,
+        # KMV cardinality estimate, Bloom-prefiltered anti-join
+        "heavy_hitters",
+        "kmv_distinct",
+        "bloom_prefilter_decontaminate",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

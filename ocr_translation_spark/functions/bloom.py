@@ -104,15 +104,11 @@ def bloom_build(
     return dense
 
 
-def bloom_might_contain(
-    words: list[int],
-    key: Column,
-    m_bits: int = DEFAULT_M_BITS,
-    k: int = DEFAULT_K,
+def _bit_probe(
+    arr: Column, key: Column, m_bits: int, k: int
 ) -> Column:
-    """True iff all k probe bits for ``key`` are set (never a false
-    negative for keys that were in the build set)."""
-    arr = F.lit(words)
+    """True iff all k probe bits for ``key`` are set in the word array
+    ``arr`` (never a false negative for keys in the build set)."""
     cond = F.lit(True)
     for p in _positions(key, m_bits, k):
         word = F.element_at(arr, (F.shiftright(p, 6) + F.lit(1)).cast("int"))
@@ -121,6 +117,24 @@ def bloom_might_contain(
         ).bitwiseAND(F.lit(1).cast("long"))
         cond = cond & (bit == F.lit(1))
     return cond
+
+
+def bloom_might_contain(
+    words: list[int],
+    key: Column,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> Column:
+    """Probe against an inline array LITERAL.
+
+    Fine for ad-hoc filters, but pyspark's ``lit(list)`` desugars to
+    ``CreateArray`` of m/64 scalar literals and the tree is COPIED
+    into every element_at reference — at the default m that is ~3k
+    expressions to analyze and codegen. Hot paths should ship the
+    words as a one-row broadcast instead (what :func:`bloom_anti_join`
+    does); measured ~2x on the probe stage at the default m.
+    """
+    return _bit_probe(F.lit(words), key, m_bits, k)
 
 
 def bloom_anti_join(
@@ -137,10 +151,37 @@ def bloom_anti_join(
     the Bloom pass just reroutes definitely-clean rows around the
     join. At 100 TB that is the difference between shuffling the
     corpus and shuffling ~fpr of it.
+
+    The built filter is memoized per (ref plan, params) via
+    ``prepared()`` — repeat calls against the same reference set skip
+    the build scan. Same immutable-source caveat as every
+    ``prepared()`` site: if the files behind the ref path are
+    rewritten in place, call ``invalidate("bloom_anti_join")``.
     """
-    words = bloom_build(ref, key_col, m_bits=m_bits, k=k)
-    maybe = bloom_might_contain(words, F.col(key_col), m_bits=m_bits, k=k)
-    tagged = big.withColumn("__maybe", maybe)
+    from ocr_translation_spark.functions._lsh_common import prepared
+
+    def _build():
+        words = bloom_build(ref, key_col, m_bits=m_bits, k=k)
+        # ship the word array as a ONE-ROW broadcast (data, not an
+        # expression tree): an inline lit(list) desugars to
+        # CreateArray of m/64 literals copied under every element_at
+        # — thousands of expressions to analyze/codegen at the
+        # default m, measured ~2x slower on the probe stage than
+        # this single 8 KiB broadcast row.
+        return big.sparkSession.createDataFrame(
+            [(words,)], "__bf array<bigint>"
+        )
+
+    bf = prepared(
+        "bloom_anti_join", ref, (key_col, m_bits, k), _build
+    )
+    tagged = (
+        big.crossJoin(F.broadcast(bf))
+        .withColumn(
+            "__maybe", _bit_probe(F.col("__bf"), F.col(key_col), m_bits, k)
+        )
+        .drop("__bf")
+    )
     clean_fast = tagged.where(~F.col("__maybe")).drop("__maybe")
     clean_slow = (
         tagged.where(F.col("__maybe"))

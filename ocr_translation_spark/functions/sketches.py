@@ -57,35 +57,35 @@ def hash60(c: Column) -> Column:
 
 
 def _mg_scan(capacity: int):
-    """Per-partition Misra-Gries pass: stream Arrow batches through a
-    counter dict of at most ``capacity`` entries, emit surviving keys.
-
-    The decrement step is amortized O(1) per element (each arrival
-    adds one unit of "credit"; each decrement round consumes one per
-    surviving key), so the pass is linear in the partition size with
-    O(capacity) state — the whole point at 100 TB.
+    """Per-partition Misra-Gries pass over Arrow batches, vectorized
+    with the MERGE form of the sketch (Agarwal et al., "Mergeable
+    Summaries", PODS'12): each batch's exact ``value_counts`` is a
+    perfect MG summary of that batch, and two MG summaries merge by
+    summing counters, then subtracting the (capacity+1)-th largest
+    count from every entry and dropping the non-positives — which
+    restores the size bound while keeping the underestimate error
+    <= N/(capacity+1). That is strictly tighter than element-at-a-time
+    MG's N/capacity, so the candidate-superset guarantee for the
+    cnt*capacity > N threshold is preserved, and the Python work per
+    batch is three pandas ops instead of a per-element dict loop
+    (~100x on wide batches).
     """
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict = {}
+        counters = pd.Series([], dtype="int64")
         for pdf in batches:
-            for key in pdf.iloc[:, 0]:
-                if key is None:
-                    continue
-                if key in counters:
-                    counters[key] += 1
-                elif len(counters) < capacity:
-                    counters[key] = 1
-                else:
-                    # decrement-all; drop zeros (dict is small: O(cap))
-                    dead = []
-                    for k2 in counters:
-                        counters[k2] -= 1
-                        if counters[k2] == 0:
-                            dead.append(k2)
-                    for k2 in dead:
-                        del counters[k2]
-        yield pd.DataFrame({"key": list(counters.keys())})
+            vc = pdf.iloc[:, 0].dropna().value_counts()
+            counters = pd.concat([counters, vc]).groupby(level=0).sum()
+            if len(counters) > capacity:
+                kth = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters - kth
+                counters = counters[counters > 0]
+        # object dtype keeps Arrow's cast to the declared key type
+        # valid even for an empty (e.g. all-null) partition, whose
+        # default empty index would otherwise surface as int64
+        yield pd.DataFrame(
+            {"key": pd.Series(list(counters.index), dtype="object")}
+        )
 
     return scan
 
