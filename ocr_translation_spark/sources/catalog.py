@@ -110,6 +110,14 @@ class Catalog:
     def overwrite(self, df: DataFrame, name: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(self.root, name))
 
+    def replace(self, df: DataFrame, name: str) -> None:
+        """Crash-safe table replace (full write + directory swap):
+        unlike :meth:`overwrite`, a crash mid-write leaves the old
+        table or the new one, never a torn mix. Use when a table is
+        read-modify-replaced every cycle (e.g. streaming sketch
+        state)."""
+        self._write_swap(df, self._path(name))
+
     def _write_swap(
         self, df: DataFrame, path: str,
         partition_by: tuple[str, ...] | None = None,

@@ -3,3 +3,7 @@ from .windowed import stream_windowed_counts  # noqa: F401
 from .stateful import stream_sessionize  # noqa: F401
 from .dedup_stream import read_dedup_output, stream_exact_dedup  # noqa: F401
 from .neardup_stream import stream_near_dup  # noqa: F401
+from .sketch_stream import (  # noqa: F401
+    read_sketch_output,
+    stream_heavy_hitters,
+)
