@@ -1959,6 +1959,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_prefilter_decontaminate"] = _bloom_decontam
 
+    def _inverted_index(spark, sf):
+        """Bounded-posting inverted index (functions/index.py): rank
+        doc ids per term BEFORE collecting so the hot-term group state
+        is capped at max_postings; df stays exact over all docs. One
+        term shuffle shared by the window and the aggregate.
+        Registered past the driver window: the explode -> term-keyed
+        shuffle family is represented in-window by tfidf_top_terms."""
+        from ocr_translation_spark.functions.index import inverted_index
+
+        return inverted_index(
+            _read(spark, sf, "documents"), max_postings=32
+        )
+
+    q["inverted_index"] = _inverted_index
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2093,6 +2108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_trigrams",
         "customers_no_recent_order",
         "fingerprint_sha",
+        # born-demoted: explode -> term-keyed shuffle, the same family
+        # as tfidf_top_terms (in-window); the bounded-collect trick is
+        # what it adds, pinned by its own unit + oracle
+        "inverted_index",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -3608,6 +3627,27 @@ SELECT count(*)::BIGINT AS n_kept,
              ELSE (63::HUGEINT * 1152921504606846976::HUGEINT) // max(h)
         END)::BIGINT AS est_distinct
 FROM mins
+"""
+
+    # Same tokenization twin as the other text oracles; FILTER bounds
+    # the collected postings exactly like the Spark-side rank gate.
+    o["inverted_index"] = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS id,
+         list_distinct(string_split({_NORM}, ' ')) AS ts
+  FROM documents
+), pairs AS (
+  SELECT id, unnest(ts) AS term FROM toks
+), ranked AS (
+  SELECT term, id,
+         row_number() OVER (PARTITION BY term ORDER BY id) AS rk
+  FROM pairs WHERE term <> ''
+)
+SELECT term, count(*)::BIGINT AS df,
+       array_to_string(list_transform(
+         list_sort(list(id) FILTER (rk <= 32)), x -> x::VARCHAR), ',')
+         AS postings_csv
+FROM ranked GROUP BY term
 """
 
     # The Bloom pass never drops a true match (no false negatives), so

@@ -91,6 +91,7 @@ _VARIANT_TAIL = {
     "top_trigrams",
     "customers_no_recent_order",
     "fingerprint_sha",
+    "inverted_index",
 }
 
 
@@ -134,6 +135,7 @@ def test_driver_window_covers_every_operator_family():
         "top_trigrams": "heavy_hitters",
         "customers_no_recent_order": "bloom_prefilter_decontaminate",
         "fingerprint_sha": "canonical_fingerprint",
+        "inverted_index": "tfidf_top_terms",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
