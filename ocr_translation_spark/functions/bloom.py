@@ -86,7 +86,11 @@ def bloom_build(
         raise ValueError("m_bits must be a multiple of 64")
     pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, k)))
     words = (
-        ref.select(pos.alias("p"))
+        # a NULL key hashes to NULL positions (and can never
+        # equi-match in the join this filter fronts) — drop it here
+        # rather than let the None word index crash the dense fill
+        ref.where(F.col(key_col).isNotNull())
+        .select(pos.alias("p"))
         .select(
             F.shiftright("p", 6).alias("w"),
             _shiftleft(
@@ -108,7 +112,12 @@ def _bit_probe(
     arr: Column, key: Column, m_bits: int, k: int
 ) -> Column:
     """True iff all k probe bits for ``key`` are set in the word array
-    ``arr`` (never a false negative for keys in the build set)."""
+    ``arr`` (never a false negative for keys in the build set).
+
+    A NULL key returns False, not NULL: NULL never equi-matches a
+    reference key, so it is *definitely clean* — and a NULL here would
+    silently drop the row from BOTH branches of the prefilter split
+    (failing ``where(maybe)`` and ``where(~maybe)`` alike)."""
     cond = F.lit(True)
     for p in _positions(key, m_bits, k):
         word = F.element_at(arr, (F.shiftright(p, 6) + F.lit(1)).cast("int"))
@@ -116,7 +125,7 @@ def _bit_probe(
             word, p.bitwiseAND(F.lit(63)).cast("int")
         ).bitwiseAND(F.lit(1).cast("long"))
         cond = cond & (bit == F.lit(1))
-    return cond
+    return F.coalesce(cond, F.lit(False))
 
 
 def bloom_might_contain(

@@ -110,30 +110,37 @@ def stream_heavy_hitters(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         state_rows, n_total, last_batch = _load_state(cat)
 
-        if batch_id > last_batch:
+        merged_this_call = batch_id > last_batch
+        if merged_this_call:
             keyed = batch_df.select(
                 F.col(key_col).alias("key")
             ).where(F.col(key_col).isNotNull())
+            # two jobs read batch_counts (the total and the top-k);
+            # persist so the micro-batch is scanned/aggregated once
             batch_counts = keyed.groupBy("key").agg(
                 F.count(F.lit(1)).alias("weight")
-            )
-            n_batch = (
-                batch_counts.agg(F.sum("weight")).collect()[0][0] or 0
-            )
-            if state_rows:
-                prior = spark.createDataFrame(
-                    state_rows, "key string, weight long"
+            ).persist()
+            try:
+                n_batch = (
+                    batch_counts.agg(F.sum("weight")).collect()[0][0]
+                    or 0
                 )
-                merged = batch_counts.unionByName(prior).groupBy(
-                    "key"
-                ).agg(F.sum("weight").alias("weight"))
-            else:
-                merged = batch_counts
-            # (capacity+1)-th largest weight: TakeOrdered collects
-            # O(capacity) rows — control-sized by the sketch bound
-            top = merged.orderBy(
-                F.col("weight").desc(), "key"
-            ).limit(capacity + 1).collect()
+                if state_rows:
+                    prior = spark.createDataFrame(
+                        state_rows, "key string, weight long"
+                    )
+                    merged = batch_counts.unionByName(prior).groupBy(
+                        "key"
+                    ).agg(F.sum("weight").alias("weight"))
+                else:
+                    merged = batch_counts
+                # (capacity+1)-th largest weight: TakeOrdered collects
+                # O(capacity) rows — control-sized by the sketch bound
+                top = merged.orderBy(
+                    F.col("weight").desc(), "key"
+                ).limit(capacity + 1).collect()
+            finally:
+                batch_counts.unpersist()
             if len(top) > capacity:
                 kth = top[-1]["weight"]
                 survivors = [
@@ -155,22 +162,29 @@ def stream_heavy_hitters(
             # atomic replace: summary + N + batch id commit together
             cat.replace(state_df, STATE)
 
-        out = spark.createDataFrame(
-            [
-                (k, w, n_total)
-                for k, w in (state_rows or [])
-                if k is not None
-            ],
-            "key string, min_count long, n_total long",
-        ).withColumn(
-            "threshold",
-            F.floor(
-                F.col("n_total") / F.lit(capacity + 1)
-            ).cast("long"),
-        )
-        out.write.mode("overwrite").parquet(
-            os.path.join(output_dir, f"batch={batch_id}")
-        )
+        # The batch=<id> dirs are per-batch SNAPSHOTS: on a replayed
+        # (already-merged) batch id, rewriting from the CURRENT state
+        # would overwrite history with the latest summary, so replays
+        # leave an existing dir untouched. The one legitimate replay
+        # write is the crash window between the state swap and this
+        # write: there batch_id == last_batch and the current state IS
+        # that batch's snapshot.
+        out_path = os.path.join(output_dir, f"batch={batch_id}")
+        if merged_this_call or not os.path.exists(out_path):
+            out = spark.createDataFrame(
+                [
+                    (k, w, n_total)
+                    for k, w in (state_rows or [])
+                    if k is not None
+                ],
+                "key string, min_count long, n_total long",
+            ).withColumn(
+                "threshold",
+                F.floor(
+                    F.col("n_total") / F.lit(capacity + 1)
+                ).cast("long"),
+            )
+            out.write.mode("overwrite").parquet(out_path)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -190,9 +204,15 @@ def read_sketch_output(
 ) -> DataFrame:
     """The summary snapshot for one batch dir (default: the latest)."""
     if batch is None:
-        batch = max(
+        ids = [
             int(d.split("=", 1)[1])
             for d in os.listdir(output_dir)
             if d.startswith("batch=")
-        )
+        ]
+        if not ids:
+            raise FileNotFoundError(
+                f"no batch=<id> output dirs under {output_dir!r} — "
+                "has the sketch stream produced a batch yet?"
+            )
+        batch = max(ids)
     return spark.read.parquet(os.path.join(output_dir, f"batch={batch}"))

@@ -44,11 +44,15 @@ _SCRIPT = textwrap.dedent(
     # this because workers inherit the driver's sys.path; REAL
     # executors do not.
     import shutil
+    _zip_dir = tempfile.mkdtemp(prefix="otspark_pkg_")
     zip_path = shutil.make_archive(
-        tempfile.mktemp(prefix="otspark_pkg_"), "zip",
+        _zip_dir + "/pkg", "zip",
         root_dir={repo!r}, base_dir="ocr_translation_spark",
     )
     spark.sparkContext.addPyFile(zip_path)
+    # NOTE: executors fetch the zip LAZILY from the driver's file
+    # server, which serves the ORIGINAL path — it must outlive the
+    # session (cleanup happens after spark.stop() below)
     # force executor registration with a real distributed job, then
     # count executor JVMs (driver + 2 executors in the memory map)
     import time
@@ -78,6 +82,7 @@ _SCRIPT = textwrap.dedent(
         != [(s["kind"], s["text"], s["media_ref"]) for s in spans]
     )
     spark.stop()
+    shutil.rmtree(_zip_dir, ignore_errors=True)
     print(
         f"RESULT n_exec={{n_exec}} docs={{len(got)}} "
         f"expected={{len(exp)}} mism={{mism}}"

@@ -178,6 +178,31 @@ def test_bloom_anti_join_equals_plain_anti_join(spark):
     assert len(got) > 0
 
 
+def test_bloom_null_keys_match_plain_anti_join(spark):
+    # NULL big-side keys never equi-match: the plain anti-join KEEPS
+    # them, and so must the prefiltered form (a NULL probe must not
+    # fall out of both union branches). NULL ref keys must not crash
+    # the build (they can never match anything).
+    big = spark.createDataFrame(
+        [("d1", "fp1"), ("d2", None), ("d3", "fp3"), ("d4", None)],
+        "id string, fp string",
+    )
+    ref = spark.createDataFrame(
+        [("fp1",), (None,), ("fpX",)], "fp string"
+    )
+    got = sorted(
+        map(tuple, bloom_anti_join(big, ref, "fp").select("id", "fp").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            big.join(ref, "fp", "left_anti").select("id", "fp").collect(),
+        )
+    )
+    assert got == want
+    assert ("d2", None) in got and ("d4", None) in got
+
+
 def test_bloom_empty_ref_keeps_everything(spark):
     big = spark.createDataFrame([(f"d{i}", f"f{i}") for i in range(50)],
                                 ["id", "fp"])

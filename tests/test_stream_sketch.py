@@ -144,3 +144,31 @@ def test_sketch_replay_is_idempotent(spark, tmp_path):
     state2 = spark.read.parquet(str(tmp_path / "state" / "hh_state"))
     after = sorted(map(tuple, state2.collect()))
     assert after == before  # no double count, summary untouched
+
+
+def test_sketch_replay_preserves_batch_snapshots(spark, tmp_path):
+    """The batch=<id> output dirs are per-batch history: a replayed
+    batch must not overwrite its dir with the CURRENT summary."""
+    chunks = _skewed_chunks(n_chunks=3, seed=9)
+    in_dir = _write_chunks(tmp_path, chunks)
+    q = _mk_stream(spark, tmp_path, in_dir)
+    q.awaitTermination(300)
+
+    # snapshot history before the replay: batch 0 saw only chunk 0
+    snap0 = read_sketch_output(spark, str(tmp_path / "out"), batch=0)
+    n0_before = snap0.collect()[0]["n_total"]
+    assert n0_before == len(chunks[0])
+
+    q2 = stream_heavy_hitters(
+        spark,
+        in_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ck_replay2"),  # fresh checkpoint => replay
+        str(tmp_path / "state"),
+        capacity=CAPACITY,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(300)
+
+    snap0_after = read_sketch_output(spark, str(tmp_path / "out"), batch=0)
+    assert snap0_after.collect()[0]["n_total"] == n0_before

@@ -51,8 +51,12 @@ spark = get_spark(
     extra_conf={{"spark.executor.memory": "7g"}},
 )
 # ship the package exactly as spark-submit --py-files would
+# build the zip in a private mkdtemp dir (no mktemp race); executors
+# fetch it LAZILY from the driver's file server, which serves the
+# ORIGINAL path, so cleanup must wait until after spark.stop()
+_zip_dir = tempfile.mkdtemp(prefix="otspark_pkg_")
 zip_path = shutil.make_archive(
-    tempfile.mktemp(prefix="otspark_pkg_"), "zip",
+    _zip_dir + "/pkg", "zip",
     root_dir={repo!r}, base_dir="ocr_translation_spark",
 )
 spark.sparkContext.addPyFile(zip_path)
@@ -75,6 +79,7 @@ print(json.dumps({{"n_exec": n_exec, "jvms": jvms, "runs": runs,
                   "best_warm": min(runs[1:]),
                   "n_docs": n_docs, "n_spans": int(n_spans)}}))
 spark.stop()
+shutil.rmtree(_zip_dir, ignore_errors=True)
 """
 
 
