@@ -1974,6 +1974,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["inverted_index"] = _inverted_index
 
+    def _url_canon(spark, sf):
+        """URL canonicalization (functions/url.py): plants a
+        deterministic messy URL per doc (cycling scheme case, WWW,
+        default ports, tracking params, unsorted queries, fragments,
+        trailing slashes — one variant per rule) so every rule is
+        exercised and the DuckDB twin, planting identically, pins the
+        exact canonical form, host, and dedup hash. Pure codegen map,
+        zero shuffles. Registered past the driver window: the
+        canonicalization family rep in-window is
+        canonical_fingerprint."""
+        from ocr_translation_spark.functions.url import url_canonicalize
+
+        d = F.col("doc_id").cast("long")
+        url = (
+            F.when(d % 6 == 0, F.concat(F.lit("HTTPS://WWW.Example.COM:443/a/"), d.cast("string"), F.lit("/?utm_source=x&b=2&a=1#frag")))
+            .when(d % 6 == 1, F.concat(F.lit("http://example.com:80/a/"), d.cast("string"), F.lit("?a=1&b=2")))
+            .when(d % 6 == 2, F.concat(F.lit("https://News.site.ORG/p/"), d.cast("string"), F.lit("/")))
+            .when(d % 6 == 3, F.concat(F.lit("www.news.site.org/p/"), d.cast("string")))
+            .when(d % 6 == 4, F.concat(F.lit("http://Blog.Example.com/x?gclid=z&ref=home&z=9&y=8")))
+            .otherwise(F.concat(F.lit("https://blog.example.com/x?y=8&z=9#top")))
+            .alias("url")
+        )
+        docs = _read(spark, sf, "documents").select("doc_id", url)
+        return url_canonicalize(docs)
+
+    q["url_canonicalize"] = _url_canon
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2112,6 +2139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as tfidf_top_terms (in-window); the bounded-collect trick is
         # what it adds, pinned by its own unit + oracle
         "inverted_index",
+        # born-demoted: string canonicalization map, same family as
+        # canonical_fingerprint (in-window)
+        "url_canonicalize",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -3648,6 +3678,55 @@ SELECT term, count(*)::BIGINT AS df,
          list_sort(list(id) FILTER (rk <= 32)), x -> x::VARCHAR), ',')
          AS postings_csv
 FROM ranked GROUP BY term
+"""
+
+    # Identical URL planting; each canonicalization rule mirrored in
+    # RE2-safe regexes (no lookaround — \3 optional-group form for the
+    # default-port rule on both engines).
+    o["url_canonicalize"] = """
+WITH planted AS (
+  SELECT doc_id,
+    CASE doc_id::BIGINT % 6
+      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/a/' || doc_id::BIGINT::VARCHAR || '/?utm_source=x&b=2&a=1#frag'
+      WHEN 1 THEN 'http://example.com:80/a/' || doc_id::BIGINT::VARCHAR || '?a=1&b=2'
+      WHEN 2 THEN 'https://News.site.ORG/p/' || doc_id::BIGINT::VARCHAR || '/'
+      WHEN 3 THEN 'www.news.site.org/p/' || doc_id::BIGINT::VARCHAR
+      WHEN 4 THEN 'http://Blog.Example.com/x?gclid=z&ref=home&z=9&y=8'
+      ELSE 'https://blog.example.com/x?y=8&z=9#top'
+    END AS url
+  FROM documents
+), s1 AS (
+  SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u FROM planted
+), s2 AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(u, '^(?i)(https?://[^/?]*)', 1))
+           || regexp_replace(u, '^(?i)https?://[^/?]*', '') AS u
+  FROM s1
+), s3 AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(regexp_replace(u,
+           '^https?://', ''), '^www\\.', ''),
+           '^([^/?]*):(80|443)([/?].*)?$', '\\1\\3') AS u
+  FROM s2
+), s4 AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(u, '\\?.*$', ''), '/$', '') AS path,
+         -- coalesce: DuckDB's array_to_string of an EMPTY list is
+         -- NULL where Spark's array_join is ''
+         coalesce(array_to_string(list_sort(list_filter(
+           string_split(regexp_extract(u, '\\?(.*)$', 1), '&'),
+           p -> p <> '' AND NOT regexp_matches(p,
+             '^(utm_[a-z]+|gclid|fbclid|ref)='))), '&'), '') AS q
+  FROM s3
+), canon AS (
+  SELECT doc_id, url,
+         CASE WHEN q = '' THEN path ELSE path || '?' || q END AS canonical_url
+  FROM s4
+)
+SELECT doc_id, url, canonical_url,
+       regexp_extract(canonical_url, '^([^/?]*)', 1) AS host,
+       sha256(canonical_url) AS url_sha256
+FROM canon
 """
 
     # The Bloom pass never drops a true match (no false negatives), so

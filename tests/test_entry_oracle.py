@@ -92,6 +92,7 @@ _VARIANT_TAIL = {
     "customers_no_recent_order",
     "fingerprint_sha",
     "inverted_index",
+    "url_canonicalize",
 }
 
 
@@ -136,6 +137,7 @@ def test_driver_window_covers_every_operator_family():
         "customers_no_recent_order": "bloom_prefilter_decontaminate",
         "fingerprint_sha": "canonical_fingerprint",
         "inverted_index": "tfidf_top_terms",
+        "url_canonicalize": "canonical_fingerprint",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
