@@ -2001,6 +2001,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_canonicalize"] = _url_canon
 
+    def _pmi_colloc(spark, sf):
+        """PMI-lift adjacent-bigram collocations
+        (functions/collocations.py): the phrase-mining association
+        statistic in EXACT integer micro-units (DECIMAL(38,0)
+        intermediates, truncating `div`) so the ranking is
+        engine-invariant. One explode + two term-keyed hash aggs +
+        two vocab equi-joins + one broadcast scalar; top-k via
+        TakeOrdered."""
+        from ocr_translation_spark.functions.collocations import (
+            pmi_collocations,
+        )
+
+        return pmi_collocations(
+            _read(spark, sf, "documents"), min_count=3, top_k=50
+        )
+
+    q["pmi_collocations"] = _pmi_colloc
+
+    def _bpe_pairs(spark, sf):
+        """BPE merge-round pair counting
+        (functions/collocations.py): adjacent char-pair frequencies
+        weighted by word frequency, computed over DISTINCT words only
+        (the distributed-BPE optimization — per-merge work scales
+        with vocabulary, not corpus tokens). Exact BIGINT counts."""
+        from ocr_translation_spark.functions.collocations import (
+            bpe_pair_counts,
+        )
+
+        return bpe_pair_counts(_read(spark, sf, "documents"), top_k=50)
+
+    q["bpe_pair_counts"] = _bpe_pairs
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2103,6 +2135,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                             (the canonicalized upgrade)
     #                             in-window; demoted for kmv_distinct,
     #                             a NEW cardinality-sketch family
+    #   extract_kind_stats        a groupBy over the SAME extraction
+    #                             output as extract_flagship
+    #                             (in-window, value-hash over every
+    #                             span); demoted for pmi_collocations,
+    #                             a NEW association-mining family
+    #   events_hourly_gapfill     spine-densified variant of
+    #                             events_hourly (in-window); demoted
+    #                             for bpe_pair_counts, a NEW
+    #                             tokenizer-training-statistics family
     _DEMOTED_VARIANTS = (
         "shingle_fingerprint",
         "lsh_ann_topk",
@@ -2142,6 +2183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: string canonicalization map, same family as
         # canonical_fingerprint (in-window)
         "url_canonicalize",
+        "extract_kind_stats",
+        "events_hourly_gapfill",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -3738,6 +3781,55 @@ ANTI JOIN (
   SELECT sha256(text) AS fp FROM documents WHERE doc_id::BIGINT % 20 = 0
 ) r ON sha256(d.text) = r.fp
 ORDER BY d.doc_id::BIGINT
+"""
+
+    # Exact integer lift: HUGEINT `//` mirrors Spark's DECIMAL(38,0)
+    # IntegralDivide (both truncate); min_count/top_k match queries().
+    o["pmi_collocations"] = """
+WITH toks AS (
+  SELECT list_filter(string_split(regexp_replace(lower(trim(text)),
+           '\\s+', ' ', 'g'), ' '), t -> t <> '') AS t
+  FROM documents
+), uni AS (
+  SELECT tok AS w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+), total AS (SELECT sum(c)::BIGINT AS t_total FROM uni),
+pairs AS (
+  SELECT (p).w1 AS w1, (p).w2 AS w2, count(*)::BIGINT AS pair_count
+  FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+        FROM toks WHERE len(t) >= 2)
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT p.w1 AS w1, p.w2 AS w2, p.pair_count AS pair_count,
+       ((p.pair_count::HUGEINT * t.t_total::HUGEINT * 1000000)
+        // (u1.c::HUGEINT * u2.c::HUGEINT))::BIGINT AS lift_micro
+FROM pairs p
+JOIN uni u1 ON p.w1 = u1.w
+JOIN uni u2 ON p.w2 = u2.w
+CROSS JOIN total t
+ORDER BY lift_micro DESC, pair_count DESC, w1, w2
+LIMIT 50
+"""
+
+    o["bpe_pair_counts"] = """
+WITH toks AS (
+  SELECT list_filter(string_split(regexp_replace(lower(trim(text)),
+           '\\s+', ' ', 'g'), ' '), t -> t <> '') AS t
+  FROM documents
+), words AS (
+  SELECT tok AS word, count(*)::BIGINT AS n_occ
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+), prs AS (
+  SELECT substr(word, i, 1) AS lft, substr(word, i + 1, 1) AS rgt, n_occ
+  FROM words, unnest(generate_series(1, len(word) - 1)) AS u(i)
+  WHERE len(word) >= 2
+)
+SELECT lft AS "left", rgt AS "right", sum(n_occ)::BIGINT AS pair_count
+FROM prs GROUP BY 1, 2
+ORDER BY pair_count DESC, "left", "right"
+LIMIT 50
 """
 
     return o

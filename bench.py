@@ -159,6 +159,9 @@ def main() -> None:
         "heavy_hitters",
         "kmv_distinct",
         "bloom_prefilter_decontaminate",
+        # corpus collocation mining + BPE merge-round pair counting
+        "pmi_collocations",
+        "bpe_pair_counts",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -93,6 +93,8 @@ _VARIANT_TAIL = {
     "fingerprint_sha",
     "inverted_index",
     "url_canonicalize",
+    "extract_kind_stats",
+    "events_hourly_gapfill",
 }
 
 
@@ -138,6 +140,8 @@ def test_driver_window_covers_every_operator_family():
         "fingerprint_sha": "canonical_fingerprint",
         "inverted_index": "tfidf_top_terms",
         "url_canonicalize": "canonical_fingerprint",
+        "extract_kind_stats": "extract_flagship",
+        "events_hourly_gapfill": "events_hourly",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
