@@ -2033,6 +2033,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_pair_counts"] = _bpe_pairs
 
+    def _bm25(spark, sf):
+        """Okapi BM25 ranked retrieval for a fixed 3-term query
+        (functions/retrieval.py) in exact integer micro-units
+        (rational k1=6/5, b=3/4, rational Robertson idf argument —
+        ln dropped so the value oracle is engine-exact). For a fixed
+        query the plan is SHUFFLE-FREE on the corpus: tf and dl are
+        row-local array aggregates, the corpus stats are ONE
+        single-row aggregate broadcast back, the top-k is a
+        TakeOrderedAndProject. Query terms: 'dup' is the one rare
+        vocabulary word (df ~ 5% of docs) so the idf spread is real;
+        'join'/'scan' are common."""
+        from ocr_translation_spark.functions.retrieval import bm25_topk
+
+        return bm25_topk(
+            _read(spark, sf, "documents"), ["dup", "join", "scan"],
+            top_k=10,
+        )
+
+    q["bm25_topk"] = _bm25
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2185,6 +2205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize",
         "extract_kind_stats",
         "events_hourly_gapfill",
+        # exact n-gram-overlap decontamination; the decontamination
+        # family stays in-window via bloom_prefilter_decontaminate
+        # (value-identical exact anti-join, bloom-accelerated); demoted
+        # for bm25_topk, a NEW ranked-retrieval family
+        "ngram_decontaminate",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -3830,6 +3855,49 @@ SELECT lft AS "left", rgt AS "right", sum(n_occ)::BIGINT AS pair_count
 FROM prs GROUP BY 1, 2
 ORDER BY pair_count DESC, "left", "right"
 LIMIT 50
+"""
+
+    # Exact-integer BM25 (k1=6/5, b=3/4, rational Robertson idf): the
+    # cleared-denominator constants (a+c)*r=44, c*r=20, a*(r-p)=6,
+    # a*p=18 mirror functions/retrieval.py; HUGEINT `//` matches
+    # Spark's DECIMAL(38,0) IntegralDivide (all factors positive).
+    o["bm25_topk"] = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+           '\\s+', ' ', 'g'), ' '), t -> t <> '') AS toks
+  FROM documents
+), per AS (
+  SELECT doc_id, len(toks)::HUGEINT AS dl,
+         len(list_filter(toks, t -> t = 'dup'))::HUGEINT  AS tf0,
+         len(list_filter(toks, t -> t = 'join'))::HUGEINT AS tf1,
+         len(list_filter(toks, t -> t = 'scan'))::HUGEINT AS tf2
+  FROM base
+), stats AS (
+  SELECT count(*)::HUGEINT AS n, sum(dl)::HUGEINT AS t,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::HUGEINT AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::HUGEINT AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::HUGEINT AS df2
+  FROM per
+)
+SELECT p.doc_id AS doc_id,
+       ((tf0 > 0)::INT + (tf1 > 0)::INT + (tf2 > 0)::INT) AS n_matched,
+       ( (CASE WHEN tf0 > 0 THEN
+            (1000000::HUGEINT * (2*s.n - 2*s.df0 + 1) * 44 * tf0 * s.t)
+            // ((2*s.df0 + 1) * (20*tf0*s.t + 6*s.t + 18*dl*s.n))
+          ELSE 0 END)
+       + (CASE WHEN tf1 > 0 THEN
+            (1000000::HUGEINT * (2*s.n - 2*s.df1 + 1) * 44 * tf1 * s.t)
+            // ((2*s.df1 + 1) * (20*tf1*s.t + 6*s.t + 18*dl*s.n))
+          ELSE 0 END)
+       + (CASE WHEN tf2 > 0 THEN
+            (1000000::HUGEINT * (2*s.n - 2*s.df2 + 1) * 44 * tf2 * s.t)
+            // ((2*s.df2 + 1) * (20*tf2*s.t + 6*s.t + 18*dl*s.n))
+          ELSE 0 END) )::BIGINT AS score_micro
+FROM per p CROSS JOIN stats s
+WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+ORDER BY score_micro DESC, p.doc_id::BIGINT
+LIMIT 10
 """
 
     return o

@@ -162,6 +162,8 @@ def main() -> None:
         # corpus collocation mining + BPE merge-round pair counting
         "pmi_collocations",
         "bpe_pair_counts",
+        # exact-integer BM25 ranked retrieval (shuffle-free corpus path)
+        "bm25_topk",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

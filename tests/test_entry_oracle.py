@@ -95,6 +95,7 @@ _VARIANT_TAIL = {
     "url_canonicalize",
     "extract_kind_stats",
     "events_hourly_gapfill",
+    "ngram_decontaminate",
 }
 
 
@@ -142,6 +143,7 @@ def test_driver_window_covers_every_operator_family():
         "url_canonicalize": "canonical_fingerprint",
         "extract_kind_stats": "extract_flagship",
         "events_hourly_gapfill": "events_hourly",
+        "ngram_decontaminate": "bloom_prefilter_decontaminate",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
