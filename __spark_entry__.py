@@ -2053,6 +2053,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_topk"] = _bm25
 
+    def _setsim(spark, sf):
+        """Exact Jaccard>=0.7 self-join over the SAME 3-gram shingle
+        sets the MinHash path sketches (functions/setjoin.py): prefix
+        filtering under a rarest-token-first global order turns the
+        n^2 problem into a prefix-token equi-join, then an exact
+        integer verify (7*union <= 10*inter). The DuckDB twin
+        generates candidates by the INDEPENDENT share-any-shingle rule,
+        so a value match proves the prefix filter lost no pair."""
+        from ocr_translation_spark.functions.dedup import shingles
+        from ocr_translation_spark.functions.setjoin import setsim_selfjoin
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id", shingles(F.col("text"), 3).alias("sh")
+        )
+        return setsim_selfjoin(d, "doc_id", "sh", 7, 10)
+
+    q["setsim_join_exact"] = _setsim
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2210,6 +2228,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (value-identical exact anti-join, bloom-accelerated); demoted
         # for bm25_topk, a NEW ranked-retrieval family
         "ngram_decontaminate",
+        # fixed-size chunking is the unit-generation STAGE of
+        # document_packing (in-window), which bin-packs the same chunk
+        # units; demoted for setsim_join_exact, a NEW exact
+        # similarity-join family (prefix-filtered AllPairs/PPJoin)
+        "document_chunks",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -3898,6 +3921,30 @@ FROM per p CROSS JOIN stats s
 WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
 ORDER BY score_micro DESC, p.doc_id::BIGINT
 LIMIT 10
+"""
+
+    # Candidates via the share-ANY-shingle rule (complete for any
+    # Jaccard threshold > 0), verified with the same exact integer
+    # test — an INDEPENDENT algorithm from the Spark side's prefix
+    # filter, so a value match proves the prefix filter's completeness.
+    o["setsim_join_exact"] = f"""
+WITH {_SH_CTES},
+e AS (SELECT doc_id, unnest(g) AS tok FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM e a JOIN e b USING (tok) WHERE a.doc_id < b.doc_id
+),
+v AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.g, sb.g))::BIGINT AS inter_size,
+         (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g)))::BIGINT
+           AS union_size
+  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+            JOIN sh sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, inter_size, union_size,
+       round(inter_size::DOUBLE / union_size, 6) AS jaccard
+FROM v WHERE 10 * inter_size >= 7 * union_size
 """
 
     return o

@@ -164,6 +164,8 @@ def main() -> None:
         "bpe_pair_counts",
         # exact-integer BM25 ranked retrieval (shuffle-free corpus path)
         "bm25_topk",
+        # exact prefix-filtered set-similarity self-join (PPJoin)
+        "setsim_join_exact",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

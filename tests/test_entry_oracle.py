@@ -96,6 +96,7 @@ _VARIANT_TAIL = {
     "extract_kind_stats",
     "events_hourly_gapfill",
     "ngram_decontaminate",
+    "document_chunks",
 }
 
 
@@ -144,6 +145,7 @@ def test_driver_window_covers_every_operator_family():
         "extract_kind_stats": "extract_flagship",
         "events_hourly_gapfill": "events_hourly",
         "ngram_decontaminate": "bloom_prefilter_decontaminate",
+        "document_chunks": "document_packing",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
