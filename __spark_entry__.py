@@ -2071,6 +2071,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["setsim_join_exact"] = _setsim
 
+    def _triangles(spark, sf):
+        """Exact per-vertex triangle counts (functions/graph.py) via
+        the degree-oriented wedge join, over a deterministic derived
+        graph: ring edges doc_id -> (doc_id+1)%n and (doc_id+2)%n
+        guarantee one triangle per vertex position at EVERY scale
+        factor, and two sha256-derived links per doc (same recipe as
+        pagerank_centrality's graph) add irregular structure so the
+        orientation and closure logic are genuinely exercised."""
+        from ocr_translation_spark.functions._lsh_common import prepared
+        from ocr_translation_spark.functions.graph import triangle_counts
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+
+        def _tgt(k: int) -> F.Column:
+            return (
+                F.conv(
+                    F.substring(
+                        F.sha2(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(f":{k}"),
+                            ),
+                            256,
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n_docs
+            )
+
+        def _build():
+            edges = docs.select(
+                "doc_id",
+                F.explode(
+                    F.array(
+                        (F.col("doc_id") + 1) % n_docs,
+                        (F.col("doc_id") + 2) % n_docs,
+                        _tgt(1),
+                        _tgt(2),
+                    )
+                ).alias("dst"),
+            )
+            return triangle_counts(edges, src="doc_id", dst="dst")
+
+        return prepared(
+            "entry:triangle_counts", (docs,), (n_docs,), _build
+        )
+
+    q["triangle_counts"] = _triangles
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2233,6 +2287,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # units; demoted for setsim_join_exact, a NEW exact
         # similarity-join family (prefix-filtered AllPairs/PPJoin)
         "document_chunks",
+        # sliding-frame window aggregate; the window-analytics family
+        # keeps purchase_attribution_asof (range logic),
+        # training_shuffle_order and user_retention_cohorts (rank /
+        # partition windows) in-window; demoted for triangle_counts, a
+        # NEW graph-motif-counting family (degree-oriented wedge join)
+        "events_moving_avg",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -3945,6 +4005,59 @@ v AS (
 SELECT id_a, id_b, inter_size, union_size,
        round(inter_size::DOUBLE / union_size, 6) AS jaccard
 FROM v WHERE 10 * inter_size >= 7 * union_size
+"""
+
+    # Same deterministic graph (ring+2 plus two sha256-derived links
+    # per doc), same degree-(id-tiebreak) orientation, same wedge +
+    # closure joins — per-vertex triangle counts are a pure function
+    # of the edge set, so the engines agree exactly.
+    o["triangle_counts"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tg AS (
+  SELECT doc_id, [(doc_id + 1) % n, (doc_id + 2) % n,
+                  {_pr_tgt.format(k=1)}, {_pr_tgt.format(k=2)}] AS ts
+  FROM documents, nn
+),
+e0 AS (SELECT doc_id AS s, unnest(ts) AS t FROM tg),
+edges AS (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+  FROM e0 WHERE s <> t
+),
+deg AS (
+  SELECT vertex, count(*)::BIGINT AS degree FROM (
+    SELECT u AS vertex FROM edges UNION ALL SELECT v AS vertex FROM edges
+  ) GROUP BY vertex
+),
+o AS (
+  SELECT CASE WHEN du.degree < dv.degree
+               OR (du.degree = dv.degree AND e.u < e.v)
+              THEN e.u ELSE e.v END AS a,
+         CASE WHEN du.degree < dv.degree
+               OR (du.degree = dv.degree AND e.u < e.v)
+              THEN e.v ELSE e.u END AS b,
+         CASE WHEN du.degree < dv.degree
+               OR (du.degree = dv.degree AND e.u < e.v)
+              THEN dv.degree ELSE du.degree END AS rb_deg
+  FROM edges e JOIN deg du ON du.vertex = e.u JOIN deg dv ON dv.vertex = e.v
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM o e1
+  JOIN o e2 ON e1.a = e2.a
+           AND (e1.rb_deg < e2.rb_deg
+                OR (e1.rb_deg = e2.rb_deg AND e1.b < e2.b))
+  JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+tc AS (
+  SELECT vertex, count(*)::BIGINT AS n_triangles FROM (
+    SELECT x AS vertex FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY vertex
+)
+SELECT d.vertex, d.degree,
+       coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles
+FROM deg d LEFT JOIN tc USING (vertex)
 """
 
     return o

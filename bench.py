@@ -166,6 +166,8 @@ def main() -> None:
         "bm25_topk",
         # exact prefix-filtered set-similarity self-join (PPJoin)
         "setsim_join_exact",
+        # degree-oriented wedge-join triangle counting
+        "triangle_counts",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -259,3 +259,102 @@ def pagerank(
     return ranks.select(
         F.col("_n").alias(node_col), F.col("_r").alias("rank_micro")
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Exact per-vertex triangle counts (vertex, degree, n_triangles)
+    over the undirected simple graph of ``edges``.
+
+    Degree-oriented wedge join (Cohen '09 / Suri-Vassilvitskii WWW'11,
+    the standard MapReduce triangle algorithm): every edge is oriented
+    from its lower-rank endpoint to the higher, rank = (degree, id).
+    A triangle x-y-z with rank x < y < z then exists iff the oriented
+    edges x->y, x->z, y->z all exist, so
+
+    * wedges come from ONE self-equi-join of oriented edges on the
+      source vertex, and each wedge is generated exactly once
+      (rank(y) < rank(z) enforced in the join condition);
+    * triangles are the wedges whose (y, z) closure edge exists —
+      ONE more equi-join;
+    * each triangle is counted exactly once, then exploded back to its
+      three corners for the per-vertex rollup.
+
+    100 TB shape: degree orientation bounds per-vertex out-degree by
+    O(sqrt(m)) — the hot-vertex wedge explosion a naive neighbor join
+    suffers (a degree-10^6 hub would emit 10^12 wedges) is structurally
+    avoided; every stage is an equi-join or hash aggregate on vertex /
+    edge keys, no cartesian products. Vertices are edge endpoints only
+    (an isolated vertex has no triangles by definition).
+
+    The degree tie-break by id makes the orientation — and therefore
+    the whole computation — a pure function of the edge set, which the
+    DuckDB oracle twin reproduces value-for-value.
+    """
+    from ._lsh_common import pin_exclusive
+
+    e = pin_exclusive(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+        site="graph.triangles.edges",
+    )
+    deg = (
+        e.select(F.col("u").alias("vertex"))
+        .unionAll(e.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    du = deg.select(F.col("vertex").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("vertex").alias("v"), F.col("degree").alias("dv"))
+    a_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented edge a->b with rank(a) < rank(b); rb_deg rides along so
+    # the wedge join can compare endpoint ranks without another join
+    oriented = pin_exclusive(
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(a_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(a_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(a_first, F.col("dv")).otherwise(F.col("du")).alias(
+                "rb_deg"
+            ),
+        ),
+        site="graph.triangles.oriented",
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    rank_lt = (F.col("e1.rb_deg") < F.col("e2.rb_deg")) | (
+        (F.col("e1.rb_deg") == F.col("e2.rb_deg"))
+        & (F.col("e1.b") < F.col("e2.b"))
+    )
+    wedges = e1.join(
+        e2, (F.col("e1.a") == F.col("e2.a")) & rank_lt
+    ).select(
+        F.col("e1.a").alias("x"),
+        F.col("e1.b").alias("y"),
+        F.col("e2.b").alias("z"),
+    )
+    closure = oriented.select(
+        F.col("a").alias("y"), F.col("b").alias("z")
+    )
+    tris = wedges.join(closure, ["y", "z"])
+    corners = (
+        tris.select(F.col("x").alias("vertex"))
+        .unionAll(tris.select(F.col("y").alias("vertex")))
+        .unionAll(tris.select(F.col("z").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return deg.join(corners, "vertex", "left").select(
+        "vertex",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+            "n_triangles"
+        ),
+    )

@@ -97,6 +97,7 @@ _VARIANT_TAIL = {
     "events_hourly_gapfill",
     "ngram_decontaminate",
     "document_chunks",
+    "events_moving_avg",
 }
 
 
@@ -146,6 +147,7 @@ def test_driver_window_covers_every_operator_family():
         "events_hourly_gapfill": "events_hourly",
         "ngram_decontaminate": "bloom_prefilter_decontaminate",
         "document_chunks": "document_packing",
+        "events_moving_avg": "purchase_attribution_asof",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

@@ -70,3 +70,81 @@ def test_cc_deterministic_across_runs(spark):
     a = sorted(map(tuple, connected_components(edges).collect()))
     b = sorted(map(tuple, connected_components(edges).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts (degree-oriented wedge join)
+# ---------------------------------------------------------------------------
+
+def _tri_brute(edges):
+    import itertools
+
+    adj = {}
+    es = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        u, v = min(a, b), max(a, b)
+        es.add((u, v))
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    for v, nb in adj.items():
+        t = sum(
+            1
+            for x, y in itertools.combinations(sorted(nb), 2)
+            if (min(x, y), max(x, y)) in es
+        )
+        want[v] = (len(nb), t)
+    return want
+
+
+def _tri_run(spark, edges):
+    from ocr_translation_spark.functions.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r.vertex: (r.degree, r.n_triangles)
+        for r in triangle_counts(df).collect()
+    }
+
+
+def test_triangle_hand_graph(spark):
+    # triangle 1-2-3 plus a pendant 4 and a disconnected edge 5-6
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)]
+    got = _tri_run(spark, edges)
+    assert got == {
+        1: (2, 1), 2: (2, 1), 3: (3, 1), 4: (1, 0), 5: (1, 0), 6: (1, 0)
+    }
+
+
+def test_triangle_star_has_none_clique_has_all(spark):
+    star = [(0, i) for i in range(1, 9)]
+    got = _tri_run(spark, star)
+    assert got[0] == (8, 0) and all(got[i] == (1, 0) for i in range(1, 9))
+    import itertools
+
+    k5 = list(itertools.combinations(range(5), 2))
+    got = _tri_run(spark, k5)
+    # K5: every vertex is in C(4,2) = 6 triangles
+    assert got == {i: (4, 6) for i in range(5)}
+
+
+def test_triangle_dedups_parallel_and_self_edges(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3), (1, 3)]
+    got = _tri_run(spark, edges)
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
+
+
+def test_triangle_brute_force_parity_randomized(spark):
+    import random
+
+    rng = random.Random(20260818)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        got = _tri_run(spark, edges)
+        assert got == _tri_brute(edges), f"trial {trial}"
