@@ -2125,6 +2125,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["triangle_counts"] = _triangles
 
+    def _rollup_inc(spark, sf):
+        """Incremental materialized-rollup maintenance
+        (functions/rollup.py): the base partition (orders before
+        1997-07-01) is aggregated ONCE into mergeable partials, the
+        delta (the rest) is aggregated separately, and the view is
+        their STATE MERGE — the base rows are never rescanned in the
+        maintenance step. A value match against the DuckDB twin
+        (which recomputes the view from the FULL table in one pass)
+        proves merge(build(base), build(delta)) == build(all), i.e.
+        the O(delta) maintenance path is exact. Money sums ride in
+        DECIMAL(18,4) partials (exact, order-insensitive); the final
+        cast to rounded double follows the _dsum convention."""
+        from ocr_translation_spark.functions.rollup import (
+            build_rollup,
+            merge_rollups,
+        )
+
+        orders = _read(spark, sf, "orders").withColumn(
+            "price_dec", F.col("o_totalprice").cast("decimal(18,4)")
+        )
+        cut = F.lit("1997-07-01").cast("timestamp")
+        keys = ["o_orderstatus", "o_orderpriority"]
+
+        def _roll(part):
+            return build_rollup(
+                part,
+                keys,
+                sums=["price_dec"],
+                mins=["o_orderdate"],
+                maxs=["o_orderdate"],
+            )
+
+        merged = merge_rollups(
+            _roll(orders.filter(F.col("o_orderdate") < cut)),
+            _roll(orders.filter(F.col("o_orderdate") >= cut)),
+            keys,
+        )
+        return merged.select(
+            *keys,
+            "n_rows",
+            F.round(F.col("sum_price_dec").cast("double"), 2).alias(
+                "sum_price"
+            ),
+            F.col("min_o_orderdate").alias("min_date"),
+            F.col("max_o_orderdate").alias("max_date"),
+        )
+
+    q["rollup_incremental"] = _rollup_inc
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2293,6 +2342,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partition windows) in-window; demoted for triangle_counts, a
         # NEW graph-motif-counting family (degree-oriented wedge join)
         "events_moving_avg",
+        # compare-to-group-statistic filter; the family keeps
+        # quality_decile_stats (threshold vs group percentile) and
+        # tpch_q3_shipping (join+agg) in-window; demoted for
+        # rollup_incremental, a NEW incremental-view-maintenance
+        # family (mergeable partial aggregates)
+        "customers_above_nation_avg",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -4058,6 +4113,18 @@ tc AS (
 SELECT d.vertex, d.degree,
        coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles
 FROM deg d LEFT JOIN tc USING (vertex)
+"""
+
+    # Full one-pass recompute over the WHOLE base table: equality with
+    # the Spark side's merge(build(base), build(delta)) proves the
+    # incremental maintenance path exact.
+    o["rollup_incremental"] = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)::BIGINT AS n_rows,
+       round(sum(o_totalprice::DECIMAL(18,4))::DOUBLE, 2) AS sum_price,
+       min(o_orderdate) AS min_date,
+       max(o_orderdate) AS max_date
+FROM orders GROUP BY o_orderstatus, o_orderpriority
 """
 
     return o

@@ -168,6 +168,8 @@ def main() -> None:
         "setsim_join_exact",
         # degree-oriented wedge-join triangle counting
         "triangle_counts",
+        # incremental materialized-rollup maintenance (merge == full)
+        "rollup_incremental",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

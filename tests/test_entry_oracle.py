@@ -98,6 +98,7 @@ _VARIANT_TAIL = {
     "ngram_decontaminate",
     "document_chunks",
     "events_moving_avg",
+    "customers_above_nation_avg",
 }
 
 
@@ -136,7 +137,9 @@ def test_driver_window_covers_every_operator_family():
         "tpch_q7_volume_shipping": "tpch_q3_shipping",
         "content_hash": "canonical_fingerprint",
         "events_top_users": "curation_e2e",
-        "big_spender_customers": "customers_above_nation_avg",
+        # both are threshold-vs-group-statistic filters; their family
+        # rep in-window is quality_decile_stats
+        "big_spender_customers": "quality_decile_stats",
         "tpch_q10_returned_items": "tpch_q3_shipping",
         "top_trigrams": "heavy_hitters",
         "customers_no_recent_order": "bloom_prefilter_decontaminate",
@@ -148,6 +151,7 @@ def test_driver_window_covers_every_operator_family():
         "ngram_decontaminate": "bloom_prefilter_decontaminate",
         "document_chunks": "document_packing",
         "events_moving_avg": "purchase_attribution_asof",
+        "customers_above_nation_avg": "quality_decile_stats",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
