@@ -2174,6 +2174,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rollup_incremental"] = _rollup_inc
 
+    def _profile(spark, sf):
+        """One-pass per-column data audit (functions/profile.py):
+        row/NULL/EXACT-distinct counts and typed min/max for all six
+        orders columns in ONE (column, value) aggregate — no
+        per-column jobs. NULLs are planted deterministically
+        (priority nulled when o_orderkey%7==3, totalprice when
+        %11==5) so the null-accounting path is non-degenerate on the
+        null-free driver corpus. Values ride in canonical form
+        (money as half-up ten-thousandths, timestamps as epoch
+        micros) so both engines hash identically."""
+        from ocr_translation_spark.functions.profile import profile_table
+
+        o = (
+            _read(spark, sf, "orders")
+            .withColumn(
+                "o_orderpriority",
+                F.when(
+                    F.col("o_orderkey") % 7 == 3, F.lit(None)
+                ).otherwise(F.col("o_orderpriority")),
+            )
+            .withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 11 == 5, F.lit(None)
+                ).otherwise(F.col("o_totalprice")),
+            )
+        )
+        return profile_table(
+            o,
+            text_cols=["o_orderstatus", "o_orderpriority"],
+            int_cols=["o_orderkey", "o_custkey"],
+            money_cols=["o_totalprice"],
+            ts_cols=["o_orderdate"],
+        )
+
+    q["table_profile"] = _profile
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2348,6 +2385,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rollup_incremental, a NEW incremental-view-maintenance
         # family (mergeable partial aggregates)
         "customers_above_nation_avg",
+        # row-local whitespace token counting; the text-signal family
+        # keeps quality_scores (a superset incl. token-derived
+        # ratios) and bm25_topk's tf/dl in-window; demoted for
+        # table_profile, a NEW data-audit family (one-pass per-column
+        # null/distinct/min-max profiling)
+        "token_count",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -4125,6 +4168,47 @@ SELECT o_orderstatus, o_orderpriority,
        min(o_orderdate) AS min_date,
        max(o_orderdate) AS max_date
 FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+    # Same planted NULLs, same canonical value forms; DuckDB profiles
+    # via a per-column UNION ALL stack — an independent formulation of
+    # the same one-pass (column, value) aggregate.
+    o["table_profile"] = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 3 THEN NULL
+              ELSE o_orderpriority END AS o_orderpriority,
+         CASE WHEN o_orderkey % 11 = 5 THEN NULL
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate
+  FROM orders
+), s AS (
+  SELECT 'o_orderstatus' AS col_name, o_orderstatus IS NULL AS isn,
+         o_orderstatus AS val_str, NULL::BIGINT AS val_num FROM o
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority IS NULL,
+         o_orderpriority, NULL FROM o
+  UNION ALL
+  SELECT 'o_orderkey', o_orderkey IS NULL, NULL, o_orderkey FROM o
+  UNION ALL
+  SELECT 'o_custkey', o_custkey IS NULL, NULL, o_custkey FROM o
+  UNION ALL
+  SELECT 'o_totalprice', o_totalprice IS NULL, NULL,
+         CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) FROM o
+  UNION ALL
+  SELECT 'o_orderdate', o_orderdate IS NULL, NULL,
+         epoch_us(o_orderdate) FROM o
+), g AS (
+  SELECT col_name, isn, val_str, val_num, count(*)::BIGINT AS c
+  FROM s GROUP BY ALL
+)
+SELECT col_name,
+       sum(c)::BIGINT AS n_rows,
+       sum(CASE WHEN isn THEN c ELSE 0 END)::BIGINT AS n_nulls,
+       (count(*) FILTER (NOT isn))::BIGINT AS n_distinct,
+       min(val_str) AS min_str, max(val_str) AS max_str,
+       min(val_num)::BIGINT AS min_num, max(val_num)::BIGINT AS max_num
+FROM g GROUP BY col_name
 """
 
     return o

@@ -170,6 +170,8 @@ def main() -> None:
         "triangle_counts",
         # incremental materialized-rollup maintenance (merge == full)
         "rollup_incremental",
+        # one-pass per-column data-audit profile
+        "table_profile",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

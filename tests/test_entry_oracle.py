@@ -99,6 +99,7 @@ _VARIANT_TAIL = {
     "document_chunks",
     "events_moving_avg",
     "customers_above_nation_avg",
+    "token_count",
 }
 
 
@@ -152,6 +153,7 @@ def test_driver_window_covers_every_operator_family():
         "document_chunks": "document_packing",
         "events_moving_avg": "purchase_attribution_asof",
         "customers_above_nation_avg": "quality_decile_stats",
+        "token_count": "quality_scores",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
