@@ -2211,6 +2211,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_profile"] = _profile
 
+    def _ann_recall(spark, sf):
+        """Distributed index-quality evaluation
+        (functions/evaluation.py): recall@5 of the multiprobe SRP-LSH
+        index (lsh_ann_topk's exact configuration) against the exact
+        brute-force top-5, per query, as one (query_id, neighbor_id)
+        equi-join — no driver-side loop over queries. Recall rides in
+        truncating integer micro-units so the DuckDB twin (composing
+        the SAME two oracle-checked retrieval queries) is value-exact.
+        Zero-hit queries are zero-filled, not dropped."""
+        from ocr_translation_spark.functions.evaluation import topk_recall
+
+        emb = _read(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 10)
+        exact = brute_force_topk(emb, queries_df, k=5, round_digits=4)
+        approx = lsh_bucketed_topk(
+            emb, queries_df, dim=64, k=5, n_planes=6, multiprobe=2
+        )
+        return topk_recall(approx, exact)
+
+    q["ann_recall_eval"] = _ann_recall
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2391,6 +2412,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table_profile, a NEW data-audit family (one-pass per-column
         # null/distinct/min-max profiling)
         "token_count",
+        # exact-percentile distribution summary; the quantile family
+        # keeps quality_decile_stats (percentile cutoffs driving a
+        # stratification) in-window, and events_percentiles_sampled
+        # was already tail; demoted for ann_recall_eval, a NEW
+        # index-quality-evaluation family (distributed recall@k)
+        "events_percentiles",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -4209,6 +4236,27 @@ SELECT col_name,
        min(val_str) AS min_str, max(val_str) AS max_str,
        min(val_num)::BIGINT AS min_num, max(val_num)::BIGINT AS max_num
 FROM g GROUP BY col_name
+"""
+
+    # Composes the two oracle-checked retrieval twins verbatim as
+    # derived tables: exact top-5 vs the multiprobe SRP-LSH top-5,
+    # hits via the same (query_id, neighbor_id) join, recall in
+    # truncating integer micro-units (HUGEINT // mirrors Spark div).
+    o["ann_recall_eval"] = f"""
+WITH ex AS (SELECT * FROM ({o["ann_cosine_topk"]}) t),
+ap AS (SELECT * FROM ({o["lsh_ann_topk"]}) t),
+ec AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1),
+hc AS (
+  SELECT ex.query_id, count(*)::BIGINT AS n_hit
+  FROM ex JOIN ap ON ex.query_id = ap.query_id
+                 AND ex.neighbor_id = ap.neighbor_id
+  GROUP BY 1
+)
+SELECT ec.query_id, ec.n_exact,
+       coalesce(hc.n_hit, 0)::BIGINT AS n_hit,
+       ((1000000::HUGEINT * coalesce(hc.n_hit, 0)) // ec.n_exact)::BIGINT
+         AS recall_micro
+FROM ec LEFT JOIN hc USING (query_id)
 """
 
     return o

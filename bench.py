@@ -172,6 +172,8 @@ def main() -> None:
         "rollup_incremental",
         # one-pass per-column data-audit profile
         "table_profile",
+        # distributed recall@k of the LSH index vs exact top-k
+        "ann_recall_eval",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

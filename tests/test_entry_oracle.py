@@ -100,6 +100,7 @@ _VARIANT_TAIL = {
     "events_moving_avg",
     "customers_above_nation_avg",
     "token_count",
+    "events_percentiles",
 }
 
 
@@ -130,7 +131,9 @@ def test_driver_window_covers_every_operator_family():
         "purchases_in_session": "purchase_attribution_asof",
         "dedup_best_quality": "exact_dedup",
         "ngram_jaccard_pairs": "winnowing_fingerprint",
-        "events_percentiles_sampled": "events_percentiles",
+        # quantile family rep after events_percentiles itself was
+        # demoted for ann_recall_eval
+        "events_percentiles_sampled": "quality_decile_stats",
         "embedding_neardup": "embedding_neardup_lsh",
         "events_hourly_users": "events_hourly",
         "orders_priority_rollup": "tpch_pricing_summary",
@@ -154,6 +157,7 @@ def test_driver_window_covers_every_operator_family():
         "events_moving_avg": "purchase_attribution_asof",
         "customers_above_nation_avg": "quality_decile_stats",
         "token_count": "quality_scores",
+        "events_percentiles": "quality_decile_stats",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
