@@ -2232,6 +2232,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall_eval"] = _ann_recall
 
+    def _snm(spark, sf):
+        """Sorted-neighborhood blocking (functions/blocking.py):
+        candidate pairs whose GLOBAL rank under (normalized_text,
+        doc_id) order differs by < 3. The global rank is computed
+        scalably — per-prefix-bucket windows plus driver-side
+        cumulative offsets (O(distinct 2-char prefixes) driver
+        state), never a single-task global window. The DuckDB twin
+        uses a plain global row_number(), an independent formulation
+        whose value match proves the bucket-offset rank exact."""
+        from ocr_translation_spark.functions.blocking import (
+            sorted_neighborhood_pairs,
+        )
+        from ocr_translation_spark.functions.text import normalized_text
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id", normalized_text(F.col("text")).alias("nkey")
+        )
+        return sorted_neighborhood_pairs(
+            d, key="nkey", id_col="doc_id", window=3, prefix_len=2
+        )
+
+    q["snm_candidate_pairs"] = _snm
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2418,6 +2441,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # was already tail; demoted for ann_recall_eval, a NEW
         # index-quality-evaluation family (distributed recall@k)
         "events_percentiles",
+        # corpus-trained bigram-LM fluency scoring; the model-based
+        # quality-scoring family keeps hashed_classifier_score
+        # in-window; demoted for snm_candidate_pairs, a NEW
+        # record-linkage blocking family (sorted-neighborhood with a
+        # distributed global rank)
+        "bigram_lm_score",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -4257,6 +4286,19 @@ SELECT ec.query_id, ec.n_exact,
        ((1000000::HUGEINT * coalesce(hc.n_hit, 0)) // ec.n_exact)::BIGINT
          AS recall_micro
 FROM ec LEFT JOIN hc USING (query_id)
+"""
+
+    # Plain global row_number() — the single-task formulation Spark
+    # deliberately avoids; value equality proves the distributed
+    # bucket-offset rank correct.
+    o["snm_candidate_pairs"] = f"""
+WITH d AS (SELECT doc_id AS id, {_NORM} AS nkey FROM documents),
+r AS (
+  SELECT id, row_number() OVER (ORDER BY nkey, id) AS rnk FROM d
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       (b.rnk - a.rnk)::INTEGER AS rank_dist
+FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 2
 """
 
     return o

@@ -174,6 +174,8 @@ def main() -> None:
         "table_profile",
         # distributed recall@k of the LSH index vs exact top-k
         "ann_recall_eval",
+        # sorted-neighborhood blocking w/ distributed global rank
+        "snm_candidate_pairs",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

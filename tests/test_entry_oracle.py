@@ -101,6 +101,7 @@ _VARIANT_TAIL = {
     "customers_above_nation_avg",
     "token_count",
     "events_percentiles",
+    "bigram_lm_score",
 }
 
 
@@ -158,6 +159,7 @@ def test_driver_window_covers_every_operator_family():
         "customers_above_nation_avg": "quality_decile_stats",
         "token_count": "quality_scores",
         "events_percentiles": "quality_decile_stats",
+        "bigram_lm_score": "hashed_classifier_score",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
