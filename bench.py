@@ -176,6 +176,8 @@ def main() -> None:
         "ann_recall_eval",
         # sorted-neighborhood blocking w/ distributed global rank
         "snm_candidate_pairs",
+        # leakage-safe cluster-atomic train/test splitting
+        "cluster_safe_split",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

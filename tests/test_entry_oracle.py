@@ -102,6 +102,7 @@ _VARIANT_TAIL = {
     "token_count",
     "events_percentiles",
     "bigram_lm_score",
+    "winnowing_fingerprint",
 }
 
 
@@ -114,7 +115,7 @@ def test_driver_window_covers_every_operator_family():
     )
     # each demoted variant's family keeps a representative in-window
     family_rep = {
-        "shingle_fingerprint": "winnowing_fingerprint",
+        "shingle_fingerprint": "canonical_fingerprint",
         "lsh_ann_topk": "ivf_ann_topk",
         "events_sessionize": "events_funnel",
         "events_pivot": "events_cube",
@@ -131,7 +132,7 @@ def test_driver_window_covers_every_operator_family():
         "embedding_clusters": "dedup_clusters",
         "purchases_in_session": "purchase_attribution_asof",
         "dedup_best_quality": "exact_dedup",
-        "ngram_jaccard_pairs": "winnowing_fingerprint",
+        "ngram_jaccard_pairs": "setsim_join_exact",
         # quantile family rep after events_percentiles itself was
         # demoted for ann_recall_eval
         "events_percentiles_sampled": "quality_decile_stats",
@@ -160,6 +161,7 @@ def test_driver_window_covers_every_operator_family():
         "token_count": "quality_scores",
         "events_percentiles": "quality_decile_stats",
         "bigram_lm_score": "hashed_classifier_score",
+        "winnowing_fingerprint": "canonical_fingerprint",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
