@@ -2275,6 +2275,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cluster_safe_split"] = _safe_split
 
+    def _cooc(spark, sf):
+        """Item-item co-occurrence similarity
+        (functions/cooccurrence.py) over the events log: items =
+        props JSON key k, users capped at their 20 most-interacted
+        items (rank window on the SAME user key — no extra shuffle)
+        so a hub user can never explode the within-user pair join.
+        Similarity is the SQUARED binary-incidence cosine in exact
+        integer micro-units ((1e6*n_co^2) div (c_a*c_b)) — monotone
+        in the true cosine, zero floating point."""
+        from ocr_translation_spark.functions.cooccurrence import (
+            item_cooccurrence_sim,
+        )
+
+        ev = _read(spark, sf, "events").withColumn(
+            "item", F.get_json_object("props", "$.k").cast("int")
+        )
+        return item_cooccurrence_sim(
+            ev, "user_id", "item", max_items_per_user=20, min_co=2
+        )
+
+    q["item_cooccurrence_sim"] = _cooc
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2473,6 +2495,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cluster_safe_split, a NEW leakage-safe-splitting family
         # (cluster-atomic train/test assignment)
         "winnowing_fingerprint",
+        # JSON property extraction + groupBy; the semi-structured
+        # parse surface stays in-window via item_cooccurrence_sim
+        # (the same props->k extraction feeding a richer operator);
+        # demoted for that NEW co-occurrence-similarity family
+        "events_json_props",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -4343,6 +4370,33 @@ FROM (
           % 10)::BIGINT AS b
   FROM clusters
 ) t
+"""
+
+    # Same cap rule (rank by interactions desc, item asc), same
+    # integer squared-cosine; HUGEINT-free — all products fit BIGINT
+    # (counts bounded by the user count).
+    o["item_cooccurrence_sim"] = """
+WITH ev AS (
+  SELECT user_id AS u, (props->>'k')::INTEGER AS i
+  FROM events WHERE props->>'k' IS NOT NULL
+),
+ui AS (SELECT u, i, count(*)::BIGINT AS n FROM ev GROUP BY 1, 2),
+capped AS (
+  SELECT u, i FROM (
+    SELECT u, i, row_number() OVER (
+      PARTITION BY u ORDER BY n DESC, i ASC) AS rn
+    FROM ui
+  ) WHERE rn <= 20
+),
+ic AS (SELECT i, count(*)::BIGINT AS c FROM capped GROUP BY 1),
+co AS (
+  SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_co
+  FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT item_a, item_b, n_co, ca.c AS c_a, cb.c AS c_b,
+       ((1000000 * n_co * n_co) // (ca.c * cb.c))::BIGINT AS sim2_micro
+FROM co JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b
 """
 
     return o

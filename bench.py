@@ -178,6 +178,8 @@ def main() -> None:
         "snm_candidate_pairs",
         # leakage-safe cluster-atomic train/test splitting
         "cluster_safe_split",
+        # capped item-item co-occurrence similarity
+        "item_cooccurrence_sim",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -103,6 +103,7 @@ _VARIANT_TAIL = {
     "events_percentiles",
     "bigram_lm_score",
     "winnowing_fingerprint",
+    "events_json_props",
 }
 
 
@@ -162,6 +163,7 @@ def test_driver_window_covers_every_operator_family():
         "events_percentiles": "quality_decile_stats",
         "bigram_lm_score": "hashed_classifier_score",
         "winnowing_fingerprint": "canonical_fingerprint",
+        "events_json_props": "item_cooccurrence_sim",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
