@@ -2297,6 +2297,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["item_cooccurrence_sim"] = _cooc
 
+    def _gopher(spark, sf):
+        """Gopher-rule composite quality filter (Rae et al. 2021 §A1.1,
+        public; functions/quality_rules.py): word-count bounds, mean-
+        word-length bounds, symbol-to-word ratio, bullet/ellipsis line
+        fractions, alphabetic-word fraction, required-stopword floor —
+        every verdict in CROSS-MULTIPLIED exact-integer form, the whole
+        operator a zero-shuffle row-local codegen map. The synthetic
+        corpus is rule-clean by construction, so the query first plants
+        deterministic dirt (bullet blocks, ellipsis lines, symbol runs,
+        numeric words, 3-word truncation — IDENTICAL expressions in
+        both engines) so every rule genuinely fires; measured at
+        sf0.001: each of the 7 rules fails 16-107 of 500 docs."""
+        from ocr_translation_spark.functions.quality_rules import (
+            gopher_quality_rules,
+        )
+
+        docs = _read_spread(spark, sf, "documents")
+        d = F.col("doc_id")
+        dirty = (
+            F.when(d % 7 == 0, F.concat(
+                F.lit("- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n"),
+                F.col("text"),
+            ))
+            .when(d % 7 == 1, F.concat(
+                F.col("text"),
+                F.lit("\ntrailing thought ...\nanother one ..."),
+            ))
+            .when(d % 7 == 2, F.concat(
+                F.col("text"), F.lit(" # # # # # # # #")
+            ))
+            .when(d % 7 == 3, F.concat(
+                F.col("text"),
+                F.lit(
+                    " 12345 67890 11111 22222 33333 44444 55555 66666"
+                    " 77777 88888 99999 10101"
+                ),
+            ))
+            .when(d % 7 == 4, F.array_join(
+                F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3), " "
+            ))
+            .otherwise(F.col("text"))
+        )
+        return gopher_quality_rules(docs.select("doc_id", dirty.alias("text")))
+
+    q["gopher_quality_rules"] = _gopher
+
+    def _bpe_train(spark, sf):
+        """Distributed BPE tokenizer training, first 4 merge rounds
+        (functions/collocations.py bpe_train_merges): per-round pair
+        counting over DISTINCT words (vocabulary-scale, not corpus-
+        scale), deterministic argmax, and the merge applied as ONE
+        literal replace over a double-delimited symbol encoding that
+        makes replace-all exactly greedy BPE. O(rounds) driver
+        round-trips of 1 row each; the only corpus-scale shuffle is
+        the word-frequency aggregate, persisted across rounds. The
+        DuckDB twin unrolls the same 4 rounds as chained CTEs."""
+        from ocr_translation_spark.functions.collocations import (
+            bpe_train_merges,
+        )
+
+        return bpe_train_merges(_read(spark, sf, "documents"), rounds=4)
+
+    q["bpe_train_merges"] = _bpe_train
+
+    def _word_cooc(spark, sf):
+        """GloVe-style windowed word co-occurrence counting
+        (Pennington et al. 2014, public; functions/collocations.py
+        word_cooccurrence): all token pairs within 4 positions,
+        distance-weighted sum(floor(1e6/d)) in exact integer
+        micro-units. Pair generation is row-local nested
+        transform(sequence) codegen — no positional self-join — so the
+        single shuffle is the final pair-keyed hash aggregate."""
+        from ocr_translation_spark.functions.collocations import (
+            word_cooccurrence,
+        )
+
+        return word_cooccurrence(
+            _read(spark, sf, "documents"), window=4, top_k=50
+        )
+
+    q["word_cooccurrence"] = _word_cooc
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2371,9 +2453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                             for pagerank_centrality, a NEW
     #                             fixed-iteration graph-ranking family
     #   lsh_ann_topk              one of the two bucketed ANN scale
-    #                             paths (family kept by ivf_ann_topk +
-    #                             the exact ann_cosine_topk baseline,
-    #                             both in-window); demoted for
+    #                             paths (family kept by ivf_ann_topk,
+    #                             in-window, plus ann_recall_eval's
+    #                             exact leg); demoted for
     #                             snapshot_diff, a NEW incremental
     #                             CDC-diff family
     #   shingle_fingerprint       sha-min-shingle fingerprint; the
@@ -2472,7 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family (mergeable partial aggregates)
         "customers_above_nation_avg",
         # row-local whitespace token counting; the text-signal family
-        # keeps quality_scores (a superset incl. token-derived
+        # keeps gopher_quality_rules (a superset incl. token-derived
         # ratios) and bm25_topk's tf/dl in-window; demoted for
         # table_profile, a NEW data-audit family (one-pass per-column
         # null/distinct/min-max profiling)
@@ -2500,6 +2582,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the same props->k extraction feeding a richer operator);
         # demoted for that NEW co-occurrence-similarity family
         "events_json_props",
+        # length/punct/stopword ratio scoring; subsumed by
+        # gopher_quality_rules (in-window), the published composite
+        # rule family over the same signals plus symbol/bullet/
+        # ellipsis/alpha rules, all exact-integer; demoted for that
+        # NEW family
+        "quality_scores",
+        # the counting step of ONE merge round; strictly subsumed by
+        # bpe_train_merges (in-window), which runs it every round and
+        # adds the argmax + merge-application loop; demoted for that
+        # NEW iterative-tokenizer-training family
+        "bpe_pair_counts",
+        # exact ANN baseline (broadcast query side x linear scan);
+        # the exact top-k computation lives on in-window inside
+        # ann_recall_eval (its ground-truth leg) next to ivf_ann_topk,
+        # the bucketed scale path; demoted for word_cooccurrence, a
+        # NEW windowed co-occurrence-counting family
+        "ann_cosine_topk",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -4397,6 +4496,146 @@ co AS (
 SELECT item_a, item_b, n_co, ca.c AS c_a, cb.c AS c_b,
        ((1000000 * n_co * n_co) // (ca.c * cb.c))::BIGINT AS sim2_micro
 FROM co JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b
+"""
+
+    # Same planted dirt, same whitespace tokenization, same line split,
+    # same cross-multiplied integer rule forms as
+    # functions/quality_rules.py (thresholds 5/100000 words, mean word
+    # len 3..10, 10% symbols, 90% bullets, 30% ellipsis, 80% alpha,
+    # >=2 required stopwords). `//` mirrors the exact '...'-triple
+    # count; coalesce(list_sum(...),0) mirrors aggregate's 0 init on
+    # empty docs.
+    o["gopher_quality_rules"] = r"""
+WITH dirty AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 7 = 0 THEN '- a' || chr(10) || '- b' || chr(10) ||
+        '- c' || chr(10) || '- d' || chr(10) || '- e' || chr(10) ||
+        '- f' || chr(10) || '- g' || chr(10) || '- h' || chr(10) ||
+        '- i' || chr(10) || '- j' || chr(10) || text
+      WHEN doc_id % 7 = 1 THEN text || chr(10) ||
+        'trailing thought ...' || chr(10) || 'another one ...'
+      WHEN doc_id % 7 = 2 THEN text || ' # # # # # # # #'
+      WHEN doc_id % 7 = 3 THEN text ||
+        ' 12345 67890 11111 22222 33333 44444 55555 66666 77777 88888 99999 10101'
+      WHEN doc_id % 7 = 4 THEN array_to_string(list_slice(
+        list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+          ' '), t -> t <> ''), 1, 3), ' ')
+      ELSE text END AS text
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+      ' '), t -> t <> '') AS words,
+    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+    (len(text) - len(replace(text, '#', '')))::BIGINT
+      + (len(text) - len(replace(text, '...', ''))) // 3 AS n_symbols
+  FROM dirty
+), cnt AS (
+  SELECT doc_id,
+    len(words)::BIGINT AS n_words,
+    coalesce(list_sum(list_transform(words, w -> len(w))), 0)::BIGINT
+      AS n_word_chars,
+    n_symbols,
+    len(lines)::BIGINT AS n_lines,
+    len(list_filter(lines, l -> starts_with(l, '- ')
+      OR starts_with(l, '* ')))::BIGINT AS n_bullet_lines,
+    len(list_filter(lines, l -> ends_with(l, '...')))::BIGINT
+      AS n_ellipsis_lines,
+    len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT
+      AS n_alpha_words,
+    (list_contains(words, 'the')::BIGINT + list_contains(words, 'a')::BIGINT
+     + list_contains(words, 'data')::BIGINT
+     + list_contains(words, 'value')::BIGINT) AS n_stop_hits
+  FROM sig
+)
+SELECT *,
+  (n_words >= 5 AND n_words <= 100000) AS r_word_count,
+  (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words)
+    AS r_mean_word_len,
+  (100 * n_symbols <= 10 * n_words) AS r_symbol_ratio,
+  (100 * n_bullet_lines <= 90 * n_lines) AS r_bullet_lines,
+  (100 * n_ellipsis_lines <= 30 * n_lines) AS r_ellipsis_lines,
+  (100 * n_alpha_words >= 80 * n_words) AS r_alpha_words,
+  (n_stop_hits >= 2) AS r_stopwords,
+  ((n_words >= 5 AND n_words <= 100000)
+   AND (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words)
+   AND (100 * n_symbols <= 10 * n_words)
+   AND (100 * n_bullet_lines <= 90 * n_lines)
+   AND (100 * n_ellipsis_lines <= 30 * n_lines)
+   AND (100 * n_alpha_words >= 80 * n_words)
+   AND (n_stop_hits >= 2)) AS keep
+FROM cnt
+"""
+
+    # Unrolled 4-round BPE twin: each round counts pairs from the
+    # previous round's symbol encoding, picks the argmax (count desc,
+    # then lexicographic — identical tie-break), and applies the merge
+    # via the SAME ';l;;r;' -> ';lr;' literal replace (leftmost
+    # non-overlapping replace-all has identical semantics on both
+    # engines and is exactly greedy BPE under the double-delimited
+    # encoding — see functions/collocations.py _bpe_seq).
+    _bpe_rounds = 4
+    _bpe_sql = r"""WITH toks AS (
+  SELECT list_filter(string_split(regexp_replace(lower(trim(text)),
+           '\s+', ' ', 'g'), ' '), t -> t <> '') AS t
+  FROM documents
+), words AS (
+  SELECT tok AS word, count(*)::BIGINT AS n_occ
+  FROM (SELECT unnest(t) AS tok FROM toks)
+  WHERE tok NOT LIKE '%;%'
+  GROUP BY 1
+), seq0 AS (
+  SELECT regexp_replace(word, '(.)', ';\1;', 'g') AS seq, n_occ FROM words
+)"""
+    for _r in range(1, _bpe_rounds + 1):
+        _p = _r - 1
+        _bpe_sql += f""", p{_r} AS (
+  SELECT s[i] AS l, s[i+1] AS r, sum(n_occ)::BIGINT AS c
+  FROM (SELECT string_split(trim(seq, ';'), ';;') AS s, n_occ
+        FROM seq{_p}),
+       unnest(generate_series(1, len(s) - 1)) AS u(i)
+  WHERE len(s) >= 2
+  GROUP BY 1, 2
+), m{_r} AS (SELECT l, r, c FROM p{_r} ORDER BY c DESC, l, r LIMIT 1)"""
+        if _r < _bpe_rounds:
+            _bpe_sql += f""", seq{_r} AS (
+  SELECT replace(seq,
+           ';' || (SELECT l FROM m{_r}) || ';;' ||
+             (SELECT r FROM m{_r}) || ';',
+           ';' || (SELECT l FROM m{_r}) ||
+             (SELECT r FROM m{_r}) || ';') AS seq,
+         n_occ
+  FROM seq{_p}
+)"""
+    _bpe_sql += "\n" + "\nUNION ALL\n".join(
+        f'SELECT {_r} AS round, l AS "left", r AS "right", '
+        f"c AS pair_count FROM m{_r}"
+        for _r in range(1, _bpe_rounds + 1)
+    )
+    o["bpe_train_merges"] = _bpe_sql
+
+    # Same lateral pair generation (every (i, j) with j - i <= 4), same
+    # (least, greatest) canonicalization, same exact 1000000 // d
+    # distance weight, same full deterministic top-k tie-break.
+    o["word_cooccurrence"] = r"""
+WITH toks AS (
+  SELECT list_filter(string_split(regexp_replace(lower(trim(text)),
+           '\s+', ' ', 'g'), ' '), t -> t <> '') AS t
+  FROM documents
+), pr AS (
+  SELECT CASE WHEN t[i] <= t[j] THEN t[i] ELSE t[j] END AS w1,
+         CASE WHEN t[i] <= t[j] THEN t[j] ELSE t[i] END AS w2,
+         (j - i)::BIGINT AS d
+  FROM (SELECT t FROM toks WHERE len(t) >= 2),
+       unnest(generate_series(1, len(t) - 1)) AS u(i),
+       unnest(generate_series(i + 1, least(i + 4, len(t)))) AS v(j)
+)
+SELECT w1, w2, count(*)::BIGINT AS n_pairs,
+       sum(1000000 // d)::BIGINT AS weight_micro
+FROM pr GROUP BY 1, 2
+ORDER BY weight_micro DESC, n_pairs DESC, w1, w2
+LIMIT 50
 """
 
     return o

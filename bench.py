@@ -180,6 +180,12 @@ def main() -> None:
         "cluster_safe_split",
         # capped item-item co-occurrence similarity
         "item_cooccurrence_sim",
+        # Gopher composite quality rules (zero-shuffle codegen map)
+        "gopher_quality_rules",
+        # iterative distributed BPE training (4 merge rounds)
+        "bpe_train_merges",
+        # GloVe-style windowed co-occurrence counting
+        "word_cooccurrence",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -187,3 +187,197 @@ def bpe_pair_counts(
         .orderBy(F.col("pair_count").desc(), "left", "right")
         .limit(top_k)
     )
+
+
+#: symbol-boundary delimiter for the BPE merge encoding; words
+#: containing it are excluded (and the DuckDB twin mirrors the filter)
+BPE_DELIM = ";"
+
+
+def _bpe_seq(word: Column) -> Column:
+    """Encode a word's symbol sequence as ``;c1;;c2;;...;;ck;``.
+
+    Every symbol is wrapped ``;sym;`` and wrapped symbols concatenate,
+    so the merge of pair (l, r) is ONE literal string replacement
+    ``;l;;r;`` -> ``;lr;``. Both boundaries of both symbols are part of
+    the pattern, which makes leftmost non-overlapping replace-all (the
+    shared semantics of Spark's and DuckDB's ``replace``) EXACTLY
+    greedy left-to-right BPE pair merging:
+
+    * no prefix/suffix false positives (``;a;;ab;`` does not match
+      ``;a;;a;`` — the pattern's closing ``;`` misses), and
+    * runs collapse correctly (``;a;;a;;a;;a;`` under ``(a,a)`` ->
+      ``;aa;;aa;`` because each match consumes BOTH symbols' wrappers,
+      unlike a space-separated encoding whose shared separator breaks
+      the chain).
+    """
+    return F.regexp_replace(word, "(.)", f"{BPE_DELIM}$1{BPE_DELIM}")
+
+
+def _bpe_symbols(seq: Column) -> Column:
+    """Decode ``;a;;bc;`` back to ``[a, bc]``."""
+    return F.split(F.btrim(seq, F.lit(BPE_DELIM)), BPE_DELIM * 2)
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    rounds: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    public): the first ``rounds`` merge decisions over the corpus,
+    returned as ``(round, left, right, pair_count)``.
+
+    Per round: adjacent symbol-pair counts (weighted by word
+    frequency, over DISTINCT words only — per-merge work scales with
+    vocabulary, not corpus tokens), argmax with the deterministic
+    tie-break (count desc, then lexicographic), then the merge applied
+    to every word as one literal ``replace`` (see :func:`_bpe_seq` for
+    why that is exactly greedy BPE).
+
+    Scale shape (100 TB): ONE corpus-scale shuffle total (the
+    word-frequency aggregate, persisted); each round is then a
+    vocabulary-scale explode + hash aggregate + a 1-row collect —
+    O(rounds) driver round-trips carrying O(1) rows each, the same
+    driver-coordination budget as ``graph.pagerank`` /
+    ``connected_components``. The merge itself is a row-local codegen
+    map (k nested ``replace`` calls after k rounds; a production run
+    with hundreds of merges would checkpoint the vocabulary every few
+    dozen rounds — at rounds <= O(10) recomputation is cheaper than a
+    write barrier).
+
+    Ties and counts are exact BIGINT; the DuckDB oracle twin unrolls
+    the same rounds as chained CTEs with scalar-subquery merges.
+    """
+    spark = df.sparkSession
+    base = (
+        df.select(F.explode(_clean_tokens(F.col(text_col))).alias("word"))
+        .where(~F.col("word").contains(BPE_DELIM))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .select(_bpe_seq(F.col("word")).alias("seq"), "n_occ")
+        .persist()
+    )
+    words = base
+    out_schema = (
+        "round int, left string, right string, pair_count long"
+    )
+    try:
+        merges: list[tuple] = []
+        for rnd in range(1, rounds + 1):
+            syms = _bpe_symbols(F.col("seq"))
+            n = F.size(syms)
+            idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+                F.array().cast("array<integer>")
+            )
+            pairs = F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l"),
+                    F.element_at(syms, i + 1).alias("r"),
+                ),
+            )
+            best = (
+                words.select(F.explode(pairs).alias("p"), "n_occ")
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("n_occ").cast("long").alias("c"))
+                .orderBy(F.col("c").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r, c = best[0]["l"], best[0]["r"], best[0]["c"]
+            merges.append((rnd, l, r, c))
+            pat = f"{BPE_DELIM}{l}{BPE_DELIM}{BPE_DELIM}{r}{BPE_DELIM}"
+            rep = f"{BPE_DELIM}{l}{r}{BPE_DELIM}"
+            words = words.select(
+                F.replace(F.col("seq"), F.lit(pat), F.lit(rep)).alias("seq"),
+                "n_occ",
+            )
+        return spark.createDataFrame(merges, out_schema)
+    finally:
+        # the result is a local-rows DataFrame, so the cached
+        # vocabulary is safe to release here
+        base.unpersist()
+
+
+def word_cooccurrence(
+    df: DataFrame,
+    window: int = 4,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """GloVe-style windowed word co-occurrence counts (Pennington et
+    al. 2014, public): for every token pair within ``window`` positions,
+    the co-occurrence count and the distance-weighted total
+    ``sum(floor(1e6 / distance))`` in exact integer micro-units (the
+    1/d context weighting of the published counting step, made
+    engine-exact).
+
+    Pair generation is ROW-LOCAL codegen (one ``zip_with`` of the
+    token array against its d-shifted slice per distance d — no
+    self-join on position, which at 100 TB would shuffle the corpus
+    ``window`` times); the only shuffle is the final pair-keyed hash
+    aggregate, whose skew (stopword pairs) is exactly what AQE skew
+    handling absorbs. Pairs are canonicalized ``(least, greatest)`` so
+    the count matrix is the symmetric upper triangle. Top-k via
+    TakeOrdered with a full deterministic tie-break.
+
+    Implementation note: an index-based form
+    (``transform(sequence(1, n-1), i -> transform(..., j ->
+    element_at(toks, i) ...))``) is O(pairs x tokenization) — Catalyst
+    does not CSE the token-array subtree into nested lambda bodies, so
+    every ``element_at`` re-splits the document (measured 66 s vs
+    0.9 s at sf0.1). ``zip_with`` evaluates each array argument once
+    (same note as ``adjacent_pairs`` / ``dedup.shingles``), keeping
+    tokenization O(window) per row.
+    """
+    toks = _clean_tokens(F.col(text_col))
+    n = F.size(toks)
+
+    def _pairs_at(d: int) -> Column:
+        """Pairs (t[i], t[i+d]) via zip_with against the d-shifted
+        slice; zip_with pads the shorter side with NULL, so the d
+        dangling tails are filtered by the b-null check below (the
+        raw (a, b) ride along because least/greatest IGNORE nulls —
+        canonicalizing here would turn a padding row into a real-
+        looking (a, a) pair)."""
+        shifted = F.when(n > d, F.slice(toks, d + 1, n - d)).otherwise(
+            F.array().cast("array<string>")
+        )
+        return F.zip_with(
+            toks,
+            shifted,
+            lambda a, b: F.struct(
+                a.alias("a"), b.alias("b"), F.lit(d).alias("d")
+            ),
+        )
+
+    pairs = F.filter(
+        F.concat(*[_pairs_at(d) for d in range(1, window + 1)]),
+        lambda p: p.getField("b").isNotNull(),
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.least("p.a", "p.b").alias("w1"),
+            F.greatest("p.a", "p.b").alias("w2"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.call_function(
+                    "div",
+                    F.lit(1_000_000).cast("long"),
+                    F.col("p.d").cast("long"),
+                )
+            )
+            .cast("long")
+            .alias("weight_micro"),
+        )
+        .orderBy(
+            F.col("weight_micro").desc(), F.col("n_pairs").desc(), "w1", "w2"
+        )
+        .limit(top_k)
+    )

@@ -120,3 +120,150 @@ def test_randomized_python_parity(spark, n_parts):
     assert got_pmi == _py_pmi(texts, 2, 15)
     got_bpe = [tuple(r) for r in bpe_pair_counts(df, 15).collect()]
     assert got_bpe == _py_bpe(texts, 15)
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges — iterative distributed BPE training
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_train(texts, rounds):
+    """Pure-Python greedy BPE reference: per round, count adjacent
+    symbol pairs weighted by word frequency, pick argmax (count desc,
+    then lexicographic), merge greedily left-to-right."""
+    words = Counter()
+    for t in texts:
+        words.update(w for w in _py_tokens(t) if ";" not in w)
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        counts = Counter()
+        for w, n in words.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += n
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rnd, l, r, c))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    from ocr_translation_spark.functions.collocations import (
+        bpe_train_merges,
+    )
+
+    # 'ab' dominates round 1; round 2 must see the MERGED symbol 'ab'
+    # pairing with 'c' (the multi-char-symbol path), not raw chars.
+    texts = ["abc abc abc abd", "abc abd abd xy"]
+    got = [tuple(r) for r in bpe_train_merges(_docs(spark, texts), 2).collect()]
+    assert got == [(1, "a", "b", 7), (2, "ab", "c", 4)]
+
+
+def test_bpe_train_merges_greedy_run_collapse(spark):
+    from ocr_translation_spark.functions.collocations import (
+        bpe_train_merges,
+    )
+
+    # 'aaaa' under merge (a,a) must collapse to [aa, aa] (greedy
+    # left-to-right, both symbols consumed per match) so round 2's
+    # top pair is (aa, aa) — the case a shared-separator encoding
+    # gets wrong.
+    texts = ["aaaa aaaa aaaa"]
+    got = [tuple(r) for r in bpe_train_merges(_docs(spark, texts), 2).collect()]
+    assert got[0] == (1, "a", "a", 9)
+    assert got[1] == (2, "aa", "aa", 3)
+
+
+def test_bpe_train_merges_randomized_parity(spark):
+    from ocr_translation_spark.functions.collocations import (
+        bpe_train_merges,
+    )
+
+    rng = random.Random(20260818)
+    vocab = ["aa", "ab", "ba", "abc", "cab", "a", "b", "c", "abab"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+        for _ in range(40)
+    ]
+    expect = _py_bpe_train(texts, 5)
+    got = [tuple(r) for r in bpe_train_merges(_docs(spark, texts), 5).collect()]
+    assert got == expect
+
+
+def test_bpe_train_merges_stops_when_no_pairs(spark):
+    from ocr_translation_spark.functions.collocations import (
+        bpe_train_merges,
+    )
+
+    got = bpe_train_merges(_docs(spark, ["a b c", "b c a"]), 3).collect()
+    assert got == []  # all words are single symbols: no pair to merge
+
+
+# ---------------------------------------------------------------------------
+# word_cooccurrence — GloVe-style windowed counting
+# ---------------------------------------------------------------------------
+
+
+def _py_cooc(texts, window, top_k):
+    agg = {}
+    for t in texts:
+        toks = _py_tokens(t)
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + window, len(toks) - 1) + 1):
+                key = tuple(sorted((toks[i], toks[j])))
+                n, w = agg.get(key, (0, 0))
+                agg[key] = (n + 1, w + 1_000_000 // (j - i))
+    rows = [(k[0], k[1], n, w) for k, (n, w) in agg.items()]
+    rows.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
+    return rows[:top_k]
+
+
+def test_word_cooccurrence_hand_computed(spark):
+    from ocr_translation_spark.functions.collocations import (
+        word_cooccurrence,
+    )
+
+    # "x y x": pairs (x,y,d=1), (y,x,d=1), (x,x,d=2) — the self-pair
+    # and the symmetric canonicalization both exercised.
+    got = {
+        (r["w1"], r["w2"]): (r["n_pairs"], r["weight_micro"])
+        for r in word_cooccurrence(
+            _docs(spark, ["x y x"]), window=4
+        ).collect()
+    }
+    assert got == {("x", "y"): (2, 2_000_000), ("x", "x"): (1, 500_000)}
+
+
+def test_word_cooccurrence_randomized_parity(spark):
+    from ocr_translation_spark.functions.collocations import (
+        word_cooccurrence,
+    )
+
+    rng = random.Random(42)
+    vocab = list("abcdefg")
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15)))
+        for _ in range(60)
+    ]
+    expect = _py_cooc(texts, 3, 30)
+    got = [
+        tuple(r)
+        for r in word_cooccurrence(
+            _docs(spark, texts), window=3, top_k=30
+        ).collect()
+    ]
+    assert got == expect

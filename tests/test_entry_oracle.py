@@ -104,6 +104,9 @@ _VARIANT_TAIL = {
     "bigram_lm_score",
     "winnowing_fingerprint",
     "events_json_props",
+    "quality_scores",
+    "bpe_pair_counts",
+    "ann_cosine_topk",
 }
 
 
@@ -159,9 +162,17 @@ def test_driver_window_covers_every_operator_family():
         "document_chunks": "document_packing",
         "events_moving_avg": "purchase_attribution_asof",
         "customers_above_nation_avg": "quality_decile_stats",
-        "token_count": "quality_scores",
+        "token_count": "gopher_quality_rules",
         "events_percentiles": "quality_decile_stats",
         "bigram_lm_score": "hashed_classifier_score",
+        # subsumed: gopher_quality_rules scores the same length /
+        # stopword signal family plus the published composite rules
+        "quality_scores": "gopher_quality_rules",
+        # subsumed: bpe_train_merges runs this counting step per round
+        "bpe_pair_counts": "bpe_train_merges",
+        # the exact-ANN baseline lives on as ann_recall_eval's
+        # ground-truth leg (ivf_ann_topk is the bucketed scale path)
+        "ann_cosine_topk": "ann_recall_eval",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
     }
