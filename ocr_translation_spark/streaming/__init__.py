@@ -7,3 +7,4 @@ from .sketch_stream import (  # noqa: F401
     read_sketch_output,
     stream_heavy_hitters,
 )
+from .join_stream import stream_click_purchase_join  # noqa: F401
