@@ -2379,6 +2379,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["word_cooccurrence"] = _word_cooc
 
+    def _anchor_text(spark, sf):
+        """Per-target anchor-text aggregation over the deterministic
+        sha-derived link graph (functions/index.py anchor_text_agg) —
+        the classic web-ranking signal. Anchor = the source doc's
+        first 3 normalized tokens; max_anchors=3 so the hot-target
+        bounded-collect path genuinely truncates (~14% of targets at
+        sf0.001). in_degree / n_sources stay exact over ALL edges;
+        window + aggregate share one dst-hash exchange."""
+        from ocr_translation_spark.functions.index import anchor_text_agg
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+
+        def _tgt(k: int) -> F.Column:
+            return (
+                F.conv(
+                    F.substring(
+                        F.sha2(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(f":{k}"),
+                            ),
+                            256,
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n_docs
+            )
+
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"),
+            F.array_join(F.slice(toks, 1, 3), " ").alias("anchor"),
+            F.explode(
+                F.filter(
+                    F.array(_tgt(1), _tgt(2)),
+                    lambda t: t != F.col("doc_id"),
+                )
+            ).alias("dst"),
+        )
+        return anchor_text_agg(edges, max_anchors=3)
+
+    q["anchor_text_agg"] = _anchor_text
+
+    def _taxonomy(spark, sf):
+        """Lexicon taxonomy tagging (functions/taxonomy.py): fixed
+        3-topic keyword lexicon compiled into row-local
+        size(filter(isin)) counts — ZERO shuffles, zero Python — with
+        a sorted-topic-order strict-> fold so score ties break to the
+        lexicographically smallest topic on both engines."""
+        from ocr_translation_spark.functions.taxonomy import taxonomy_tag
+
+        return taxonomy_tag(_read_spread(spark, sf, "documents"))
+
+    q["taxonomy_tag"] = _taxonomy
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2599,6 +2662,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the bucketed scale path; demoted for word_cooccurrence, a
         # NEW windowed co-occurrence-counting family
         "ann_cosine_topk",
+        # born-demoted: bounded-collect aggregation over the SAME
+        # derived link graph as pagerank_centrality (in-window), with
+        # inverted_index's hot-key cap discipline
+        "anchor_text_agg",
+        # born-demoted: row-local keyword scoring, the small-lexicon
+        # special case of the model-based-filter family whose rep is
+        # hashed_classifier_score (in-window)
+        "taxonomy_tag",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -4636,6 +4707,66 @@ SELECT w1, w2, count(*)::BIGINT AS n_pairs,
 FROM pr GROUP BY 1, 2
 ORDER BY weight_micro DESC, n_pairs DESC, w1, w2
 LIMIT 50
+"""
+
+    # Same sha-derived 2-target link graph as the Spark side (the
+    # pagerank recipe with k=1,2 and row-local self-link drop, no
+    # distinct); anchors capped at rank 3 in (anchor, src) order via
+    # string_agg ORDER BY + FILTER, while in_degree / n_sources stay
+    # exact over all edges.
+    _at_tgt = (
+        "((('0x' || substr(sha256(doc_id::VARCHAR || ':{k}'), 1, 12))"
+        "::UBIGINT)::BIGINT % n)"
+    )
+    o["anchor_text_agg"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+srcs AS (
+  SELECT doc_id,
+         array_to_string(list_slice(list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           t -> t <> ''), 1, 3), ' ') AS anchor,
+         list_filter([{_at_tgt.format(k=1)}, {_at_tgt.format(k=2)}],
+                     t -> t <> doc_id) AS ts
+  FROM documents, nn
+),
+e AS (SELECT doc_id AS src, anchor, unnest(ts) AS dst FROM srcs),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY dst ORDER BY anchor, src) AS rn
+  FROM e
+)
+SELECT dst, count(*)::BIGINT AS in_degree,
+       count(DISTINCT src)::BIGINT AS n_sources,
+       coalesce(string_agg(anchor, '|' ORDER BY anchor, src)
+                FILTER (WHERE rn <= 3), '') AS anchors_csv
+FROM rk GROUP BY dst
+"""
+
+    # Same lexicon, same occurrence counting, same sorted-topic
+    # strict-> fold tie-break (first topic reaching the max wins;
+    # all-zero -> '').
+    o["taxonomy_tag"] = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(regexp_replace(lower(trim(text)),
+           '\s+', ' ', 'g'), ' '), t -> t <> '') AS t
+  FROM documents
+), cnt AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> list_contains(
+      ['scan','join','merge','filter','hash','sort'], x)))::BIGINT AS n_ops,
+    len(list_filter(t, x -> list_contains(
+      ['fast','slow','small','big','batch','stream'], x)))::BIGINT AS n_perf,
+    len(list_filter(t, x -> list_contains(
+      ['data','value','row','column','table','key'], x)))::BIGINT AS n_schema
+  FROM toks
+)
+SELECT doc_id, n_ops, n_perf, n_schema,
+  CASE WHEN greatest(n_ops, n_perf, n_schema) = 0 THEN ''
+       WHEN n_ops >= n_perf AND n_ops >= n_schema THEN 'ops'
+       WHEN n_perf >= n_schema THEN 'perf'
+       ELSE 'schema' END AS top_topic,
+  greatest(n_ops, n_perf, n_schema) AS top_score
+FROM cnt
 """
 
     return o

@@ -186,6 +186,10 @@ def main() -> None:
         "bpe_train_merges",
         # GloVe-style windowed co-occurrence counting
         "word_cooccurrence",
+        # bounded per-target anchor-text aggregation (link graph)
+        "anchor_text_agg",
+        # row-local lexicon taxonomy tagging (zero-shuffle map)
+        "taxonomy_tag",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

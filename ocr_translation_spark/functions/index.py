@@ -56,3 +56,63 @@ def inverted_index(
         F.count(F.lit(1)).alias("df"),
         postings.alias("postings_csv"),
     )
+
+
+def anchor_text_agg(
+    edges: DataFrame,
+    max_anchors: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target link-graph anchor-text aggregation — the classic
+    web-corpus quality/ranking signal (anchor text describes the
+    TARGET better than the target describes itself; public since
+    WWW7/PageRank-era search literature).
+
+    Output: ``(dst, in_degree, n_sources, anchors_csv)`` —
+
+    * ``in_degree``  — exact count of incoming links,
+    * ``n_sources``  — exact distinct linking documents,
+    * ``anchors_csv`` — the first ``max_anchors`` anchor strings in
+      (anchor, src) order, '|'-joined.
+
+    Same hot-key discipline as :func:`inverted_index`: a popular
+    target (the stopword of link graphs) must not become an unbounded
+    ``collect_list`` group, so ranks are computed by a window FIRST
+    and only ranks <= ``max_anchors`` enter the aggregate, while
+    in_degree / n_sources stay exact over ALL rows of the same
+    dst-hash shuffle (window + aggregate share one exchange).
+    """
+    ranked = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(anchor_col).alias("anchor"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("dst").orderBy("anchor", "src")
+        ),
+    )
+    anchors = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("rk") <= max_anchors,
+                        F.struct(
+                            F.col("anchor").alias("a"),
+                            F.col("src").alias("s"),
+                        ),
+                    )
+                )
+            ),
+            lambda x: x.getField("a"),
+        ),
+        "|",
+    )
+    return ranked.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.countDistinct("src").alias("n_sources"),
+        anchors.alias("anchors_csv"),
+    )

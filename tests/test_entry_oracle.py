@@ -107,6 +107,8 @@ _VARIANT_TAIL = {
     "quality_scores",
     "bpe_pair_counts",
     "ann_cosine_topk",
+    "anchor_text_agg",
+    "taxonomy_tag",
 }
 
 
@@ -173,6 +175,12 @@ def test_driver_window_covers_every_operator_family():
         # the exact-ANN baseline lives on as ann_recall_eval's
         # ground-truth leg (ivf_ann_topk is the bucketed scale path)
         "ann_cosine_topk": "ann_recall_eval",
+        # born-demoted: same derived link graph as pagerank_centrality,
+        # inverted_index's bounded-collect discipline
+        "anchor_text_agg": "pagerank_centrality",
+        # born-demoted: small-lexicon special case of the model-based
+        # filter family
+        "taxonomy_tag": "hashed_classifier_score",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
     }

@@ -59,3 +59,39 @@ def test_inverted_index_bounded_postings(spark):
     assert all(
         len(p.split(",")) <= 5 for _, p in got.values()
     )
+
+
+# ---------------------------------------------------------------------------
+# anchor_text_agg — bounded per-target anchor aggregation
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "src long, dst long, anchor string"
+    )
+
+
+def test_anchor_text_agg_caps_hot_target_but_counts_stay_exact(spark):
+    from ocr_translation_spark.functions.index import anchor_text_agg
+
+    rows = [(s, 1, f"anchor {s}") for s in range(5)] + [(9, 2, "only")]
+    got = {
+        r["dst"]: r.asDict()
+        for r in anchor_text_agg(_edges(spark, rows), max_anchors=3).collect()
+    }
+    hot = got[1]
+    assert hot["in_degree"] == 5 and hot["n_sources"] == 5
+    # first 3 in (anchor, src) order despite 5 incoming links
+    assert hot["anchors_csv"] == "anchor 0|anchor 1|anchor 2"
+    assert got[2]["anchors_csv"] == "only"
+
+
+def test_anchor_text_agg_distinct_sources_vs_in_degree(spark):
+    from ocr_translation_spark.functions.index import anchor_text_agg
+
+    rows = [(7, 1, "b"), (7, 1, "a"), (8, 1, "c")]
+    (r,) = anchor_text_agg(_edges(spark, rows), max_anchors=16).collect()
+    assert r["in_degree"] == 3
+    assert r["n_sources"] == 2  # src 7 linked twice
+    assert r["anchors_csv"] == "a|b|c"  # (anchor, src) order
