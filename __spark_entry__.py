@@ -2442,6 +2442,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["taxonomy_tag"] = _taxonomy
 
+    def _bpe_enc(spark, sf):
+        """Tokenize the corpus with the 4 trained BPE merges
+        (functions/collocations.py bpe_encode) — the APPLY side of
+        bpe_train_merges. Training collects 4 (left, right) literals;
+        encoding is then a ZERO-shuffle row-local codegen map (nested
+        literal replaces over the double-delimited symbol encoding).
+        The DuckDB twin re-derives the same merges in CTEs and applies
+        identical literal patterns, so token sequences match exactly."""
+        from ocr_translation_spark.functions.collocations import (
+            bpe_encode,
+            bpe_train_merges,
+        )
+
+        docs = _read(spark, sf, "documents")
+        merges = [
+            (r["left"], r["right"])
+            for r in bpe_train_merges(docs, rounds=4).collect()
+        ]
+        return bpe_encode(docs, merges)
+
+    q["bpe_encode"] = _bpe_enc
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2670,6 +2692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # special case of the model-based-filter family whose rep is
         # hashed_classifier_score (in-window)
         "taxonomy_tag",
+        # born-demoted: the APPLY side of bpe_train_merges (in-window),
+        # which derives its merge literals
+        "bpe_encode",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -4679,12 +4704,46 @@ FROM cnt
          n_occ
   FROM seq{_p}
 )"""
+    _bpe_chain = _bpe_sql  # shared WITH-chain: words, seq0..,, m1..m4
     _bpe_sql += "\n" + "\nUNION ALL\n".join(
         f'SELECT {_r} AS round, l AS "left", r AS "right", '
         f"c AS pair_count FROM m{_r}"
         for _r in range(1, _bpe_rounds + 1)
     )
     o["bpe_train_merges"] = _bpe_sql
+
+    # Tokenization with the trained merges: the same m1..m4 CTEs feed
+    # a per-word nested-replace encode (identical literal patterns to
+    # the Spark side, which bakes the collected merges into the plan).
+    # The merge scalars ride a 1-row cross join so the lambda body
+    # references plain outer columns.
+    _enc_expr = "regexp_replace(w, '(.)', ';\\1;', 'g')"
+    for _r in range(1, _bpe_rounds + 1):
+        _enc_expr = (
+            f"replace({_enc_expr}, ';' || l{_r} || ';;' || r{_r} || ';', "
+            f"';' || l{_r} || r{_r} || ';')"
+        )
+    _mm_cols = ", ".join(
+        f"(SELECT l FROM m{_r}) AS l{_r}, (SELECT r FROM m{_r}) AS r{_r}"
+        for _r in range(1, _bpe_rounds + 1)
+    )
+    o["bpe_encode"] = (
+        _bpe_chain
+        + f""", mm AS (SELECT {_mm_cols}),
+enc AS (
+  SELECT doc_id,
+         flatten(list_transform(
+           list_filter(string_split(regexp_replace(lower(trim(text)),
+             '\\s+', ' ', 'g'), ' '), t -> t <> ''),
+           w -> string_split(trim({_enc_expr}, ';'), ';;')
+         )) AS tk
+  FROM documents, mm
+)
+SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+       array_to_string(list_slice(tk, 1, 20), ' ') AS tokens_csv
+FROM enc
+"""
+    )
 
     # Same lateral pair generation (every (i, j) with j - i <= 4), same
     # (least, greatest) canonicalization, same exact 1000000 // d

@@ -190,6 +190,8 @@ def main() -> None:
         "anchor_text_agg",
         # row-local lexicon taxonomy tagging (zero-shuffle map)
         "taxonomy_tag",
+        # BPE tokenization with the 4 trained merges (train + apply)
+        "bpe_encode",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -381,3 +381,51 @@ def word_cooccurrence(
         )
         .limit(top_k)
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    preview_tokens: int = 20,
+) -> DataFrame:
+    """Apply a trained BPE merge list to tokenize the corpus — the
+    APPLY side of :func:`bpe_train_merges` (together they are the full
+    tokenizer-training/tokenization loop of an LLM data pipeline).
+
+    ``merges`` is the ordered list of ``(left, right)`` pairs (e.g.
+    ``[(r["left"], r["right"]) for r in bpe_train_merges(...).collect()]``).
+    Each word is symbol-encoded (:func:`_bpe_seq`), the merges are
+    applied IN TRAINING ORDER as nested literal ``replace`` calls
+    (each exactly greedy left-to-right, see ``_bpe_seq``), and the
+    result is decoded back to a token array.
+
+    Scale shape: the whole operator is a ROW-LOCAL codegen map — zero
+    shuffles, zero Python, constant work per character per merge. The
+    merge list is baked into the plan as literals (a production
+    tokenizer has a fixed merge table; thousands of merges would use
+    a mapInPandas trie instead — at the O(10)-merge scale of the
+    in-repo trainer, literal nesting is strictly faster).
+
+    Output: ``(doc_id, n_tokens, tokens_csv)`` with ``tokens_csv`` the
+    first ``preview_tokens`` tokens space-joined (scalar so the DuckDB
+    twin compares exactly).
+    """
+    def _encode(w: Column) -> Column:
+        seq = _bpe_seq(w)
+        for l, r in merges:
+            pat = f"{BPE_DELIM}{l}{BPE_DELIM}{BPE_DELIM}{r}{BPE_DELIM}"
+            rep = f"{BPE_DELIM}{l}{r}{BPE_DELIM}"
+            seq = F.replace(seq, F.lit(pat), F.lit(rep))
+        return _bpe_symbols(seq)
+
+    toks = F.flatten(
+        F.transform(_clean_tokens(F.col(text_col)), _encode)
+    )
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, preview_tokens), " ").alias(
+            "tokens_csv"
+        ),
+    )

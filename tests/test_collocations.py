@@ -267,3 +267,65 @@ def test_word_cooccurrence_randomized_parity(spark):
         ).collect()
     ]
     assert got == expect
+
+
+def _py_bpe_encode(texts, merges):
+    out = {}
+    for i, t in enumerate(texts):
+        toks = []
+        for w in _py_tokens(t):
+            s = list(w)
+            for l, r in merges:
+                nxt, j = [], 0
+                while j < len(s):
+                    if j + 1 < len(s) and s[j] == l and s[j + 1] == r:
+                        nxt.append(l + r)
+                        j += 2
+                    else:
+                        nxt.append(s[j])
+                        j += 1
+                s = nxt
+            toks.extend(s)
+        out[i] = toks
+    return out
+
+
+def test_bpe_encode_randomized_parity_with_training(spark):
+    from ocr_translation_spark.functions.collocations import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    rng = random.Random(777)
+    vocab = ["aa", "ab", "abc", "cab", "abab", "bc", "c"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10)))
+        for _ in range(30)
+    ]
+    df = _docs(spark, texts)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(df, rounds=4).collect()
+    ]
+    expect = _py_bpe_encode(texts, merges)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_csv"])
+        for r in bpe_encode(df, merges, preview_tokens=100).collect()
+    }
+    for i, toks in expect.items():
+        assert got[i] == (len(toks), " ".join(toks[:100])), i
+
+
+def test_bpe_encode_plan_is_shuffle_free(spark):
+    from ocr_translation_spark.functions.collocations import bpe_encode
+
+    df = spark.range(20).selectExpr(
+        "id as doc_id", "concat('abc abd w', id) as text"
+    )
+    plan = (
+        bpe_encode(df, [("a", "b"), ("ab", "c")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

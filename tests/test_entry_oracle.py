@@ -109,6 +109,7 @@ _VARIANT_TAIL = {
     "ann_cosine_topk",
     "anchor_text_agg",
     "taxonomy_tag",
+    "bpe_encode",
 }
 
 
@@ -181,6 +182,8 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: small-lexicon special case of the model-based
         # filter family
         "taxonomy_tag": "hashed_classifier_score",
+        # born-demoted: the apply side of the in-window trainer
+        "bpe_encode": "bpe_train_merges",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
     }
