@@ -329,3 +329,25 @@ def test_bpe_encode_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_word_cooccurrence_single_exchange_no_python(spark):
+    """Row-local pair generation: ONE pair-keyed exchange, TakeOrdered
+    top-k (no global sort), zero Python crossings."""
+    from ocr_translation_spark.functions.collocations import (
+        word_cooccurrence,
+    )
+
+    df = spark.range(200).selectExpr(
+        "id as doc_id",
+        "concat('a b c d e f g w', id % 7) as text",
+    )
+    plan = (
+        word_cooccurrence(df, window=4, top_k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

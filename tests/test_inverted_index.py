@@ -95,3 +95,20 @@ def test_anchor_text_agg_distinct_sources_vs_in_degree(spark):
     assert r["in_degree"] == 3
     assert r["n_sources"] == 2  # src 7 linked twice
     assert r["anchors_csv"] == "a|b|c"  # (anchor, src) order
+
+
+def test_anchor_text_agg_single_exchange(spark):
+    """Window rank + bounded collect + exact counts must share ONE
+    dst-hash exchange (the inverted_index discipline)."""
+    from ocr_translation_spark.functions.index import anchor_text_agg
+
+    df = spark.range(200).selectExpr(
+        "id as src", "id % 13 as dst", "concat('a', id) as anchor"
+    )
+    plan = (
+        anchor_text_agg(df, max_anchors=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
