@@ -120,3 +120,47 @@ def test_left_outer_finalizes_unmatched_click(spark, tmp_path):
     # the null-extended row carries the click's own columns
     (r3,) = [r for r in rows if r["click_id"] == 3]
     assert r3["user_id"] == 3 and r3["purchase_value"] is None
+
+
+def test_join_state_survives_restart(spark, tmp_path):
+    """A click buffered in run 1 must match a purchase that only
+    arrives in run 2 under the SAME checkpoint — the join state
+    (buffered rows + watermarks) is part of the checkpoint contract."""
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    os.makedirs(cdir)
+    os.makedirs(pdir)
+    now = time.time()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    _write_events(
+        os.path.join(cdir, "c1.parquet"),
+        [(1, "2025-01-01 10:00:00", 1, "click", 0.0, "{}")],
+        now - 40,
+    )
+    _write_events(
+        os.path.join(pdir, "p1.parquet"),
+        [(100, "2025-01-01 09:00:00", 9, "purchase", 1.0, "{}")],
+        now - 40,
+    )
+    q1 = stream_click_purchase_join(
+        spark, cdir, pdir, out, ck,
+        max_span="1 hour", watermark_delay="10 minutes",
+    )
+    q1.awaitTermination(300)
+    assert spark.read.parquet(out).where(
+        "purchase_id is not null"
+    ).count() == 0  # nothing matched yet; the click is buffered state
+
+    # run 2, same checkpoint: only the matching purchase is new
+    _write_events(
+        os.path.join(pdir, "p2.parquet"),
+        [(101, "2025-01-01 10:30:00", 1, "purchase", 7.0, "{}")],
+        now - 10,
+    )
+    q2 = stream_click_purchase_join(
+        spark, cdir, pdir, out, ck,
+        max_span="1 hour", watermark_delay="10 minutes",
+    )
+    q2.awaitTermination(300)
+    got = spark.read.parquet(out).where("purchase_id is not null").collect()
+    assert [(r["click_id"], r["purchase_id"]) for r in got] == [(1, 101)]
