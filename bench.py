@@ -192,6 +192,8 @@ def main() -> None:
         "taxonomy_tag",
         # BPE tokenization with the 4 trained merges (train + apply)
         "bpe_encode",
+        # hot-key skew diagnostic (pre-salting audit)
+        "skew_report",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

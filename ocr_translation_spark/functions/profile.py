@@ -33,7 +33,7 @@ O(columns)-row rollup. No per-column jobs, no driver loops.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def canon_money(c: Column) -> Column:
@@ -101,4 +101,55 @@ def profile_table(
         F.max("val_str").alias("max_str"),
         F.min("val_num").alias("min_num"),
         F.max("val_num").alias("max_num"),
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Hot-key skew diagnostic for a prospective shuffle key — the
+    audit a pipeline runs BEFORE choosing salting / AQE skew handling
+    (axes this engine leans on: ``operators/partitioning.py``).
+
+    Output: the ``top_k`` hottest keys with exact count, per-key load
+    share and cumulative share in integer micro-units
+    (``share_micro = 1e6 * cnt div total``), rank-ordered. A key whose
+    share approaches ``1e6 / shuffle_partitions`` is a straggler
+    candidate; the cumulative column shows how concentrated the skew
+    is (Zipf head mass).
+
+    Scale shape: ONE key-hash aggregate over the corpus + a single-row
+    total broadcast; top-k via TakeOrdered; the rank/cumulative window
+    runs AFTER the limit, over exactly ``top_k`` rows — O(k) regardless
+    of corpus size.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), "key")
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "key")
+    share = F.call_function(
+        "div", F.lit(1_000_000).cast("long") * F.col("cnt"), F.col("total")
+    ).cast("long")
+    cum = F.call_function(
+        "div",
+        F.lit(1_000_000).cast("long")
+        * F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+        F.col("total"),
+    ).cast("long")
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "key",
+        F.col("cnt").cast("long").alias("cnt"),
+        share.alias("share_micro"),
+        cum.alias("cum_share_micro"),
     )

@@ -110,6 +110,7 @@ _VARIANT_TAIL = {
     "anchor_text_agg",
     "taxonomy_tag",
     "bpe_encode",
+    "skew_report",
 }
 
 
@@ -184,6 +185,9 @@ def test_driver_window_covers_every_operator_family():
         "taxonomy_tag": "hashed_classifier_score",
         # born-demoted: the apply side of the in-window trainer
         "bpe_encode": "bpe_train_merges",
+        # born-demoted: top-k frequency report; the frequency sketch
+        # family rep is heavy_hitters
+        "skew_report": "heavy_hitters",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
     }

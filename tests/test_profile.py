@@ -88,3 +88,35 @@ def test_profile_requires_columns(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="no columns"):
         profile_table(df)
+
+
+# ---------------------------------------------------------------------------
+# skew_report — hot-key diagnostic
+# ---------------------------------------------------------------------------
+
+
+def test_skew_report_hand_computed(spark):
+    from ocr_translation_spark.functions.profile import skew_report
+
+    rows = [(i, "hot" if i % 2 == 0 else f"k{i % 5}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = [tuple(r) for r in skew_report(df, "key", top_k=3).collect()]
+    # hot=50; k1/k3 (odd i) each 25? no: odd i%5 cycles 1,3,0,2,4 -> each 10
+    assert got == [
+        (1, "hot", 50, 500_000, 500_000),
+        (2, "k0", 10, 100_000, 600_000),
+        (3, "k1", 10, 100_000, 700_000),
+    ]
+
+
+def test_skew_report_share_is_of_full_total_not_topk(spark):
+    from ocr_translation_spark.functions.profile import skew_report
+
+    df = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(10)], "id long, key string"
+    )
+    got = skew_report(df, "key", top_k=2).collect()
+    # 10 singleton keys: each share = 1/10 of the FULL total even
+    # though only 2 rows are emitted
+    assert [r["share_micro"] for r in got] == [100_000, 100_000]
+    assert got[-1]["cum_share_micro"] == 200_000
