@@ -265,17 +265,23 @@ def bpe_train_merges(
     try:
         merges: list[tuple] = []
         for rnd in range(1, rounds + 1):
+            # adjacent pairs via zip_with against the 1-shifted slice:
+            # each array argument is evaluated ONCE per row — an
+            # element_at(syms, i) lambda would re-split the sequence
+            # per element (the documented no-CSE-into-lambda pitfall,
+            # quadratic in symbol count)
             syms = _bpe_symbols(F.col("seq"))
             n = F.size(syms)
-            idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-                F.array().cast("array<integer>")
+            nxt = F.when(n > 1, F.slice(syms, 2, n - 1)).otherwise(
+                F.array().cast("array<string>")
             )
-            pairs = F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.element_at(syms, i).alias("l"),
-                    F.element_at(syms, i + 1).alias("r"),
+            pairs = F.filter(
+                F.zip_with(
+                    syms,
+                    nxt,
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
                 ),
+                lambda p: p.getField("r").isNotNull(),
             )
             best = (
                 words.select(F.explode(pairs).alias("p"), "n_occ")
