@@ -194,6 +194,8 @@ def main() -> None:
         "bpe_encode",
         # hot-key skew diagnostic (pre-salting audit)
         "skew_report",
+        # politeness-aware crawl-frontier scheduling
+        "frontier_schedule",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -25,7 +25,7 @@ is training-data-pipeline breadth beyond parity.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: tracking parameters dropped during canonicalization
 TRACKING_RE = r"^(utm_[a-z]+|gclid|fbclid|ref)="
@@ -72,4 +72,64 @@ def url_canonicalize(
         canon.alias("canonical_url"),
         F.regexp_extract(canon, r"^([^/?]*)", 1).alias("host"),
         F.sha2(canon, 256).alias("url_sha256"),
+    )
+
+
+def frontier_schedule(
+    df: DataFrame,
+    n_slots: int = 64,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling (the Mercator /
+    Heritrix frontier design, public): assign every URL a fetch
+    ``slot`` and a per-host ``wave`` such that
+
+    * all URLs of one host land in ONE slot (a fetcher owns the host's
+      connection budget — politeness is enforceable locally), and
+    * within a host, URLs are ordered into waves 1..k by a
+      deterministic sha256 priority, so wave w fetches at most ONE URL
+      per host (the crawl-delay contract).
+
+    ``host_share_micro`` (host size / corpus size, exact micro-units)
+    rides along: it is the number a frontier operator reads to spot a
+    host that would serialize a slot (the skew_report of crawling).
+
+    Scale shape: ONE host-keyed window shuffle (rank within host) —
+    the slot is a pure hash, the wave a row_number; no global sort, no
+    driver state. At 10^12 URLs the host key is the natural partition
+    key and the hot-host hazard is bounded by the wave ordering being
+    per-host (a 10^8-URL host costs its OWN slot time, not a shuffle
+    straggler, because the window partitions by exactly that host).
+    """
+    h = F.col(host_col)
+    slot = (
+        F.conv(F.substring(F.sha2(h, 256), 1, 12), 16, 10).cast("long")
+        % n_slots
+    ).cast("int")
+    prio = F.sha2(F.concat(h, F.lit("#"), F.col(url_col)), 256)
+    wave = F.row_number().over(
+        Window.partitionBy(host_col).orderBy(prio, url_col)
+    )
+    host_n = F.count(F.lit(1)).over(Window.partitionBy(host_col))
+    counts = df.select(
+        F.col(url_col).alias("url"),
+        h.alias("host"),
+        slot.alias("slot"),
+        wave.cast("long").alias("wave"),
+        host_n.cast("long").alias("host_n"),
+    )
+    tot = df.groupBy().agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "url",
+        "host",
+        "slot",
+        "wave",
+        F.call_function(
+            "div",
+            F.lit(1_000_000).cast("long") * F.col("host_n"),
+            F.col("_total"),
+        )
+        .cast("long")
+        .alias("host_share_micro"),
     )

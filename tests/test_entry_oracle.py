@@ -111,6 +111,7 @@ _VARIANT_TAIL = {
     "taxonomy_tag",
     "bpe_encode",
     "skew_report",
+    "frontier_schedule",
 }
 
 
@@ -188,6 +189,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: top-k frequency report; the frequency sketch
         # family rep is heavy_hitters
         "skew_report": "heavy_hitters",
+        # born-demoted: partitioned-rank scheduling window; shape rep
+        # is training_shuffle_order
+        "frontier_schedule": "training_shuffle_order",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
     }

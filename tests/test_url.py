@@ -78,3 +78,49 @@ def test_url_canonical_dedups_variants(spark):
         r["url_sha256"] for r in url_canonicalize(df).collect()
     }
     assert len(hashes) == 1
+
+
+# ---------------------------------------------------------------------------
+# frontier_schedule — politeness-aware crawl scheduling
+# ---------------------------------------------------------------------------
+
+
+def _frontier_df(spark, rows):
+    return spark.createDataFrame(rows, "url string, host string")
+
+
+def test_frontier_host_atomic_slots_and_wave_contract(spark):
+    from ocr_translation_spark.functions.url import frontier_schedule
+
+    rows = [(f"https://h{i % 5}/p/{i}", f"h{i % 5}") for i in range(40)]
+    out = frontier_schedule(_frontier_df(spark, rows), n_slots=8).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        # host-atomic: one slot per host
+        assert len({r["slot"] for r in rs}) == 1, host
+        # wave contract: exactly one URL per (host, wave), waves 1..k
+        waves = sorted(r["wave"] for r in rs)
+        assert waves == list(range(1, len(rs) + 1)), host
+        # share: host size / corpus size in exact micro-units
+        assert all(
+            r["host_share_micro"] == 1_000_000 * len(rs) // 40 for r in rs
+        )
+
+
+def test_frontier_is_deterministic_and_priority_ordered(spark):
+    from ocr_translation_spark.functions.url import frontier_schedule
+
+    rows = [(f"u{i}", "h") for i in range(10)]
+    a = {
+        r["url"]: r["wave"]
+        for r in frontier_schedule(_frontier_df(spark, rows)).collect()
+    }
+    b = {
+        r["url"]: r["wave"]
+        for r in frontier_schedule(
+            _frontier_df(spark, list(reversed(rows)))
+        ).collect()
+    }
+    assert a == b  # input order does not change the schedule
