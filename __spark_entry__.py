@@ -2502,6 +2502,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_schedule"] = _frontier
 
+    def _linkage(spark, sf):
+        """Fellegi-Sunter record linkage (functions/linkage.py): SNM
+        blocking on the normalized text -> four-field comparison
+        vector (text/lang/source equality + exact-integer 5% length
+        rule) -> EXACT-RATIONAL likelihood-ratio product (no logs —
+        log-odds ordering == ratio ordering, and libm ulps would
+        break the value oracle) -> cross-multiplied threshold
+        classification. Comparison attributes ride the blocking
+        generator's rank equi-join (carry=), so scoring adds zero
+        joins/shuffles on top of blocking. The corpus is augmented
+        with deterministic planted twins — exact copies (doc_id%17)
+        and near copies with a divergent lang and +3 chars
+        (doc_id%23) — so agreement, disagreement, and the threshold
+        all genuinely fire."""
+        from ocr_translation_spark.functions.linkage import (
+            record_linkage_fs,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        exact = d.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        near = d.filter(F.col("doc_id") % 23 == 0).select(
+            (F.col("doc_id") + F.lit(2000000000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+            F.lit("xx").alias("lang"),
+            "source",
+            (F.col("n_chars") + F.lit(3)).alias("n_chars"),
+        )
+        return record_linkage_fs(d.unionAll(exact).unionAll(near))
+
+    q["record_linkage_fs"] = _linkage
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2742,6 +2781,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # what it adds (host-atomic slots, wave ordering, load share)
         # is pinned by its own oracle + units
         "frontier_schedule",
+        # the candidate-generation step of record_linkage_fs
+        # (in-window), which runs the same SNM blocking every call and
+        # adds the comparison-vector + exact-rational Fellegi-Sunter
+        # classification on top; demoted for that NEW pair-scoring
+        # family (same subsumption pattern as bpe_pair_counts ->
+        # bpe_train_merges)
+        "snm_candidate_pairs",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -4833,6 +4879,61 @@ r AS (
 SELECT url, host, slot, wave,
        ((1000000 * host_n) // t.total)::BIGINT AS host_share_micro
 FROM r, t
+"""
+
+    # Same planted twins (exact copies doc_id%17, near copies doc_id%23
+    # with lang 'xx' and +3 chars), same SNM blocking via a plain global
+    # row_number (the INDEPENDENT rank formulation the snm oracle
+    # already proves equal to Spark's bucket-offset rank), same
+    # exact-rational Fellegi-Sunter factor products, same truncating
+    # ppm division and cross-multiplied threshold.
+    o["record_linkage_fs"] = f"""
+WITH aug AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000, text || ' qq', 'xx', source, n_chars + 3
+  FROM documents WHERE doc_id % 23 = 0
+), d AS (
+  SELECT doc_id AS id, {_NORM} AS nkey, lang, source,
+         n_chars::BIGINT AS n_chars
+  FROM aug
+), r AS (
+  SELECT id, nkey, lang, source, n_chars,
+         row_number() OVER (ORDER BY nkey, id) AS rnk
+  FROM d
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         (b.rnk - a.rnk)::INTEGER AS rank_dist,
+         (a.nkey IS NOT DISTINCT FROM b.nkey) AS agree_text,
+         (a.lang IS NOT DISTINCT FROM b.lang) AS agree_lang,
+         (a.source IS NOT DISTINCT FROM b.source) AS agree_source,
+         (20 * abs(a.n_chars - b.n_chars)
+            <= greatest(a.n_chars, b.n_chars)) AS agree_len
+  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+), scored AS (
+  SELECT *,
+    ((CASE WHEN agree_text THEN 400 ELSE 1 END)::BIGINT
+     * (CASE WHEN agree_lang THEN 19 ELSE 1 END)
+     * (CASE WHEN agree_source THEN 9 ELSE 1 END)
+     * (CASE WHEN agree_len THEN 4 ELSE 1 END)) AS score_num,
+    ((CASE WHEN agree_text THEN 1 ELSE 5 END)::BIGINT
+     * (CASE WHEN agree_lang THEN 6 ELSE 14 END)
+     * (CASE WHEN agree_source THEN 1 ELSE 9 END)
+     * (CASE WHEN agree_len THEN 1 ELSE 3 END)) AS score_den
+  FROM pairs
+)
+SELECT id_a, id_b, rank_dist,
+       agree_text::INTEGER AS agree_text,
+       agree_lang::INTEGER AS agree_lang,
+       agree_source::INTEGER AS agree_source,
+       agree_len::INTEGER AS agree_len,
+       score_num, score_den,
+       ((score_num * 1000000) // score_den)::BIGINT AS score_ppm,
+       (score_num >= 100 * score_den)::INTEGER AS is_match
+FROM scored
 """
 
     # Same lateral pair generation (every (i, j) with j - i <= 4), same

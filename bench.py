@@ -196,6 +196,9 @@ def main() -> None:
         "skew_report",
         # politeness-aware crawl-frontier scheduling
         "frontier_schedule",
+        # Fellegi-Sunter record linkage (SNM blocking + exact-rational
+        # likelihood-ratio classification, zero shuffles over blocking)
+        "record_linkage_fs",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

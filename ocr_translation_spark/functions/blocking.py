@@ -73,14 +73,26 @@ def sorted_neighborhood_pairs(
     id_col: str,
     window: int = 3,
     prefix_len: int = 2,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Candidate pairs (id_a, id_b, rank_dist) whose global sort ranks
     under (key, id) differ by less than ``window``. id_a/id_b follow
-    sort order (rank_a < rank_b)."""
+    sort order (rank_a < rank_b).
+
+    ``carry`` names payload columns of ``df`` to ride through the rank
+    equi-join and come back suffixed ``_a``/``_b`` — downstream pair
+    scorers (``linkage.record_linkage_fs``) get their comparison
+    attributes without any join-back, so scoring adds zero shuffles on
+    top of blocking. Carry comparison fields only, never the raw
+    document payload."""
     if window < 2:
         raise ValueError("window must be >= 2")
     ranked = global_rank_by(
-        df.select(F.col(id_col).alias("_id"), F.col(key).alias("_key")),
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(key).alias("_key"),
+            *[F.col(c) for c in carry],
+        ),
         key="_key",
         id_col="_id",
         prefix_len=prefix_len,
@@ -88,13 +100,20 @@ def sorted_neighborhood_pairs(
     a = ranked.select(
         F.col("_id").alias("id_a"),
         F.col("rank").alias("rank_a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
         F.explode(
             F.sequence(F.lit(1), F.lit(window - 1))
         ).alias("_d"),
     ).withColumn("_rank_b", F.col("rank_a") + F.col("_d"))
     b = ranked.select(
-        F.col("_id").alias("id_b"), F.col("rank").alias("_rank_b")
+        F.col("_id").alias("id_b"),
+        F.col("rank").alias("_rank_b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
     )
     return a.join(b, "_rank_b").select(
-        "id_a", "id_b", F.col("_d").cast("int").alias("rank_dist")
+        "id_a",
+        "id_b",
+        F.col("_d").cast("int").alias("rank_dist"),
+        *[F.col(f"{c}_a") for c in carry],
+        *[F.col(f"{c}_b") for c in carry],
     )

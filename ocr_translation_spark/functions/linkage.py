@@ -1,0 +1,165 @@
+"""Fellegi-Sunter record-linkage scoring (Fellegi & Sunter, JASA
+1969) over blocked candidate pairs.
+
+The classification stage that sits on top of a candidate generator
+(here: sorted-neighborhood blocking, ``functions/blocking.py``): each
+candidate pair gets a COMPARISON VECTOR of field agreements, every
+field contributes its likelihood ratio — m/u on agreement,
+(1-m)/(1-u) on disagreement — and the pair's match weight is the
+product of those ratios (conditional-independence / naive-Bayes
+assumption, as in the original paper and every production
+merge/purge system since Hernandez & Stolfo SIGMOD'95).
+
+Exactness discipline (the repo-wide rule for value-oracled
+operators): the textbook formulation sums LOG weights, but libm logs
+differ in ulps across engines and break value oracles. Log-odds
+ordering equals ratio ordering, so the weight is kept as an EXACT
+RATIONAL — per-field ratios are integer pairs (num, den), the pair
+score is the BIGINT product ``score_num / score_den``, and the
+match/possible/non-match decision is the cross-multiplied compare
+``score_num * t_den >= t_num * score_den``. With the default four
+fields the largest numerator product is 400*19*9*4 = 273,600 —
+nowhere near BIGINT range even after the 1e6 ppm scaling.
+
+Scale shape: the expensive part is candidate generation, which the
+SNM generator bounds at O(n * (window-1)) pairs with no token
+explode; the comparison attributes ride the generator's existing
+rank equi-join (``carry=``), so scoring adds ZERO joins and ZERO
+shuffles on top of blocking — every agreement and the weight product
+are row-local whole-stage-codegen expressions.
+
+Reference anchor: the reference pipeline's cache-identity join is an
+EXACT sha256 equi-join (src/utils/hash.js:5-25 via OCRQueue.js:66);
+this family generalizes that identity test to graded field evidence,
+the standard curation need when near-identical records lack byte
+identity.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import mul
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .blocking import sorted_neighborhood_pairs
+from .text import normalized_text
+
+# (agreement column, agree_num, agree_den, disagree_num, disagree_den)
+# Ratios are the m/u likelihood ratios as exact rationals; e.g. the
+# normalized-text field corresponds to m=0.8, u=0.002 (agree ratio
+# 400) and (1-m)/(1-u) ~ 1/5 on disagreement.
+DEFAULT_FIELDS: tuple[tuple[str, int, int, int, int], ...] = (
+    ("agree_text", 400, 1, 1, 5),
+    ("agree_lang", 19, 6, 1, 14),
+    ("agree_source", 9, 1, 1, 9),
+    ("agree_len", 4, 1, 1, 3),
+)
+
+#: classify as match when score_num/score_den >= 100 (i.e. posterior
+#: odds two orders of magnitude in favour under the default prior).
+DEFAULT_THRESHOLD: tuple[int, int] = (100, 1)
+
+
+def fs_score(
+    pairs: DataFrame,
+    fields: tuple[tuple[str, int, int, int, int], ...] = DEFAULT_FIELDS,
+    threshold: tuple[int, int] = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Append the exact-rational Fellegi-Sunter weight to ``pairs``.
+
+    ``pairs`` must already carry one BOOLEAN column per field (the
+    comparison vector). Adds ``score_num``/``score_den`` (BIGINT
+    rational weight), ``score_ppm`` (truncating parts-per-million
+    scalar for human ranking) and ``is_match`` (cross-multiplied
+    threshold compare, INT 0/1). Purely row-local."""
+    t_num, t_den = threshold
+    if t_num <= 0 or t_den <= 0:
+        raise ValueError("threshold must be a positive rational")
+
+    def _factor(agree: str, a: int, d: int) -> Column:
+        return F.when(F.col(agree), F.lit(a)).otherwise(F.lit(d)).cast(
+            "long"
+        )
+
+    num = reduce(mul, [_factor(c, an, dn) for c, an, _, dn, _ in fields])
+    den = reduce(mul, [_factor(c, ad, dd) for c, _, ad, _, dd in fields])
+    out = pairs.withColumn("score_num", num).withColumn("score_den", den)
+    return out.withColumn(
+        "score_ppm",
+        F.expr("(score_num * 1000000L) div score_den"),
+    ).withColumn(
+        "is_match",
+        (
+            F.col("score_num") * F.lit(t_den)
+            >= F.lit(t_num) * F.col("score_den")
+        ).cast("int"),
+    )
+
+
+def record_linkage_fs(
+    docs: DataFrame,
+    window: int = 4,
+    prefix_len: int = 2,
+    threshold: tuple[int, int] = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """End-to-end record linkage over a ``documents``-shaped table
+    (doc_id, text, lang, source, n_chars): SNM blocking on the
+    normalized text -> four-field comparison vector -> exact-rational
+    Fellegi-Sunter weight -> threshold classification.
+
+    The comparison attributes are CARRIED through the blocking
+    generator's rank equi-join rather than joined back afterwards, so
+    the whole operator costs exactly the generator's shuffles (the
+    per-bucket rank window + the integer rank join); scoring itself is
+    shuffle-free codegen. Carry only the comparison fields at scale —
+    never the raw span payload.
+
+    Length agreement is the exact-integer 5%% rule
+    ``20 * |len_a - len_b| <= max(len_a, len_b)``."""
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        normalized_text(F.col("text")).alias("nkey"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    pairs = sorted_neighborhood_pairs(
+        base,
+        key="nkey",
+        id_col="id",
+        window=window,
+        prefix_len=prefix_len,
+        carry=("nkey", "lang", "source", "n_chars"),
+    )
+    cmp = (
+        pairs.withColumn(
+            "agree_text", F.col("nkey_a").eqNullSafe(F.col("nkey_b"))
+        )
+        .withColumn(
+            "agree_lang", F.col("lang_a").eqNullSafe(F.col("lang_b"))
+        )
+        .withColumn(
+            "agree_source",
+            F.col("source_a").eqNullSafe(F.col("source_b")),
+        )
+        .withColumn(
+            "agree_len",
+            F.lit(20) * F.abs(F.col("n_chars_a") - F.col("n_chars_b"))
+            <= F.greatest(F.col("n_chars_a"), F.col("n_chars_b")),
+        )
+    )
+    scored = fs_score(cmp, DEFAULT_FIELDS, threshold)
+    return scored.select(
+        "id_a",
+        "id_b",
+        "rank_dist",
+        F.col("agree_text").cast("int").alias("agree_text"),
+        F.col("agree_lang").cast("int").alias("agree_lang"),
+        F.col("agree_source").cast("int").alias("agree_source"),
+        F.col("agree_len").cast("int").alias("agree_len"),
+        "score_num",
+        "score_den",
+        "score_ppm",
+        "is_match",
+    )

@@ -112,6 +112,7 @@ _VARIANT_TAIL = {
     "bpe_encode",
     "skew_report",
     "frontier_schedule",
+    "snm_candidate_pairs",
 }
 
 
@@ -192,6 +193,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: partitioned-rank scheduling window; shape rep
         # is training_shuffle_order
         "frontier_schedule": "training_shuffle_order",
+        # subsumed: record_linkage_fs runs the same SNM blocking every
+        # call and adds the Fellegi-Sunter classification on top
+        "snm_candidate_pairs": "record_linkage_fs",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
     }
