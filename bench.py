@@ -199,6 +199,8 @@ def main() -> None:
         # Fellegi-Sunter record linkage (SNM blocking + exact-rational
         # likelihood-ratio classification, zero shuffles over blocking)
         "record_linkage_fs",
+        # Morton clustering-key derivation (pure codegen bit math)
+        "zorder_key",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

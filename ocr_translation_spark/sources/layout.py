@@ -116,3 +116,101 @@ def pushed_filters(
     df = spark.read.parquet(path).where(predicate)
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout: multi-dimensional clustering
+# --------------------------------------------------------------------------
+#
+# Range-sorting makes ONE column's file stats tight; a scan filtered on
+# a second column still opens every file. Interleaving the bits of k
+# columns (Morton order, the mechanism behind Delta/Iceberg OPTIMIZE
+# ZORDER BY) keeps every file's bounding BOX small on all k dimensions
+# simultaneously, so a predicate selective in several dimensions prunes
+# multiplicatively from the same footer min/max stats — no new reader
+# machinery, just a better sort key at write time.
+
+
+def zorder_key(cols, bits: int = 16):
+    """Morton interleave of ``cols`` (Columns or names) into one LONG:
+    bit i of column j lands at position ``i * k + j``. Values are
+    masked to the low ``bits`` bits — callers map their domain into
+    [0, 2**bits) first (modulo, epoch-bucket, quantile rank...); the
+    mask keeps an out-of-domain row from corrupting neighbours' bit
+    planes. Pure whole-stage-codegen bit arithmetic, no Python."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder_key needs at least 2 columns")
+    if bits * k > 63:
+        raise ValueError(f"bits*k = {bits * k} exceeds a positive LONG")
+    cs = [
+        (F.col(c) if isinstance(c, str) else c).cast("long").bitwiseAND(
+            F.lit((1 << bits) - 1)
+        )
+        for c in cols
+    ]
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            out = out.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j
+                )
+            )
+    return out
+
+
+def zorder_key_sql(cols, bits: int = 16) -> str:
+    """The IDENTICAL bit arithmetic as a DuckDB/ANSI SQL expression —
+    the value-oracle twin of :func:`zorder_key`."""
+    k = len(cols)
+    mask = (1 << bits) - 1
+    terms = [
+        f"(((({c} & {mask}) >> {i}) & 1) << {i * k + j})"
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols, bits: int, n_files: int
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered by the
+    Morton key of ``cols``: one range shuffle on the key, sorted
+    within each file, key dropped before write (the pruning stats
+    live on the ORIGINAL columns — small per-file boxes on every
+    dimension). Same single-shuffle cost as ``write_range_sorted``."""
+    z = df.withColumn("_zkey", zorder_key(cols, bits))
+    (
+        z.repartitionByRange(n_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def skipping_report_2d(
+    path: str, col_x: str, col_y: str, box: tuple
+) -> dict[str, int]:
+    """How many files a footer-stats-aware reader opens for the 2-D
+    box predicate ``col_x BETWEEN lo_x AND hi_x AND col_y BETWEEN
+    lo_y AND hi_y``: a file is opened iff its per-file [min, max]
+    intersects the box on BOTH dimensions."""
+    lo_x, hi_x, lo_y, hi_y = box
+    sx = {s["file"]: s for s in file_stats(path, col_x)}
+    sy = {s["file"]: s for s in file_stats(path, col_y)}
+    opened = sum(
+        1
+        for f in sx
+        if sx[f]["max"] >= lo_x
+        and sx[f]["min"] <= hi_x
+        and sy[f]["max"] >= lo_y
+        and sy[f]["min"] <= hi_y
+    )
+    return {
+        "files_total": len(sx),
+        "files_opened": opened,
+        "rows_total": sum(s["rows"] for s in sx.values()),
+    }

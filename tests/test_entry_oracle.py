@@ -113,6 +113,7 @@ _VARIANT_TAIL = {
     "skew_report",
     "frontier_schedule",
     "snm_candidate_pairs",
+    "zorder_key",
 }
 
 
@@ -196,6 +197,9 @@ def test_driver_window_covers_every_operator_family():
         # subsumed: record_linkage_fs runs the same SNM blocking every
         # call and adds the Fellegi-Sunter classification on top
         "snm_candidate_pairs": "record_linkage_fs",
+        # born-demoted: multi-dim clustered-layout key; the layout
+        # family rep in-window is snapshot_diff (bucketed layout)
+        "zorder_key": "snapshot_diff",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
     }
