@@ -2567,6 +2567,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zorder_key"] = _zorder
 
+    def _assoc(spark, sf):
+        """Association-rule mining (functions/assoc.py, Apriori
+        VLDB'94): frequent item pairs by BASKET-level co-presence
+        with exact support / confidence / lift in micro-units.
+        Baskets are users, items are (event_type, props.k mod 25)
+        observations — a 125-item space where the L1 band prune
+        (integer cross-product thresholds, 10%..40% of the basket
+        count), the rarest-first per-basket cap 32 (FP-growth f-list
+        discipline — pair fan-out <= C(32,2) per basket regardless of
+        basket size) and the 4% pair-support floor all genuinely
+        bite. DECIMAL / HUGEINT intermediates keep lift engine-exact.
+        (documents-as-baskets is degenerate on this corpus: its
+        templated 31-token vocabulary is nearly all >50% df.)"""
+        from ocr_translation_spark.functions.assoc import (
+            association_rules,
+        )
+
+        ev = _read(spark, sf, "events")
+        items = ev.select(
+            F.col("user_id").alias("basket"),
+            F.concat(
+                F.col("event_type"),
+                F.lit(":"),
+                (
+                    F.get_json_object("props", "$.k").cast("bigint")
+                    % 25
+                ).cast("string"),
+            ).alias("item"),
+        )
+        return association_rules(items)
+
+    q["assoc_rules"] = _assoc
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2819,6 +2852,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shuffle-free join) in-window and the z-order skipping win is
         # pinned by test_layout_zorder.py, not the oracle row
         "zorder_key",
+        # born-demoted: document-level co-presence rule mining; the
+        # basket-co-occurrence family rep in-window is
+        # item_cooccurrence_sim (same capped-basket pair discipline)
+        "assoc_rules",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -4965,6 +5002,51 @@ SELECT id_a, id_b, rank_dist,
        ((score_num * 1000000) // score_den)::BIGINT AS score_ppm,
        (score_num >= 100 * score_den)::INTEGER AS is_match
 FROM scored
+"""
+
+    # Same (user, event_type:k%25) item derivation, same distinct
+    # reduction, same integer cross-product band thresholds [10%, 40%],
+    # same rarest-first (df, item) cap-32 window, same pair aggregate,
+    # same 4% pair floor and HUGEINT truncating micro-unit divisions.
+    o["assoc_rules"] = """
+WITH di AS (
+  SELECT DISTINCT user_id AS basket,
+         event_type || ':' ||
+           (json_extract(props, '$.k')::BIGINT % 25)::VARCHAR AS item
+  FROM events
+  WHERE json_extract(props, '$.k') IS NOT NULL
+), n AS (
+  SELECT count(DISTINCT basket)::BIGINT AS n_baskets FROM di
+), idf AS (
+  SELECT item, count(*)::BIGINT AS df FROM di GROUP BY 1
+), band AS (
+  SELECT item, df FROM idf, n
+  WHERE df * 10 >= n_baskets * 1 AND df * 5 <= n_baskets * 2
+), capped AS (
+  SELECT basket, item, df FROM (
+    SELECT di.basket, di.item, b.df,
+           row_number() OVER (
+             PARTITION BY di.basket ORDER BY b.df, di.item) AS rn
+    FROM di JOIN band b USING (item)
+  ) WHERE rn <= 32
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         count(*)::BIGINT AS supp_ab,
+         any_value(a.df)::BIGINT AS supp_a,
+         any_value(b.df)::BIGINT AS supp_b
+  FROM capped a JOIN capped b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, supp_ab, supp_a, supp_b,
+       ((supp_ab::HUGEINT * 1000000) // supp_a)::BIGINT
+         AS conf_ab_micro,
+       ((supp_ab::HUGEINT * 1000000) // supp_b)::BIGINT
+         AS conf_ba_micro,
+       ((supp_ab::HUGEINT * n.n_baskets * 1000000)
+          // (supp_a::HUGEINT * supp_b))::BIGINT AS lift_micro
+FROM pairs, n
+WHERE supp_ab * 25 >= n.n_baskets * 1
 """
 
     # The mechanically identical interleave expression generated by

@@ -201,6 +201,8 @@ def main() -> None:
         "record_linkage_fs",
         # Morton clustering-key derivation (pure codegen bit math)
         "zorder_key",
+        # Apriori association rules (band prune + capped baskets)
+        "assoc_rules",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -114,6 +114,7 @@ _VARIANT_TAIL = {
     "frontier_schedule",
     "snm_candidate_pairs",
     "zorder_key",
+    "assoc_rules",
 }
 
 
@@ -200,6 +201,10 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: multi-dim clustered-layout key; the layout
         # family rep in-window is snapshot_diff (bucketed layout)
         "zorder_key": "snapshot_diff",
+        # born-demoted: basket co-presence rule mining; family rep
+        # in-window is item_cooccurrence_sim (same capped-basket
+        # pair discipline)
+        "assoc_rules": "item_cooccurrence_sim",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
     }
