@@ -2600,6 +2600,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["assoc_rules"] = _assoc
 
+    def _trend(spark, sf):
+        """Per-type OLS trend of daily event volume
+        (functions/timeseries.py trend_slopes): the closed-form
+        least-squares slope over (epoch day, daily count) kept as an
+        EXACT RATIONAL (slope_num/slope_den) — no float regression,
+        no libm. slope_micro is floor-divided toward zero EXPLICITLY
+        (sign * (|num| * 1e6 div den)) because Spark div truncates
+        toward zero while DuckDB // floors, and a negative slope
+        would otherwise differ between engines. Two hash aggregates
+        (day rollup -> key rollup), DECIMAL(38,0) products
+        (n*sum(x*y) passes BIGINT range at 1e12 rows/day). Single-day
+        keys emit NULL slope fields, never silently dropped."""
+        from ocr_translation_spark.functions.timeseries import (
+            trend_slopes,
+        )
+
+        return trend_slopes(
+            _read(spark, sf, "events"), key_col="event_type", ts_col="ts"
+        )
+
+    q["trend_slope"] = _trend
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2856,6 +2878,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # basket-co-occurrence family rep in-window is
         # item_cooccurrence_sim (same capped-basket pair discipline)
         "assoc_rules",
+        # born-demoted: two-stage time rollup + closed-form exact
+        # arithmetic; the time-series aggregation family rep
+        # in-window is events_hourly
+        "trend_slope",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -5047,6 +5073,35 @@ SELECT item_a, item_b, supp_ab, supp_a, supp_b,
           // (supp_a::HUGEINT * supp_b))::BIGINT AS lift_micro
 FROM pairs, n
 WHERE supp_ab * 25 >= n.n_baskets * 1
+"""
+
+    # Same epoch-day rollup, same closed-form integer sums (HUGEINT),
+    # same explicit toward-zero micro division, same NULL contract for
+    # single-day keys.
+    o["trend_slope"] = """
+WITH daily AS (
+  SELECT event_type AS key,
+         (ts::DATE - DATE '1970-01-01')::BIGINT AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT key, count(*)::BIGINT AS n_days,
+         sum(day::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(day::HUGEINT * y::HUGEINT) AS sxy,
+         sum(day::HUGEINT * day::HUGEINT) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT key AS event_type, n_days, sy::BIGINT AS total_rows,
+  CASE WHEN n_days > 1
+       THEN (n_days * sxy - sx * sy)::BIGINT END AS slope_num,
+  CASE WHEN n_days > 1
+       THEN (n_days * sxx - sx * sx)::BIGINT END AS slope_den,
+  CASE WHEN n_days > 1 THEN
+    ((CASE WHEN (n_days * sxy - sx * sy) < 0 THEN -1 ELSE 1 END)
+     * ((abs(n_days * sxy - sx * sy) * 1000000)
+        // (n_days * sxx - sx * sx)))::BIGINT
+  END AS slope_micro
+FROM s
 """
 
     # The mechanically identical interleave expression generated by

@@ -203,6 +203,8 @@ def main() -> None:
         "zorder_key",
         # Apriori association rules (band prune + capped baskets)
         "assoc_rules",
+        # exact-rational OLS daily-volume trend per event type
+        "trend_slope",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -111,3 +111,69 @@ def interval_join(
         )
         .drop("_bin")
     )
+
+
+def trend_slopes(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend of DAILY EVENT COUNTS as
+    an EXACT RATIONAL: the closed form
+
+        slope = (n * sum(x*y) - sum(x) * sum(y))
+              / (n * sum(x^2) - sum(x)^2)
+
+    over (x = epoch day, y = that day's row count) is pure integer
+    arithmetic, so the slope is emitted as ``slope_num / slope_den``
+    plus a human-readable ``slope_micro`` — floor-divided toward zero
+    EXPLICITLY (``sign * (|num| * scale div den)``) because Spark's
+    ``div`` truncates toward zero while DuckDB's ``//`` floors, and a
+    negative slope would otherwise differ by one ulp between engines.
+    No float regression (libm would break the value oracle), no
+    window: two hash aggregates (day rollup, then key rollup).
+
+    Products are DECIMAL(38,0): at 1e12 rows/day and 3k days,
+    ``n * sum(x*y)`` tops 6e19 — past BIGINT, well inside 38 digits.
+    Keys with a single distinct day have an undefined slope and are
+    emitted with NULL slope fields (den = 0), never dropped
+    silently."""
+    dec = "decimal(38,0)"
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.datediff(
+                F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    s = daily.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("day").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("day").cast(dec) * F.col("y").cast(dec))
+        .cast(dec)
+        .alias("sxy"),
+        F.sum(F.col("day").cast(dec) * F.col("day").cast(dec))
+        .cast(dec)
+        .alias("sxx"),
+    )
+    n = F.col("n_days").cast(dec)
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    sgn = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    mag = F.call_function(
+        "div", F.abs(num) * F.lit(scale).cast(dec), den
+    ).cast("long")
+    return s.select(
+        F.col("key").alias(key_col),
+        "n_days",
+        F.col("sy").cast("long").alias("total_rows"),
+        F.when(F.col("n_days") > 1, num.cast("long")).alias("slope_num"),
+        F.when(F.col("n_days") > 1, den.cast("long")).alias("slope_den"),
+        F.when(F.col("n_days") > 1, sgn * mag).alias("slope_micro"),
+    )

@@ -115,6 +115,7 @@ _VARIANT_TAIL = {
     "snm_candidate_pairs",
     "zorder_key",
     "assoc_rules",
+    "trend_slope",
 }
 
 
@@ -205,6 +206,9 @@ def test_driver_window_covers_every_operator_family():
         # in-window is item_cooccurrence_sim (same capped-basket
         # pair discipline)
         "assoc_rules": "item_cooccurrence_sim",
+        # born-demoted: two-stage time rollup, closed-form exact
+        # arithmetic; time-series agg family rep is events_hourly
+        "trend_slope": "events_hourly",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
     }
