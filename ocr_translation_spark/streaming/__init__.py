@@ -8,3 +8,7 @@ from .sketch_stream import (  # noqa: F401
     stream_heavy_hitters,
 )
 from .join_stream import stream_click_purchase_join  # noqa: F401
+from .upsert_stream import (  # noqa: F401
+    current_state,
+    stream_upsert,
+)
