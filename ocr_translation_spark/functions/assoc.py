@@ -75,7 +75,11 @@ def association_rules(
         items.select(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
         )
-        .where(F.col(item_col).isNotNull())
+        # a NULL basket can never form pairs (the equi-join drops NULL
+        # keys) but would inflate n_baskets and every per-item df,
+        # shifting the exact thresholds — drop both NULL sides up front
+        # (matches the oracle's count(DISTINCT basket) NULL handling)
+        .where(F.col(item_col).isNotNull() & F.col(basket_col).isNotNull())
         .distinct()
     )
     n_baskets = di.select("basket").distinct().agg(

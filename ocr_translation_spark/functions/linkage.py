@@ -123,6 +123,14 @@ def record_linkage_fs(
         F.col("lang"),
         F.col("source"),
         F.col("n_chars").cast("long").alias("n_chars"),
+    ).withColumn(
+        # the blocking SORT needs the full nkey, but the pair join only
+        # needs an EQUALITY bit — carry the fixed-width sha256 digest
+        # (the repo's exact-identity idiom, same as the reference's
+        # sha256 cache join) instead of the whole normalized text, so
+        # the candidate fan-out never ships document-length payloads
+        "nhash",
+        F.sha2(F.col("nkey"), 256),
     )
     pairs = sorted_neighborhood_pairs(
         base,
@@ -130,11 +138,11 @@ def record_linkage_fs(
         id_col="id",
         window=window,
         prefix_len=prefix_len,
-        carry=("nkey", "lang", "source", "n_chars"),
+        carry=("nhash", "lang", "source", "n_chars"),
     )
     cmp = (
         pairs.withColumn(
-            "agree_text", F.col("nkey_a").eqNullSafe(F.col("nkey_b"))
+            "agree_text", F.col("nhash_a").eqNullSafe(F.col("nhash_b"))
         )
         .withColumn(
             "agree_lang", F.col("lang_a").eqNullSafe(F.col("lang_b"))

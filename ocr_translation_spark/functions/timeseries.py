@@ -169,11 +169,34 @@ def trend_slopes(
     mag = F.call_function(
         "div", F.abs(num) * F.lit(scale).cast(dec), den
     ).cast("long")
+
+    # the rational components are emitted as BIGINT; past ~9.2e18
+    # (reachable around 1e12 rows/day x 3k days, where num ~ n^2*cov)
+    # a silent cast would return NULL — indistinguishable from the
+    # single-day NULL contract — while the DuckDB twin's ::BIGINT
+    # raises. Fail LOUDLY on both engines instead; slope_micro (the
+    # reduced ratio) stays representable long past that point.
+    lmax = F.lit(9223372036854775807).cast(dec)
+
+    def _loud_long(c, name):
+        return F.when(F.abs(c) <= lmax, c.cast("long")).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"trend_slopes: {name} exceeds BIGINT — emit "
+                    "slope_micro only at this scale"
+                )
+            ).cast("long")
+        )
+
     return s.select(
         F.col("key").alias(key_col),
         "n_days",
         F.col("sy").cast("long").alias("total_rows"),
-        F.when(F.col("n_days") > 1, num.cast("long")).alias("slope_num"),
-        F.when(F.col("n_days") > 1, den.cast("long")).alias("slope_den"),
+        F.when(F.col("n_days") > 1, _loud_long(num, "slope_num")).alias(
+            "slope_num"
+        ),
+        F.when(F.col("n_days") > 1, _loud_long(den, "slope_den")).alias(
+            "slope_den"
+        ),
         F.when(F.col("n_days") > 1, sgn * mag).alias("slope_micro"),
     )

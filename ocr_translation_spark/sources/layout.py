@@ -191,26 +191,59 @@ def write_zordered(
     )
 
 
+def file_stats_multi(
+    path: str, cols: list[str]
+) -> list[dict[str, Any]]:
+    """Per-file footer (min, max) for EVERY column in ``cols`` plus the
+    row count, in ONE metadata pass per file (a per-column
+    ``file_stats`` loop would reopen and rescan each footer once per
+    column). Empty files are skipped."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        if md.num_rows == 0:
+            continue
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        rec: dict[str, Any] = {"file": name, "rows": md.num_rows}
+        for col in cols:
+            lo, hi = None, None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx[col]).statistics
+                if st is None or not st.has_min_max:  # pragma: no cover
+                    raise ValueError(
+                        f"{name} has no min/max stats for {col}"
+                    )
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            rec[col] = (lo, hi)
+        out.append(rec)
+    return out
+
+
 def skipping_report_2d(
     path: str, col_x: str, col_y: str, box: tuple
 ) -> dict[str, int]:
     """How many files a footer-stats-aware reader opens for the 2-D
     box predicate ``col_x BETWEEN lo_x AND hi_x AND col_y BETWEEN
     lo_y AND hi_y``: a file is opened iff its per-file [min, max]
-    intersects the box on BOTH dimensions."""
+    intersects the box on BOTH dimensions. One footer pass per file
+    (both columns read together)."""
     lo_x, hi_x, lo_y, hi_y = box
-    sx = {s["file"]: s for s in file_stats(path, col_x)}
-    sy = {s["file"]: s for s in file_stats(path, col_y)}
+    stats = file_stats_multi(path, [col_x, col_y])
     opened = sum(
         1
-        for f in sx
-        if sx[f]["max"] >= lo_x
-        and sx[f]["min"] <= hi_x
-        and sy[f]["max"] >= lo_y
-        and sy[f]["min"] <= hi_y
+        for s in stats
+        if s[col_x][1] >= lo_x
+        and s[col_x][0] <= hi_x
+        and s[col_y][1] >= lo_y
+        and s[col_y][0] <= hi_y
     )
     return {
-        "files_total": len(sx),
+        "files_total": len(stats),
         "files_opened": opened,
-        "rows_total": sum(s["rows"] for s in sx.values()),
+        "rows_total": sum(s["rows"] for s in stats),
     }

@@ -16,8 +16,9 @@ at 100 TB, on the same catalog machinery the cache tables use:
   write I/O is O(batch), never O(state), and the delta layout is
   prunable by key prefix exactly like the near-dup registries;
 * the current state is resolved AT READ TIME (merge-on-read):
-  last-writer-wins by (seq, delete-beats-upsert on ties, batch id as
-  the final deterministic tie-break), tombstones filtered at the end.
+  last-writer-wins by (seq, delete-beats-upsert on ties, NUMERIC
+  batch id, then a full-row hash as the final deterministic
+  tie-break), tombstones filtered at the end.
   Point lookups prune to the key's ``p`` partition across delta dirs;
 * when the delta count passes ``compact_every``, the resolved state
   (tombstones included — see below) is rewritten as a single
@@ -67,17 +68,32 @@ def _state_path(state_dir: str) -> str:
 def _heal(state_dir: str) -> None:
     """Finish an interrupted compaction swap: a crash between the two
     renames leaves the delta set stranded at the ``old`` name with
-    nothing live — put it back. (Single-writer assumption, as for all
-    catalog state streams.)"""
+    nothing live — put it back. WRITER-ONLY (called from process()):
+    a reader renaming/deleting directories would race the writer's
+    own swap — see _read_deltas for the reader-side, read-only
+    fallback."""
     root, old = _state_path(state_dir), _state_path(state_dir) + ".__old"
     if not os.path.exists(root) and os.path.exists(old):
         os.rename(old, root)
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _delta_root(state_dir: str) -> str | None:
+    """The directory holding the live delta set. Readers land here:
+    if the live root is missing mid-compaction-crash, fall back to
+    the stranded ``old`` copy WITHOUT touching the filesystem (no
+    renames, no deletes — only the stream's writer heals)."""
+    root, old = _state_path(state_dir), _state_path(state_dir) + ".__old"
+    if os.path.exists(root):
+        return root
+    if os.path.exists(old):
+        return old
+    return None
+
+
 def _delta_dirs(state_dir: str) -> list[str]:
-    root = _state_path(state_dir)
-    if not os.path.exists(root):
+    root = _delta_root(state_dir)
+    if root is None:
         return []
     return sorted(
         d for d in os.listdir(root)
@@ -85,15 +101,32 @@ def _delta_dirs(state_dir: str) -> list[str]:
     )
 
 
+def _delta_ord(name: str) -> int:
+    """Numeric recency of a delta dir: batch id * 2, +1 for live batch
+    dirs so a replayed ``batch=K`` outranks the ``base=K`` that
+    already folded it (their rows agree; the order just has to be
+    deterministic). A plain string sort would order 'batch=9' AFTER
+    'batch=10' — the tie-break must be numeric."""
+    kind, _, num = name.partition("=")
+    return int(num) * 2 + (1 if kind == "batch" else 0)
+
+
 def _resolve(changes: DataFrame, key_col: str, seq_col: str) -> DataFrame:
     """Last-writer-wins resolution: highest seq wins; a delete beats
     an upsert at equal seq (CDC convention: the delete is the later
-    intent within a version); the delta id breaks exact duplicates
-    deterministically. Tombstones are KEPT — callers filter."""
+    intent within a version); the NUMERIC delta id breaks cross-batch
+    duplicates (later batch wins); a hash over the full row breaks
+    exact same-batch duplicates deterministically (a CDC source may
+    emit the same (key, seq, op) twice with different payloads — the
+    winner must not depend on partition-arrival order, or replays
+    persist a different row). Tombstones are KEPT — callers filter."""
     w = Window.partitionBy(key_col).orderBy(
         F.col(seq_col).desc(),
         F.col("op").asc(),  # 'delete' < 'upsert'
         F.col("_delta").desc(),
+        F.xxhash64(
+            F.struct(*[c for c in changes.columns if c != "_delta"])
+        ).desc(),
     )
     return (
         changes.withColumn("_rn", F.row_number().over(w))
@@ -105,16 +138,18 @@ def _resolve(changes: DataFrame, key_col: str, seq_col: str) -> DataFrame:
 def _read_deltas(
     spark: SparkSession, state_dir: str, buckets: list[str] | None = None
 ) -> DataFrame | None:
-    root = _state_path(state_dir)
+    root = _delta_root(state_dir)
     dirs = _delta_dirs(state_dir)
-    if not dirs:
+    if root is None or not dirs:
         return None
     frames = []
     for d in dirs:
         df = spark.read.parquet(os.path.join(root, d))
         if buckets is not None:
             df = df.where(F.col("p").isin(buckets))
-        frames.append(df.withColumn("_delta", F.lit(d)))
+        frames.append(
+            df.withColumn("_delta", F.lit(_delta_ord(d)).cast("long"))
+        )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -132,7 +167,6 @@ def current_state(
     per key across all delta dirs. ``buckets`` prunes the scan to the
     given ``p`` partitions (point-lookup path: pass
     ``[sha256(key)[:2]]``)."""
-    _heal(state_dir)
     deltas = _read_deltas(spark, state_dir, buckets)
     if deltas is None:
         raise FileNotFoundError(f"no upsert state under {state_dir}")
@@ -167,8 +201,9 @@ def stream_upsert(
             "op", F.col(op_col)
         )
         # latest change per key WITHIN the batch; _delta constant here
+        # (the row-hash tie-break handles same-batch duplicates)
         latest = _resolve(
-            b.withColumn("_delta", F.lit("")), key_col, seq_col
+            b.withColumn("_delta", F.lit(0).cast("long")), key_col, seq_col
         ).drop("_delta")
         (
             latest.withColumn("p", _prefix_part(F.col(key_col)))

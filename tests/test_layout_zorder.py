@@ -144,17 +144,15 @@ def test_zorder_pruning_is_sound(spark, grids):
         (F.col("x").between(lo_x, hi_x)) & (F.col("y").between(lo_y, hi_y))
     ).count()
     # read ONLY the files a stats-aware reader would open
-    from ocr_translation_spark.sources.layout import file_stats
+    from ocr_translation_spark.sources.layout import file_stats_multi
 
-    sx = {s["file"]: s for s in file_stats(by_z, "x")}
-    sy = {s["file"]: s for s in file_stats(by_z, "y")}
     opened = [
-        os.path.join(by_z, f)
-        for f in sx
-        if sx[f]["max"] >= lo_x
-        and sx[f]["min"] <= hi_x
-        and sy[f]["max"] >= lo_y
-        and sy[f]["min"] <= hi_y
+        os.path.join(by_z, s["file"])
+        for s in file_stats_multi(by_z, ["x", "y"])
+        if s["x"][1] >= lo_x
+        and s["x"][0] <= hi_x
+        and s["y"][1] >= lo_y
+        and s["y"][0] <= hi_y
     ]
     got = (
         spark.read.parquet(*opened)

@@ -177,3 +177,44 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
         .collect()
     ]
     assert files and all(f"p={bkt}" in f for f in files)
+
+
+def test_cross_batch_tie_break_is_numeric_not_lexicographic(
+    spark, tmp_path
+):
+    # equal (key, seq, op) in batch 9 and batch 12: the LATER batch
+    # must win, even though 'batch=9' > 'batch=12' as strings
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ocr_translation_spark.streaming.upsert_stream import (
+        _prefix_part,
+    )
+
+    root = tmp_path / "state" / "upsert_state"
+    for bid, body in [(9, "old"), (12, "new")]:
+        df = spark.createDataFrame(
+            [("x", 5, "upsert", body)], SCHEMA
+        ).withColumn("p", _prefix_part(F.col("doc_id")))
+        df.write.mode("overwrite").partitionBy("p").parquet(
+            str(root / f"batch={bid}")
+        )
+    got = _state(spark, tmp_path)
+    assert got["x"] == (5, "new")
+
+
+def test_same_batch_duplicate_rows_resolve_deterministically(spark):
+    from ocr_translation_spark.streaming.upsert_stream import _resolve
+    from pyspark.sql import functions as F
+
+    rows = [("x", 5, "upsert", f"payload-{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, SCHEMA).withColumn(
+        "_delta", F.lit(0).cast("long")
+    )
+    winners = {
+        _resolve(df.repartition(n), "doc_id", "seq").collect()[0].body
+        for n in (1, 3, 7)
+    }
+    assert len(winners) == 1  # partition-arrival order must not decide
