@@ -205,6 +205,8 @@ def main() -> None:
         "assoc_rules",
         # exact-rational OLS daily-volume trend per event type
         "trend_slope",
+        # declarative data-contract audit (single-scan rules + FK)
+        "constraint_audit",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -116,6 +116,7 @@ _VARIANT_TAIL = {
     "zorder_key",
     "assoc_rules",
     "trend_slope",
+    "constraint_audit",
 }
 
 
@@ -209,6 +210,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: two-stage time rollup, closed-form exact
         # arithmetic; time-series agg family rep is events_hourly
         "trend_slope": "events_hourly",
+        # born-demoted: single-scan audit + anti-join check; audit
+        # family rep is table_profile
+        "constraint_audit": "table_profile",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
     }
