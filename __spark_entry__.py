@@ -2668,6 +2668,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["constraint_audit"] = _audit
 
+    def _apportion(spark, sf):
+        """Largest-remainder (Hamilton) apportionment of a 1e9-token
+        training budget across sources, proportional to exact corpus
+        token counts (functions/sampling.py budget_apportion): quotas
+        are truncating integer divisions plus one residual seat per
+        largest remainder, so sum(quota) == budget EXACTLY — float
+        shares cannot guarantee that. One corpus hash aggregate; the
+        remainder rank window runs over O(sources) rows only;
+        DECIMAL(38,0) products (budget * weight passes BIGINT at web
+        scale)."""
+        from ocr_translation_spark.functions.sampling import (
+            budget_apportion,
+        )
+        from ocr_translation_spark.functions.text import token_count
+
+        d = _read(spark, sf, "documents").select(
+            "source", token_count(F.col("text")).alias("n_tokens")
+        )
+        return budget_apportion(
+            d, group_col="source", weight_col="n_tokens",
+            budget=1_000_000_000,
+        )
+
+    q["budget_apportion"] = _apportion
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -2932,6 +2957,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # check; the audit family rep in-window is table_profile, the
         # anti-join check rep bloom_prefilter_decontaminate
         "constraint_audit",
+        # born-demoted: corpus agg + O(groups) rank window, the same
+        # shape family as mixture_resample (in-window), which consumes
+        # exactly this kind of per-source allocation
+        "budget_apportion",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -5123,6 +5152,36 @@ SELECT item_a, item_b, supp_ab, supp_a, supp_b,
           // (supp_a::HUGEINT * supp_b))::BIGINT AS lift_micro
 FROM pairs, n
 WHERE supp_ab * 25 >= n.n_baskets * 1
+"""
+
+    # Same proven whitespace token count, same truncating HUGEINT
+    # quota division, same (remainder desc, group asc) residual-seat
+    # rank — sum(quota) == budget exactly on both engines.
+    o["budget_apportion"] = """
+WITH d AS (
+  SELECT source,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split(trim(text), ' ')) END)::BIGINT
+           AS n_tokens
+  FROM documents
+), g AS (
+  SELECT source AS "group", sum(n_tokens)::HUGEINT AS w
+  FROM d GROUP BY 1
+), t AS (SELECT sum(w) AS tw FROM g),
+s AS (
+  SELECT "group", w::BIGINT AS weight,
+         ((1000000000::HUGEINT * w) // tw)::BIGINT AS base,
+         (1000000000::HUGEINT * w) % tw AS rem
+  FROM g, t
+), r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, "group" ASC) AS rk,
+         (SELECT 1000000000 - sum(base) FROM s) AS resid
+  FROM s
+)
+SELECT "group", weight,
+       (base + (rk <= resid)::INT)::BIGINT AS quota
+FROM r
 """
 
     # Same planted dirty subset, same rule names, same NULL-does-not-

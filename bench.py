@@ -207,6 +207,8 @@ def main() -> None:
         "trend_slope",
         # declarative data-contract audit (single-scan rules + FK)
         "constraint_audit",
+        # largest-remainder token-budget apportionment across sources
+        "budget_apportion",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -126,3 +126,79 @@ def training_shuffle_order(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "bucket", "pos")
     )
+
+
+def budget_apportion(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer
+    ``budget`` across groups, proportional to exact integer weights —
+    the token-budget allocator for dataset mixing: "give each source
+    a share of the 1e12-token budget proportional to its corpus size,
+    with the quotas summing EXACTLY to the budget".
+
+    Floating-point shares cannot guarantee the sum (rounding drift),
+    so the classic exact method: ``quota_i = budget * w_i div W``
+    (truncating), then the residual ``budget - sum(quota)`` seats go
+    one each to the largest remainders ``(budget * w_i) mod W``
+    (ties broken by group name — fully deterministic, engine-exact).
+
+    Scale shape: one hash aggregate reduces the corpus to O(groups)
+    rows; the remainder rank is a window over those group rows only
+    (never the corpus); the grand total attaches as a 1-row broadcast.
+    DECIMAL(38,0) products (budget * w_i at web scale exceeds BIGINT).
+    Output: (group, weight, quota) with sum(quota) == budget exactly
+    (guaranteed when budget >= 0 and W > 0; raises on an empty/
+    zero-weight corpus rather than dividing by zero)."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    dec = "decimal(38,0)"
+    g = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(F.col(weight_col).cast(dec)).cast(dec).alias("w")
+    )
+    tot = g.agg(
+        F.sum("w").cast(dec).alias("tw"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    b = F.lit(budget).cast(dec)
+    # the zero-weight guard lives INSIDE the quota expression — a
+    # side-column would be pruned by Catalyst and never evaluated
+    base = F.when(
+        F.col("tw") > 0,
+        F.call_function("div", b * F.col("w"), F.col("tw")),
+    ).otherwise(
+        F.raise_error(
+            F.lit("budget_apportion: zero total weight")
+        ).cast(dec)
+    )
+    rem = b * F.col("w") - base * F.col("tw")  # (b*w) mod tw, exact
+    scored = j.select(
+        "group",
+        F.col("w").cast("long").alias("weight"),
+        base.cast("long").alias("_base"),
+        rem.alias("_rem"),
+    )
+    # residual seats: budget - sum(base) < n_groups, computed exactly
+    # from the same aggregate; rank over O(groups) rows
+    tot2 = scored.agg(
+        (F.lit(budget) - F.sum("_base")).cast("long").alias("_resid")
+    )
+    w_rank = Window.orderBy(F.col("_rem").desc(), F.col("group").asc())
+    return (
+        scored.crossJoin(F.broadcast(tot2))
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .select(
+            "group",
+            "weight",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_resid"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )

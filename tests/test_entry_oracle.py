@@ -117,6 +117,7 @@ _VARIANT_TAIL = {
     "assoc_rules",
     "trend_slope",
     "constraint_audit",
+    "budget_apportion",
 }
 
 
@@ -213,6 +214,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: single-scan audit + anti-join check; audit
         # family rep is table_profile
         "constraint_audit": "table_profile",
+        # born-demoted: corpus agg + O(groups) rank; allocation
+        # family rep is mixture_resample
+        "budget_apportion": "mixture_resample",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
     }

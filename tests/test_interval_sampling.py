@@ -335,3 +335,57 @@ def test_training_shuffle_order_deterministic_and_shuffled(spark):
         key=lambda r: (r["bucket"], r["pos"]),
     )]
     assert order != sorted(order)
+
+
+# ---- budget_apportion (largest-remainder / Hamilton) ----
+
+
+def test_apportion_hand_computed_and_exact_sum(spark):
+    from ocr_translation_spark.functions.sampling import budget_apportion
+
+    # weights 3, 3, 4 over budget 10: bases 3,3,4 (exact thirds/fifths:
+    # 10*3//10=3, 10*4//10=4), residual 0. Then budget 7 over weights
+    # 1,1,1: bases 2,2,2, residual 1 -> smallest group name gets it.
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 3), ("c", 4)], "src string, w long"
+    )
+    out = {r.group: r.quota for r in budget_apportion(df, "src", "w", 10).collect()}
+    assert out == {"a": 3, "b": 3, "c": 4}
+
+    df2 = spark.createDataFrame(
+        [("x", 1), ("y", 1), ("z", 1)], "src string, w long"
+    )
+    out2 = {r.group: r.quota for r in budget_apportion(df2, "src", "w", 7).collect()}
+    assert sum(out2.values()) == 7
+    assert out2 == {"x": 3, "y": 2, "z": 2}  # equal remainders: name asc
+
+
+def test_apportion_sum_invariant_random(spark):
+    import random
+
+    from ocr_translation_spark.functions.sampling import budget_apportion
+
+    rng = random.Random(20260818)
+    rows = [(f"s{i}", rng.randrange(1, 10**6)) for i in range(37)]
+    df = spark.createDataFrame(rows, "src string, w long")
+    for budget in (0, 1, 999, 10**9):
+        got = budget_apportion(df, "src", "w", budget).collect()
+        assert sum(r.quota for r in got) == budget
+        # quota within 1 of the exact proportional share
+        tw = sum(w for _, w in rows)
+        for r in got:
+            lo = (budget * dict(rows)[r.group]) // tw
+            assert r.quota in (lo, lo + 1)
+
+
+def test_apportion_zero_weight_raises(spark):
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from ocr_translation_spark.functions.sampling import budget_apportion
+
+    df = spark.createDataFrame([("a", 0)], "src string, w long")
+    with pytest.raises(SparkRuntimeException, match="zero total weight"):
+        budget_apportion(df, "src", "w", 5).collect()
+    with pytest.raises(ValueError, match="budget"):
+        budget_apportion(df, "src", "w", -1)
