@@ -209,6 +209,8 @@ def main() -> None:
         "constraint_audit",
         # largest-remainder token-budget apportionment across sources
         "budget_apportion",
+        # Count-Min sketch estimates vs exact counts (verifiable)
+        "cms_counts",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

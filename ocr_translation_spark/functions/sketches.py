@@ -199,3 +199,84 @@ def kmv_distinct(
         )
         .alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05)
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(key: Column, row: int, width: int) -> Column:
+    """Row-``row``'s bucket for ``key``: a sha256-derived integer both
+    engines compute bit-identically (same derivation family as
+    ``hash60`` / the frontier slot hash)."""
+    h = F.sha2(F.concat(F.lit(f"{row}:"), key.cast("string")), 256)
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % width
+    ).cast("int")
+
+
+def cms_cells(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """The Count-Min cell table: (row, bucket, cell_count) with
+    ``cell_count`` = total observations of every key hashing there.
+    At most ``depth * width`` rows — the ENTIRE sketch state, however
+    large the corpus (the point of a sketch). One explode (factor
+    ``depth``, a constant) + one hash aggregate on the (row, bucket)
+    key; per-partition partial aggregation collapses each partition
+    to <= depth*width cells before the shuffle, so the exchange
+    carries sketch-sized data, not corpus-sized."""
+    key = F.col(key_col)
+    rb = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(key, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return rb.groupBy(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cell_count"))
+
+
+def cms_estimates(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Per distinct key: the Count-Min estimate next to the exact
+    count — (key, true_count, est_count, overcount). The sketch
+    NEVER undercounts (each cell sums a superset of the key's own
+    observations; the min over rows keeps the bound), the exact dual
+    of Misra-Gries next door which never OVERcounts; ``overcount =
+    est - true >= 0`` is the per-key witness. The estimate join is
+    ``depth`` broadcast lookups against the <= depth*width cell
+    table."""
+    cells = cms_cells(df, key_col, depth, width)
+    keys = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    probed = keys
+    for r in range(depth):
+        probed = probed.join(
+            F.broadcast(
+                cells.where(F.col("row") == r).select(
+                    F.col("bucket").alias(f"_b{r}"),
+                    F.col("cell_count").alias(f"_c{r}"),
+                )
+            ),
+            _cms_bucket(F.col("key"), r, width) == F.col(f"_b{r}"),
+        ).drop(f"_b{r}")
+    est = F.least(*[F.col(f"_c{r}") for r in range(depth)])
+    return probed.select(
+        "key",
+        "true_count",
+        est.alias("est_count"),
+        (est - F.col("true_count")).alias("overcount"),
+    )

@@ -118,6 +118,7 @@ _VARIANT_TAIL = {
     "trend_slope",
     "constraint_audit",
     "budget_apportion",
+    "cms_counts",
 }
 
 
@@ -217,6 +218,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: corpus agg + O(groups) rank; allocation
         # family rep is mixture_resample
         "budget_apportion": "mixture_resample",
+        # born-demoted: verifiable-sketch family; reps heavy_hitters
+        # (undercount dual) + kmv_distinct (sha-hash verifiability)
+        "cms_counts": "heavy_hitters",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
     }

@@ -225,3 +225,67 @@ def test_bloom_fast_path_actually_skips_rows(spark):
     words = bloom_build(ref, "fp")
     maybe = big.where(bloom_might_contain(words, F.col("fp"))).count()
     assert maybe < 2000 * 0.2  # 5% true matches + small fp rate
+
+
+# ---- Count-Min sketch ----
+
+
+def test_cms_never_undercounts_and_is_exact_when_wide(spark):
+    import random
+
+    from ocr_translation_spark.functions.sketches import cms_estimates
+
+    rng = random.Random(20260818)
+    rows = [(f"k{rng.randrange(60)}",) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "item string")
+    # narrow sketch: collisions -> estimates may exceed, never fall
+    narrow = cms_estimates(df, "item", depth=4, width=16).collect()
+    assert all(r.overcount >= 0 for r in narrow)
+    assert all(r.est_count == r.true_count + r.overcount for r in narrow)
+    assert any(r.overcount > 0 for r in narrow)  # width 16 must collide
+    # wide sketch: 60 keys in 4x4096 cells -> almost surely exact
+    wide = cms_estimates(df, "item", depth=4, width=4096).collect()
+    assert all(r.overcount == 0 for r in wide)
+    truth = {}
+    for (k,) in rows:
+        truth[k] = truth.get(k, 0) + 1
+    assert {r.key: r.true_count for r in wide} == truth
+
+
+def test_cms_cells_are_mergeable_summaries(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_translation_spark.functions.sketches import cms_cells
+
+    rows = [(f"k{i % 9}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "item string")
+    a = spark.createDataFrame(rows[:150], "item string")
+    b = spark.createDataFrame(rows[150:], "item string")
+    whole = {
+        (r.row, r.bucket): r.cell_count
+        for r in cms_cells(df, "item", 3, 32).collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        for r in cms_cells(part, "item", 3, 32).collect():
+            merged[(r.row, r.bucket)] = (
+                merged.get((r.row, r.bucket), 0) + r.cell_count
+            )
+    assert merged == whole
+
+
+def test_cms_partition_invariance(spark):
+    from ocr_translation_spark.functions.sketches import cms_estimates
+
+    rows = [(f"k{i % 13}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "item string")
+    one = {
+        tuple(r) for r in cms_estimates(df, "item", 4, 32).collect()
+    }
+    many = {
+        tuple(r)
+        for r in cms_estimates(
+            df.repartition(11), "item", 4, 32
+        ).collect()
+    }
+    assert one == many
