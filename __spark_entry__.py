@@ -125,6 +125,32 @@ def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spread_small_input(_read(spark, sf_dir, name))
 
 
+def _linkage_aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus augmented with deterministic planted
+    twins for the record-linkage family: exact copies (doc_id%17) and
+    near copies with a divergent lang and +3 chars (doc_id%23) —
+    shared by record_linkage_fs and golden_record, mirrored by the
+    oracles' shared ``aug`` CTE."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    exact = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    near = d.filter(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + F.lit(2000000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+        F.lit("xx").alias("lang"),
+        "source",
+        (F.col("n_chars") + F.lit(3)).alias("n_chars"),
+    )
+    return d.unionAll(exact).unionAll(near)
+
+
 def _fixture_dir() -> str:
     """Deterministic 300-doc span/media fixture tables (pyarrow-written,
     no Spark needed) shared by the synthetic-e2e queries AND their
@@ -2520,26 +2546,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             record_linkage_fs,
         )
 
-        d = _read(spark, sf, "documents").select(
-            "doc_id", "text", "lang", "source", "n_chars"
-        )
-        exact = d.filter(F.col("doc_id") % 17 == 0).select(
-            (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
-            "text",
-            "lang",
-            "source",
-            "n_chars",
-        )
-        near = d.filter(F.col("doc_id") % 23 == 0).select(
-            (F.col("doc_id") + F.lit(2000000000)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" qq")).alias("text"),
-            F.lit("xx").alias("lang"),
-            "source",
-            (F.col("n_chars") + F.lit(3)).alias("n_chars"),
-        )
-        return record_linkage_fs(d.unionAll(exact).unionAll(near))
+        return record_linkage_fs(_linkage_aug_docs(spark, sf))
 
     q["record_linkage_fs"] = _linkage
+
+    def _golden(spark, sf):
+        """Master-data survivorship (functions/linkage.py
+        golden_record): FS matches -> connected components -> ONE
+        merged row per entity cluster with deterministic
+        per-attribute rules (min-id canonical, longest text via one
+        max(struct) — no second corpus pass, majority-with-min-tie
+        lang/source). Same planted-twin corpus as record_linkage_fs
+        so multi-member clusters exist; the oracle closes the SAME
+        shared FS-match CTEs with a recursive CTE — the independent
+        formulation of the CC loop."""
+        from ocr_translation_spark.functions.linkage import golden_record
+
+        return golden_record(_linkage_aug_docs(spark, sf))
+
+    q["golden_record"] = _golden
 
     def _zorder(spark, sf):
         """Morton-interleave clustering key (sources/layout.py
@@ -2997,6 +3022,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reps in-window are heavy_hitters (the under-count dual) and
         # kmv_distinct (the same sha-derived-hash verifiability)
         "cms_counts",
+        # born-demoted: FS-matches -> CC -> survivorship composition;
+        # reps in-window are record_linkage_fs (the matcher) and
+        # dedup_clusters (the CC + survivor family)
+        "golden_record",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -5096,8 +5125,7 @@ FROM r, t
     # already proves equal to Spark's bucket-offset rank), same
     # exact-rational Fellegi-Sunter factor products, same truncating
     # ppm division and cross-multiplied threshold.
-    o["record_linkage_fs"] = f"""
-WITH aug AS (
+    fs_ctes = f"""aug AS (
   SELECT doc_id, text, lang, source, n_chars FROM documents
   UNION ALL
   SELECT doc_id + 1000000000, text, lang, source, n_chars
@@ -5113,7 +5141,7 @@ WITH aug AS (
   SELECT id, nkey, lang, source, n_chars,
          row_number() OVER (ORDER BY nkey, id) AS rnk
   FROM d
-), pairs AS (
+), fspairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
          (b.rnk - a.rnk)::INTEGER AS rank_dist,
          (a.nkey IS NOT DISTINCT FROM b.nkey) AS agree_text,
@@ -5122,7 +5150,7 @@ WITH aug AS (
          (20 * abs(a.n_chars - b.n_chars)
             <= greatest(a.n_chars, b.n_chars)) AS agree_len
   FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
-), scored AS (
+), fsscored AS (
   SELECT *,
     ((CASE WHEN agree_text THEN 400 ELSE 1 END)::BIGINT
      * (CASE WHEN agree_lang THEN 19 ELSE 1 END)
@@ -5132,8 +5160,10 @@ WITH aug AS (
      * (CASE WHEN agree_lang THEN 6 ELSE 14 END)
      * (CASE WHEN agree_source THEN 1 ELSE 9 END)
      * (CASE WHEN agree_len THEN 1 ELSE 3 END)) AS score_den
-  FROM pairs
-)
+  FROM fspairs
+)"""
+    o["record_linkage_fs"] = f"""
+WITH {fs_ctes}
 SELECT id_a, id_b, rank_dist,
        agree_text::INTEGER AS agree_text,
        agree_lang::INTEGER AS agree_lang,
@@ -5142,7 +5172,61 @@ SELECT id_a, id_b, rank_dist,
        score_num, score_den,
        ((score_num * 1000000) // score_den)::BIGINT AS score_ppm,
        (score_num >= 100 * score_den)::INTEGER AS is_match
-FROM scored
+FROM fsscored
+"""
+
+    # Same FS matches (shared CTE chain), recursive-CTE closure (the
+    # independent formulation of connected_components), same
+    # survivorship rules: min-id canonical, longest-text
+    # (n_chars desc, id asc), majority-with-min-tie lang/source.
+    o["golden_record"] = f"""
+WITH RECURSIVE {fs_ctes}, und AS (
+  SELECT id_a AS u, id_b AS v FROM fsscored
+  WHERE score_num >= 100 * score_den
+  UNION
+  SELECT id_b, id_a FROM fsscored
+  WHERE score_num >= 100 * score_den
+), reach(u, v) AS (
+  SELECT doc_id, doc_id FROM aug
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+), cc AS (
+  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+), m AS (
+  SELECT cc.cluster_id, a.doc_id, a.text, a.lang, a.source,
+         a.n_chars::BIGINT AS n_chars
+  FROM aug a JOIN cc USING (doc_id)
+), base AS (
+  SELECT cluster_id, min(doc_id)::BIGINT AS canonical_id,
+         count(*)::BIGINT AS n_members
+  FROM m GROUP BY 1
+), best_text AS (
+  SELECT cluster_id, text FROM (
+    SELECT cluster_id, text, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM m
+  ) WHERE rn = 1
+), lang_maj AS (
+  SELECT cluster_id, lang FROM (
+    SELECT cluster_id, lang, row_number() OVER (
+      PARTITION BY cluster_id
+      ORDER BY count(*) DESC, lang ASC) AS rn
+    FROM m GROUP BY cluster_id, lang
+  ) WHERE rn = 1
+), src_maj AS (
+  SELECT cluster_id, source FROM (
+    SELECT cluster_id, source, row_number() OVER (
+      PARTITION BY cluster_id
+      ORDER BY count(*) DESC, source ASC) AS rn
+    FROM m GROUP BY cluster_id, source
+  ) WHERE rn = 1
+)
+SELECT b.cluster_id, b.canonical_id, b.n_members,
+       bt.text, lm.lang, sm.source
+FROM base b
+JOIN best_text bt USING (cluster_id)
+JOIN lang_maj lm USING (cluster_id)
+JOIN src_maj sm USING (cluster_id)
 """
 
     # Same (user, event_type:k%25) item derivation, same distinct

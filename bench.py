@@ -211,6 +211,8 @@ def main() -> None:
         "budget_apportion",
         # Count-Min sketch estimates vs exact counts (verifiable)
         "cms_counts",
+        # golden-record survivorship (FS matches -> CC -> merge)
+        "golden_record",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

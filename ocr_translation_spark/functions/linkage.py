@@ -171,3 +171,85 @@ def record_linkage_fs(
         "score_ppm",
         "is_match",
     )
+
+
+def golden_record(
+    docs: DataFrame,
+    window: int = 4,
+    prefix_len: int = 2,
+    threshold: tuple[int, int] = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Master-data survivorship ("golden record"): Fellegi-Sunter
+    matches -> connected components -> ONE merged row per entity
+    cluster, with deterministic per-attribute survivorship rules —
+    the merge/purge endgame (Hernandez & Stolfo SIGMOD'95) after
+    blocking and scoring:
+
+    * ``canonical_id`` — min member id (the repo-wide survivor rule);
+    * ``text`` — the LONGEST member's text (n_chars desc, id asc —
+      the dedup_best_quality policy), picked via one max(struct(...))
+      so no second corpus pass;
+    * ``lang`` / ``source`` — majority vote, ties to the smallest
+      value (min(struct(-count, value)));
+    * ``n_members`` — cluster size (1 for unmatched singletons;
+      every input row appears in exactly one golden record).
+
+    Cost on top of scoring: the CC loop (O(diameter) tiny-graph
+    rounds over MATCH edges only — the corpus never enters the loop)
+    plus one members join and two cluster-keyed aggregates."""
+    from .graph import connected_components
+
+    matches = (
+        record_linkage_fs(docs, window, prefix_len, threshold)
+        .where(F.col("is_match") == 1)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(
+        matches,
+        src="id_a",
+        dst="id_b",
+        nodes=docs.select("doc_id"),
+        node_col="doc_id",
+    )
+    m = docs.join(cc, docs["doc_id"] == cc["node"]).select(
+        "cluster_id",
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    base = m.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("n_chars"),
+                (-F.col("doc_id")).alias("_negid"),
+                F.col("text"),
+            )
+        )["text"].alias("text"),
+    )
+
+    def _majority(col: str) -> DataFrame:
+        counts = m.groupBy("cluster_id", col).agg(
+            F.count(F.lit(1)).cast("long").alias("_c")
+        )
+        return counts.groupBy("cluster_id").agg(
+            F.min(F.struct((-F.col("_c")).alias("_negc"), F.col(col)))[
+                col
+            ].alias(col)
+        )
+
+    return (
+        base.join(_majority("lang"), "cluster_id")
+        .join(_majority("source"), "cluster_id")
+        .select(
+            "cluster_id",
+            "canonical_id",
+            "n_members",
+            "text",
+            "lang",
+            "source",
+        )
+    )

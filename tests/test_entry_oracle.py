@@ -119,6 +119,7 @@ _VARIANT_TAIL = {
     "constraint_audit",
     "budget_apportion",
     "cms_counts",
+    "golden_record",
 }
 
 
@@ -221,6 +222,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: verifiable-sketch family; reps heavy_hitters
         # (undercount dual) + kmv_distinct (sha-hash verifiability)
         "cms_counts": "heavy_hitters",
+        # born-demoted: FS matches -> CC -> survivorship; reps
+        # record_linkage_fs (matcher) + dedup_clusters (CC family)
+        "golden_record": "record_linkage_fs",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
     }

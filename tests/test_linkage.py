@@ -147,3 +147,55 @@ def test_scoring_adds_no_python_and_no_extra_shuffle(spark):
         return plan.count("Exchange")
 
     assert _exchanges(scored) == _exchanges(bare)
+
+
+def test_golden_record_survivorship_rules(spark):
+    from ocr_translation_spark.functions.linkage import golden_record
+
+    # FS arithmetic: same text+lang+len with source differing scores
+    # 400 * 19/6 * 1/9 * 4 = 30400/54 ~ 563 >= 100 -> match; a
+    # longer/different text scores 1/5 * 19/6 * 9 * 4 = 22.8 -> no
+    # match. So {1, 2, 3} chain into one entity (1-2 and 2-3 match
+    # pairwise via identical text), 9 stays a singleton.
+    long_txt = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, long_txt, "en", "web", len(long_txt)),
+        (2, long_txt, "en", "api", len(long_txt)),
+        (3, long_txt, "en", "web", len(long_txt) + 4),  # within 5%
+        (9, "zzz completely different text zzz", "fr", "web", 33),
+    ]
+    out = {
+        r.cluster_id: r
+        for r in golden_record(
+            spark.createDataFrame(rows, _DOC_SCHEMA)
+        ).collect()
+    }
+    # every input row lands in exactly one golden record
+    assert sum(r.n_members for r in out.values()) == len(rows)
+    ent = out[1]  # min-id cluster label
+    assert ent.canonical_id == 1 and ent.n_members == 3
+    assert ent.text == long_txt         # longest by n_chars: doc 3
+    assert ent.lang == "en"             # unanimous
+    assert ent.source == "web"          # 2-vs-1 majority
+    solo = out[9]
+    assert (solo.n_members, solo.canonical_id) == (1, 9)
+    assert solo.lang == "fr"
+
+
+def test_golden_record_majority_tie_breaks_to_smallest_value(spark):
+    from ocr_translation_spark.functions.linkage import golden_record
+
+    # same text+lang+len, source differs (still >= 100, see above):
+    # the 1-1 source tie must break to the SMALLEST value
+    t = "identical text body for every member here " * 2
+    rows = [
+        (1, t, "en", "web", len(t)),
+        (2, t, "en", "api", len(t)),
+    ]
+    out = golden_record(
+        spark.createDataFrame(rows, _DOC_SCHEMA)
+    ).collect()
+    ent = [r for r in out if r.n_members == 2][0]
+    assert ent.source == "api"  # 1-1 tie: min value wins
+    assert ent.lang == "en"
+    assert ent.text == t  # equal n_chars: doc_id asc keeps doc 1's
