@@ -1413,6 +1413,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extract_synthetic_e2e"] = _synthetic_e2e
 
+    def _span_f1(spark, sf):
+        """Span-level extraction evaluation
+        (functions/evaluation.py span_eval): per-document precision /
+        recall / F1 in exact micro-units of a PERTURBED pipeline
+        output against the unperturbed one — the golden span-sequence
+        invariant turned into a measurable number. The perturbation
+        is deterministic and mirrored by the twin: docs ending in '3'
+        lose their first span (recall dips), docs ending in '7' gain
+        a bogus span (precision dips); everything else scores exact_seq
+        = 1 with F1 = 1e6. NULL span fields are sentinel-coalesced
+        into the multiset join (media spans carry NULL text) while
+        the position compare stays null-safe on raw fields."""
+        from ocr_translation_spark.functions.evaluation import span_eval
+
+        rows = _synthetic_e2e(spark, sf)
+        pred = rows.where(
+            ~(F.col("doc_id").endswith("3") & (F.col("ord") == 0))
+        )
+        bogus = rows.where(
+            F.col("doc_id").endswith("7") & (F.col("ord") == 0)
+        ).select(
+            "doc_id",
+            F.lit(999).alias("ord"),
+            F.lit("text").alias("kind"),
+            F.lit("bogus injected span").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+        )
+        return span_eval(pred.unionByName(bogus), rows)
+
+    q["extraction_span_f1"] = _span_f1
+
     def _media_meta(spark, sf):
         from ocr_translation_spark.functions.multimodal import (
             extract_media_metadata,
@@ -3026,6 +3057,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reps in-window are record_linkage_fs (the matcher) and
         # dedup_clusters (the CC + survivor family)
         "golden_record",
+        # born-demoted: evaluation-join family (rep ann_recall_eval,
+        # in-window) over the extraction output whose semantics are
+        # pinned in-window by extract_synthetic_e2e
+        "extraction_span_f1",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -3970,6 +4005,65 @@ SELECT doc_id,
          AS ord,
        kind, text, media_ref
 FROM final
+"""
+
+    # Same perturbation predicates (LIKE '%3' drop / '%7' bogus), same
+    # sentinel-coalesced multiset keys (chr(1) == the Spark "\\x01"),
+    # same null-safe position compare, same truncating micro divisions.
+    # The e2e extraction chain is reused verbatim as a nested WITH.
+    o["extraction_span_f1"] = f"""
+WITH e2e AS ({o["extract_synthetic_e2e"]}),
+pred AS (
+  SELECT * FROM e2e WHERE NOT (doc_id LIKE '%3' AND ord = 0)
+  UNION ALL
+  SELECT doc_id, 999, 'text', 'bogus injected span', NULL::VARCHAR
+  FROM e2e WHERE doc_id LIKE '%7' AND ord = 0
+),
+pc AS (
+  SELECT doc_id, kind, coalesce(text, chr(1)) AS t,
+         coalesce(media_ref, chr(1)) AS mr, count(*)::BIGINT AS c_p
+  FROM pred GROUP BY 1, 2, 3, 4
+), gc AS (
+  SELECT doc_id, kind, coalesce(text, chr(1)) AS t,
+         coalesce(media_ref, chr(1)) AS mr, count(*)::BIGINT AS c_g
+  FROM e2e GROUP BY 1, 2, 3, 4
+), tp AS (
+  SELECT doc_id, sum(least(c_p, c_g))::BIGINT AS tp
+  FROM pc JOIN gc USING (doc_id, kind, t, mr) GROUP BY 1
+), np AS (
+  SELECT doc_id, count(*)::BIGINT AS n_pred FROM pred GROUP BY 1
+), ng AS (
+  SELECT doc_id, count(*)::BIGINT AS n_gold FROM e2e GROUP BY 1
+), pos AS (
+  SELECT p.doc_id, count(*)::BIGINT AS pos_match
+  FROM pred p JOIN e2e g ON p.doc_id = g.doc_id AND p.ord = g.ord
+  WHERE p.kind IS NOT DISTINCT FROM g.kind
+    AND p.text IS NOT DISTINCT FROM g.text
+    AND p.media_ref IS NOT DISTINCT FROM g.media_ref
+  GROUP BY 1
+)
+SELECT doc_id,
+       coalesce(n_pred, 0)::BIGINT AS n_pred,
+       coalesce(n_gold, 0)::BIGINT AS n_gold,
+       coalesce(tp, 0)::BIGINT AS tp,
+       coalesce(pos_match, 0)::BIGINT AS pos_match,
+       (coalesce(n_pred, 0) = coalesce(n_gold, 0)
+        AND coalesce(pos_match, 0) = coalesce(n_gold, 0)
+       )::INTEGER AS exact_seq,
+       CASE WHEN coalesce(n_pred, 0) > 0
+            THEN ((1000000 * coalesce(tp, 0)) // n_pred)::BIGINT
+       END AS precision_micro,
+       CASE WHEN coalesce(n_gold, 0) > 0
+            THEN ((1000000 * coalesce(tp, 0)) // n_gold)::BIGINT
+       END AS recall_micro,
+       CASE WHEN coalesce(n_pred, 0) + coalesce(n_gold, 0) > 0
+            THEN ((2000000 * coalesce(tp, 0))
+                  // (n_pred + n_gold))::BIGINT
+       END AS f1_micro
+FROM ng
+FULL JOIN np USING (doc_id)
+LEFT JOIN tp USING (doc_id)
+LEFT JOIN pos USING (doc_id)
 """
 
     # media_metadata twin: SYNTHIMG decode in SQL (n_tokens = token

@@ -213,6 +213,8 @@ def main() -> None:
         "cms_counts",
         # golden-record survivorship (FS matches -> CC -> merge)
         "golden_record",
+        # span-level extraction P/R/F1 eval (perturbed vs golden)
+        "extraction_span_f1",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

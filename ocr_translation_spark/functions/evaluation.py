@@ -43,3 +43,117 @@ def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
             "(1000000 * coalesce(n_hit, 0L)) div n_exact"
         ).alias("recall_micro"),
     )
+
+
+def span_eval(
+    pred: DataFrame, gold: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Span-level extraction quality: per-document precision / recall
+    / F1 of a predicted span table against a golden one, in exact
+    integer micro-units — the evaluation harness for the core
+    span-sequence invariant (a pipeline change that reorders, drops,
+    or rewrites spans shows up HERE as a number, not just as a
+    pass/fail golden assert).
+
+    Both inputs are EXPLODED span rows (id, ord, kind, text,
+    media_ref) — the shape ``extract_synthetic_e2e`` emits. Metrics:
+
+    * ``tp`` — multiset intersection on (kind, text, media_ref):
+      sum over distinct triples of min(pred count, gold count) —
+      order-insensitive credit;
+    * ``pos_match`` / ``exact_seq`` — position-aligned agreement on
+      ``ord`` (null-safe on every field) and the full-sequence
+      equality flag: exact_seq == 1 iff the row passes the pipeline's
+      golden span-sequence test;
+    * ``precision/recall/f1_micro`` — 1e6-scaled truncating integer
+      divisions (f1 = 2e6*tp div (n_pred+n_gold), the count form of
+      the harmonic mean — no floats anywhere). A side with zero spans
+      yields NULL for its undefined metric, never a silent drop.
+
+    Shape: two (id, triple) hash aggregates + one equi-join for tp,
+    one (id, ord) equi-join for position agreement, one final id
+    aggregate — every join keyed, no window over the corpus."""
+    cols = ["kind", "text", "media_ref"]
+    # NULL fields (media spans carry NULL text; text spans NULL
+    # media_ref) would silently fall out of the triple equi-join —
+    # coalesce to a sentinel for the multiset keys (the position
+    # compare below stays null-safe on the raw fields)
+    sent = "\x01"
+
+    def _norm(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col("ord").cast("long").alias("ord"),
+            *[F.col(c).alias(f"{c}_{side}") for c in cols],
+        )
+
+    p, g = _norm(pred, "p"), _norm(gold, "g")
+
+    def _triples(df: DataFrame, side: str, cnt: str) -> DataFrame:
+        return df.groupBy(
+            "id",
+            *[
+                F.coalesce(F.col(f"{c}_{side}"), F.lit(sent)).alias(c)
+                for c in cols
+            ],
+        ).agg(F.count(F.lit(1)).cast("long").alias(cnt))
+
+    pc = _triples(p, "p", "c_p")
+    gc = _triples(g, "g", "c_g")
+    tp = (
+        pc.join(gc, ["id"] + cols)
+        .groupBy("id")
+        .agg(
+            F.sum(F.least("c_p", "c_g")).cast("long").alias("tp")
+        )
+    )
+    n_p = p.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    n_g = g.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_gold"))
+    pos = (
+        p.join(g, ["id", "ord"])
+        .where(
+            F.col("kind_p").eqNullSafe(F.col("kind_g"))
+            & F.col("text_p").eqNullSafe(F.col("text_g"))
+            & F.col("media_ref_p").eqNullSafe(F.col("media_ref_g"))
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("pos_match"))
+    )
+    z = F.lit(0).cast("long")
+    out = (
+        n_g.join(n_p, "id", "full")
+        .join(tp, "id", "left")
+        .join(pos, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_pred", z).alias("n_pred"),
+            F.coalesce("n_gold", z).alias("n_gold"),
+            F.coalesce("tp", z).alias("tp"),
+            F.coalesce("pos_match", z).alias("pos_match"),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_pred",
+        "n_gold",
+        "tp",
+        "pos_match",
+        (
+            (F.col("n_pred") == F.col("n_gold"))
+            & (F.col("pos_match") == F.col("n_gold"))
+        )
+        .cast("int")
+        .alias("exact_seq"),
+        F.when(
+            F.col("n_pred") > 0,
+            F.expr("(1000000 * tp) div n_pred"),
+        ).alias("precision_micro"),
+        F.when(
+            F.col("n_gold") > 0,
+            F.expr("(1000000 * tp) div n_gold"),
+        ).alias("recall_micro"),
+        F.when(
+            F.col("n_pred") + F.col("n_gold") > 0,
+            F.expr("(2000000 * tp) div (n_pred + n_gold)"),
+        ).alias("f1_micro"),
+    )

@@ -120,6 +120,7 @@ _VARIANT_TAIL = {
     "budget_apportion",
     "cms_counts",
     "golden_record",
+    "extraction_span_f1",
 }
 
 
@@ -225,6 +226,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: FS matches -> CC -> survivorship; reps
         # record_linkage_fs (matcher) + dedup_clusters (CC family)
         "golden_record": "record_linkage_fs",
+        # born-demoted: evaluation-join family; reps ann_recall_eval
+        # + extract_synthetic_e2e (the measured semantics)
+        "extraction_span_f1": "ann_recall_eval",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
     }

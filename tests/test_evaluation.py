@@ -53,3 +53,76 @@ def test_recall_matches_lsh_vs_brute_on_testdata(spark):
         n_hit = sum(1 for p in e if p[0] == r.query_id and p in a)
         assert (r.n_exact, r.n_hit) == (n_exact, n_hit)
         assert r.recall_micro == (1_000_000 * n_hit) // n_exact
+
+
+# ---- span-level extraction evaluation ----
+
+_SPAN_SCHEMA = (
+    "doc_id string, ord int, kind string, text string, media_ref string"
+)
+
+
+def test_span_eval_hand_computed(spark):
+    from ocr_translation_spark.functions.evaluation import span_eval
+
+    gold = spark.createDataFrame(
+        [
+            ("d1", 0, "text", "hello", None),
+            ("d1", 1, "media", None, "ref-1"),
+            ("d1", 2, "text", "world", None),
+            ("d2", 0, "text", "solo", None),
+        ],
+        _SPAN_SCHEMA,
+    )
+    pred = spark.createDataFrame(
+        [
+            ("d1", 0, "text", "hello", None),
+            ("d1", 1, "text", "world", None),   # right triple, wrong pos
+            ("d1", 2, "text", "WRONG", None),   # miss
+            ("d2", 0, "text", "solo", None),    # perfect
+        ],
+        _SPAN_SCHEMA,
+    )
+    out = {r.doc_id: r for r in span_eval(pred, gold).collect()}
+    d1 = out["d1"]
+    # multiset: hello + world match (media span lost) -> tp=2 of 3
+    assert (d1.n_pred, d1.n_gold, d1.tp) == (3, 3, 2)
+    assert d1.pos_match == 1  # only position 0 aligns exactly
+    assert d1.exact_seq == 0
+    assert d1.precision_micro == (2 * 10**6) // 3
+    assert d1.recall_micro == (2 * 10**6) // 3
+    assert d1.f1_micro == (4 * 10**6) // 6
+    d2 = out["d2"]
+    assert d2.exact_seq == 1 and d2.f1_micro == 10**6
+    assert d2.pos_match == 1
+
+
+def test_span_eval_null_fields_count_in_multiset(spark):
+    from ocr_translation_spark.functions.evaluation import span_eval
+
+    # identical media spans (NULL text) must count as tp — the
+    # sentinel-coalesce contract; without it the triple join drops
+    # NULL keys and media spans never score
+    rows = [("d", 0, "media", None, "r1"), ("d", 1, "media", None, "r2")]
+    df = spark.createDataFrame(rows, _SPAN_SCHEMA)
+    r = span_eval(df, df).collect()[0]
+    assert (r.tp, r.exact_seq, r.f1_micro) == (2, 1, 10**6)
+
+
+def test_span_eval_one_sided_docs_zero_filled(spark):
+    from ocr_translation_spark.functions.evaluation import span_eval
+
+    gold = spark.createDataFrame(
+        [("only_gold", 0, "text", "x", None)], _SPAN_SCHEMA
+    )
+    pred = spark.createDataFrame(
+        [("only_pred", 0, "text", "y", None)], _SPAN_SCHEMA
+    )
+    out = {r.doc_id: r for r in span_eval(pred, gold).collect()}
+    og = out["only_gold"]
+    assert (og.n_pred, og.n_gold, og.tp) == (0, 1, 0)
+    assert og.precision_micro is None and og.recall_micro == 0
+    op = out["only_pred"]
+    assert (op.n_pred, op.n_gold) == (1, 0)
+    assert op.recall_micro is None and op.precision_micro == 0
+    assert op.exact_seq == 0 and og.exact_seq == 0
