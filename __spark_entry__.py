@@ -1427,7 +1427,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the position compare stays null-safe on raw fields."""
         from ocr_translation_spark.functions.evaluation import span_eval
 
-        rows = _synthetic_e2e(spark, sf)
+        # the evaluation references the extraction output from FOUR
+        # subtrees (pred filter, bogus derivation, the tp join's gold
+        # side, the position join) — localCheckpoint so the pipeline
+        # runs once per collect, not per reference; blocks are freed
+        # by the ContextCleaner when the DataFrame is dropped
+        rows = _synthetic_e2e(spark, sf).localCheckpoint(eager=False)
         pred = rows.where(
             ~(F.col("doc_id").endswith("3") & (F.col("ord") == 0))
         )
@@ -2767,7 +2772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cms_estimates,
         )
 
-        ev = _read(spark, sf, "events")
+        # 4 sha256 derivations per row: a single-file scan would run
+        # the whole explode on one task (spread_small_input guard)
+        ev = _read_spread(spark, sf, "events")
         items = ev.select(
             F.concat(
                 F.col("event_type"),

@@ -197,19 +197,29 @@ def golden_record(
     Cost on top of scoring: the CC loop (O(diameter) tiny-graph
     rounds over MATCH edges only — the corpus never enters the loop)
     plus one members join and two cluster-keyed aggregates."""
+    from ._lsh_common import prepared
     from .graph import connected_components
 
-    matches = (
-        record_linkage_fs(docs, window, prefix_len, threshold)
-        .where(F.col("is_match") == 1)
-        .select("id_a", "id_b")
-    )
-    cc = connected_components(
-        matches,
-        src="id_a",
-        dst="id_b",
-        nodes=docs.select("doc_id"),
-        node_col="doc_id",
+    def _cc() -> DataFrame:
+        matches = (
+            record_linkage_fs(docs, window, prefix_len, threshold)
+            .where(F.col("is_match") == 1)
+            .select("id_a", "id_b")
+        )
+        return connected_components(
+            matches,
+            src="id_a",
+            dst="id_b",
+            nodes=docs.select("doc_id"),
+            node_col="doc_id",
+        )
+
+    # the CC loop is O(diameter) driver-coordinated jobs; memoize the
+    # converged (checkpoint-backed) labels per (docs plan, params) the
+    # same way dedup_clusters does — prepared()'s immutable-source
+    # caveat applies
+    cc = prepared(
+        "linkage:golden_cc", (docs,), (window, prefix_len, threshold), _cc
     )
     m = docs.join(cc, docs["doc_id"] == cc["node"]).select(
         "cluster_id",

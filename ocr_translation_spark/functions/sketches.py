@@ -262,21 +262,42 @@ def cms_estimates(
         df.groupBy(F.col(key_col).alias("key"))
         .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
     )
-    probed = keys
-    for r in range(depth):
-        probed = probed.join(
-            F.broadcast(
-                cells.where(F.col("row") == r).select(
-                    F.col("bucket").alias(f"_b{r}"),
-                    F.col("cell_count").alias(f"_c{r}"),
-                )
-            ),
-            _cms_bucket(F.col("key"), r, width) == F.col(f"_b{r}"),
-        ).drop(f"_b{r}")
-    est = F.least(*[F.col(f"_c{r}") for r in range(depth)])
-    return probed.select(
+    # ONE probe join: explode each key into its depth (row, bucket)
+    # coordinates and hit the broadcast cell table once — a per-row
+    # chain of joins would re-derive the corpus cell aggregate once
+    # per reference (Spark plans are trees, not DAGs)
+    probes = keys.select(
         "key",
         "true_count",
-        est.alias("est_count"),
-        (est - F.col("true_count")).alias("overcount"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col("key"), r, width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(
+        "key",
+        "true_count",
+        F.col("rb.row").alias("row"),
+        F.col("rb.bucket").alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("key", "true_count")
+        .agg(F.min("cell_count").cast("long").alias("est_count"))
+        .select(
+            "key",
+            "true_count",
+            "est_count",
+            (F.col("est_count") - F.col("true_count")).alias(
+                "overcount"
+            ),
+        )
     )
