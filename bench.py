@@ -215,6 +215,16 @@ def main() -> None:
         "golden_record",
         # span-level extraction P/R/F1 eval (perturbed vs golden)
         "extraction_span_f1",
+        # SCD Type-2 history fold (one key-window shuffle)
+        "scd2_history",
+        # first-order Markov transition matrix in micro-units
+        "markov_transitions",
+        # k-anonymity / l-diversity release audit over banded QIs
+        "k_anonymity_audit",
+        # exact-integer chi-squared feature/label association
+        "chi2_feature_scores",
+        # multi-source BFS hop distances (frontier expansion)
+        "bfs_distances",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

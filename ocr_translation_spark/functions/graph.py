@@ -358,3 +358,77 @@ def triangle_counts(
             "n_triangles"
         ),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    seed_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS hop distances: (node, dist) for every vertex
+    reachable from any seed within ``max_hops`` undirected hops
+    (dist = minimum hop count; seeds themselves come back with 0).
+
+    The third iterative-graph shape next to label-propagation CC
+    (converge-on-stability) and PageRank (fixed-K value recurrence):
+    FRONTIER expansion, where per-round work is proportional to the
+    newly discovered boundary, not the whole graph. Canonical uses:
+    crawl-depth accounting from a seed allowlist, contamination blast
+    radius from known-bad documents, link-distance features.
+
+    Each round is ONE equi-join (frontier x edges on uniformly
+    distributed vertex ids) + ONE distinct + ONE left-anti join
+    against the visited set — all hash-partitionable, no single-task
+    state. The frontier SHRINKS once the component is explored: the
+    loop exits early on an empty frontier (an O(1) driver-side count
+    per round, the connected_components convention), so ``max_hops``
+    is a budget, not a fixed cost. Visited sets persist per round and
+    the superseded cache is released; lineage is truncated via
+    localCheckpoint so round k's plan never replays rounds 1..k-1.
+
+    BFS level order IS minimality: a node is claimed by the first
+    round that reaches it, hence dist = min over paths — a pure
+    function of (edge set, seed set) that the DuckDB recursive-CTE
+    twin (bounded walk + min(d) per node) reproduces exactly.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .persist()  # probed EVERY round — never replay pair generation
+    )
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .persist()
+    )
+    frontier = visited
+    try:
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(und, frontier["node"] == und["u"])
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("dist", F.lit(hop))
+            )
+            # truncate lineage: round k must not replay rounds 1..k-1
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():  # component fully explored — stop early
+                break
+            new_visited = visited.unionByName(nxt).persist()
+            new_visited.count()  # materialize before releasing parent
+            visited.unpersist()
+            visited = new_visited
+            frontier = nxt
+    finally:
+        und.unpersist()
+    return visited.select(
+        "node", F.col("dist").cast("long").alias("dist")
+    )

@@ -121,6 +121,11 @@ _VARIANT_TAIL = {
     "cms_counts",
     "golden_record",
     "extraction_span_f1",
+    "scd2_history",
+    "markov_transitions",
+    "k_anonymity_audit",
+    "chi2_feature_scores",
+    "bfs_distances",
 }
 
 
@@ -231,6 +236,21 @@ def test_driver_window_covers_every_operator_family():
         "extraction_span_f1": "ann_recall_eval",
         "winnowing_fingerprint": "canonical_fingerprint",
         "events_json_props": "item_cooccurrence_sim",
+        # born-demoted: versioned-dimension fold; CDC/history family
+        # rep is snapshot_diff (its output feeds this operator)
+        "scd2_history": "snapshot_diff",
+        # born-demoted: sequence-transition counting over the same
+        # user-ordered windows as events_funnel
+        "markov_transitions": "events_funnel",
+        # born-demoted: privacy release gate; privacy family rep is
+        # pii_scrub, group-audit shape rep table_profile
+        "k_anonymity_audit": "pii_scrub",
+        # born-demoted: feature/label association ranking; audit rep
+        # table_profile, model-based-filter rep hashed_classifier_score
+        "chi2_feature_scores": "table_profile",
+        # born-demoted: frontier BFS over pagerank_centrality's link
+        # graph; iterative-loop discipline rep dedup_clusters
+        "bfs_distances": "pagerank_centrality",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
