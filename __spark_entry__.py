@@ -2929,6 +2929,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bfs_distances"] = _bfs
 
+    def _mad(spark, sf):
+        """Robust daily-volume anomaly flags per event type: ONE
+        corpus shuffle to the (series, day) volume table, then exact
+        LOW-median + MAD rank selections over series windows on that
+        tiny table; outlier test is the integer cross-multiply
+        deviation > 3 * MAD (no division, no floats)."""
+        from ocr_translation_spark.functions.robust import (
+            mad_outlier_days,
+        )
+
+        return mad_outlier_days(_read(spark, sf, "events"), k=3)
+
+    q["mad_outlier_days"] = _mad
+
+    def _hits(spark, sf):
+        """Fixed-K (2 rounds) HITS hub/authority in exact integer
+        micro-units with max-normalization, over the SAME sha-derived
+        link graph as pagerank_centrality (directed this time — HITS
+        needs the direction). Memoized via prepared()."""
+        from ocr_translation_spark.functions.graph import hits_scores
+        from ocr_translation_spark.functions._lsh_common import prepared
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+
+        def _tgt(k: int) -> F.Column:
+            return (
+                F.conv(
+                    F.substring(
+                        F.sha2(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(f":{k}"),
+                            ),
+                            256,
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n_docs
+            )
+
+        def _build():
+            links = docs.select(
+                "doc_id",
+                F.array_distinct(
+                    F.filter(
+                        F.array(_tgt(1), _tgt(2), _tgt(3)),
+                        lambda t: t != F.col("doc_id"),
+                    )
+                ).alias("ts"),
+            )
+            edges = links.select(
+                F.col("doc_id").alias("src"),
+                F.explode("ts").alias("dst"),
+            )
+            return hits_scores(
+                edges,
+                docs.select("doc_id"),
+                node_col="doc_id",
+                iterations=2,
+            )
+
+        return prepared("entry:hits_scores", (docs,), (n_docs, 2), _build)
+
+    q["hits_scores"] = _hits
+
+    def _paths(spark, sf):
+        """Depth-4 session opening-path mining over (user, day)
+        sessions: the row_number window and the per-session path
+        assembly share ONE (user, day) shuffle; the per-path rollup
+        collapses map-side to O(|paths|)."""
+        from ocr_translation_spark.functions.paths import session_paths
+
+        return session_paths(_read(spark, sf, "events"), depth=4)
+
+    q["session_paths"] = _paths
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3229,6 +3310,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_clusters (in-window) holding the iterative-loop
         # convergence discipline
         "bfs_distances",
+        # born-demoted: robust-statistics anomaly flags over the same
+        # daily volume rollup family as events_hourly (in-window);
+        # the rank-selection shape rep is quality_decile_stats
+        "mad_outlier_days",
+        # born-demoted: the second link-ranking recurrence over
+        # pagerank_centrality's graph (in-window family rep)
+        "hits_scores",
+        # born-demoted: journey DISCOVERY over the same user-ordered
+        # event windows whose prescribed-journey check is
+        # events_funnel (in-window) and whose one-step structure is
+        # markov_transitions (tail)
+        "session_paths",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -5887,6 +5980,101 @@ walk(node, d) AS (
   WHERE w.d < 4
 )
 SELECT node, min(d)::BIGINT AS dist FROM walk GROUP BY node
+"""
+
+    # MAD: same LOW-median rank selection (1-indexed floor((n+1)/2) of
+    # the ascending sort — never the even-n midpoint average, whose .5
+    # rounding differs across engines) and the same integer
+    # cross-multiplied outlier test.
+    o["mad_outlier_days"] = """
+WITH daily AS (
+  SELECT event_type AS series,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT series, n_events AS med FROM (
+    SELECT series, n_events,
+           row_number() OVER (PARTITION BY series ORDER BY n_events)
+             AS rn,
+           count(*) OVER (PARTITION BY series) AS n
+    FROM daily
+  ) WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT d.series, d.day, d.n_events, m.med,
+         abs(d.n_events - m.med)::BIGINT AS deviation
+  FROM daily d JOIN med m USING (series)
+), mad AS (
+  SELECT series, deviation AS mad FROM (
+    SELECT series, deviation,
+           row_number() OVER (PARTITION BY series ORDER BY deviation)
+             AS rn,
+           count(*) OVER (PARTITION BY series) AS n
+    FROM dev
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT v.series, v.day, v.n_events, v.med, a.mad, v.deviation,
+       v.deviation > 3 * a.mad AS is_outlier
+FROM dev v JOIN mad a USING (series)
+"""
+
+    # HITS: the same 2-round mutual-reinforcement recurrence unrolled,
+    # HUGEINT sums, max-normalization with truncating `//` at the
+    # identical points; directed edges from the shared link graph.
+    o["hits_scores"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tg AS (
+  SELECT doc_id, list_distinct(list_filter(
+    [{_pr_tgt.format(k=1)},
+     {_pr_tgt.format(k=2)},
+     {_pr_tgt.format(k=3)}], t -> t <> doc_id)) AS ts
+  FROM documents, nn
+),
+e AS (SELECT doc_id AS s, unnest(ts) AS d FROM tg),
+a0 AS (SELECT DISTINCT d AS n, 1000000::HUGEINT AS a FROM e),
+h1r AS (SELECT e.s, sum(a0.a) AS raw FROM e JOIN a0 ON e.d = a0.n
+        GROUP BY e.s),
+h1 AS (SELECT s AS n,
+       (raw * 1000000) // (SELECT max(raw) FROM h1r) AS h FROM h1r),
+a1r AS (SELECT e.d, sum(h1.h) AS raw FROM e JOIN h1 ON e.s = h1.n
+        GROUP BY e.d),
+a1 AS (SELECT d AS n,
+       (raw * 1000000) // (SELECT max(raw) FROM a1r) AS a FROM a1r),
+h2r AS (SELECT e.s, sum(a1.a) AS raw FROM e JOIN a1 ON e.d = a1.n
+        GROUP BY e.s),
+h2 AS (SELECT s AS n,
+       (raw * 1000000) // (SELECT max(raw) FROM h2r) AS h FROM h2r),
+a2r AS (SELECT e.d, sum(h2.h) AS raw FROM e JOIN h2 ON e.s = h2.n
+        GROUP BY e.d),
+a2 AS (SELECT d AS n,
+       (raw * 1000000) // (SELECT max(raw) FROM a2r) AS a FROM a2r)
+SELECT doc_id,
+       coalesce(h2.h, 0)::BIGINT AS hub_micro,
+       coalesce(a2.a, 0)::BIGINT AS auth_micro
+FROM documents
+LEFT JOIN h2 ON documents.doc_id = h2.n
+LEFT JOIN a2 ON documents.doc_id = a2.n
+"""
+
+    # Session paths: same (user, day) sessionization, rank <= 4 prefix,
+    # rank-ordered '>' assembly.
+    o["session_paths"] = """
+WITH r AS (
+  SELECT user_id,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         event_type,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+), s AS (
+  SELECT user_id, day,
+         string_agg(event_type, '>' ORDER BY rn) AS path,
+         count(*)::BIGINT AS len
+  FROM r WHERE rn <= 4 GROUP BY 1, 2
+)
+SELECT path, max(len)::BIGINT AS depth, count(*)::BIGINT AS n_sessions
+FROM s GROUP BY path
 """
 
     return o

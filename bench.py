@@ -225,6 +225,12 @@ def main() -> None:
         "chi2_feature_scores",
         # multi-source BFS hop distances (frontier expansion)
         "bfs_distances",
+        # robust median/MAD daily-volume anomaly flags
+        "mad_outlier_days",
+        # fixed-K HITS hub/authority (integer max-normalized)
+        "hits_scores",
+        # depth-4 session opening-path mining
+        "session_paths",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

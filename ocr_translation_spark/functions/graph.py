@@ -432,3 +432,111 @@ def bfs_distances(
     return visited.select(
         "node", F.col("dist").cast("long").alias("dist")
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    iterations: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg JACM'99) in EXACT integer
+    micro-units: (node, hub_micro, auth_micro) after ``iterations``
+    mutual-reinforcement rounds over the DIRECTED edge set.
+
+    The second ranking family next to PageRank: PageRank propagates a
+    single score along out-links with damping; HITS alternates two
+    scores — a hub is good because it points at good authorities, an
+    authority because good hubs point at it — which separates
+    link-directory pages from content pages in webgraph curation.
+
+    Integer recurrence (bit-for-bit reproducible; the DuckDB twin is
+    the same recurrence unrolled in CTEs with HUGEINT `//`):
+
+        h'(u) = sum_{u->v} a(v);   h = (h' * scale) div max(h')
+        a'(v) = sum_{u->v} h(u);   a = (a' * scale) div max(a')
+
+    Max-normalization replaces the textbook L2 norm — a sqrt would
+    leave exact integers — and preserves the ranking (scores scale to
+    [0, scale] with the best hub/authority pinned at ``scale``).
+    Nodes outside the edge set score 0 on both axes.
+
+    Spark shape at 100 TB: the edge table persists across iterations;
+    each half-step is ONE equi-join (scores x edges on uniformly
+    distributed node ids) + ONE groupBy-sum with map-side partials +
+    ONE single-row max aggregate broadcast back (the bm25 corpus-stats
+    pattern). The plan grows with the fixed K — bounded by
+    construction, like :func:`pagerank`. Sums live in DECIMAL(38,0):
+    a hub's inbound mass is bounded by N * scale, and the * scale
+    renormalization product by N * scale^2 ~ 1e25 at a trillion nodes
+    — inside 38 digits; `div` returns LONG, exact.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).persist()
+    n = nodes.select(F.col(node_col).alias("_n"))
+    dec = "DECIMAL(38,0)"
+    auth = e.select(F.col("_d").alias("_n")).distinct().select(
+        "_n", F.lit(scale).cast("long").alias("_a")
+    )
+    hub = None
+    # Each raw half-step table is referenced TWICE (its own max
+    # aggregate + the renormalization), and the references compound
+    # round over round — the lazily unrolled plan grows ~4^rounds
+    # subtrees (measured: 91 executed shuffles for K=2 on a 500-node
+    # graph). Eagerly localCheckpoint-ing each O(nodes) raw table
+    # truncates the lineage so every half-step is computed exactly
+    # once: 2 shuffles per half-step, independent of K — the
+    # bfs_distances/dedup_clusters loop discipline, vs pagerank which
+    # needs none because its recurrence references each rank once.
+    for _ in range(iterations):
+        # hub half-step: sum authority over out-neighbors, renormalize
+        h_raw = (
+            e.join(auth, e["_d"] == auth["_n"])
+            .groupBy("_s")
+            .agg(F.sum(F.col("_a").cast(dec)).alias("_raw"))
+            .localCheckpoint(eager=True)
+        )
+        h_max = h_raw.agg(F.max("_raw").alias("_mx"))
+        hub = h_raw.crossJoin(F.broadcast(h_max)).select(
+            F.col("_s").alias("_n"),
+            F.call_function(
+                "div",
+                F.col("_raw") * F.lit(scale).cast(dec),
+                F.col("_mx"),
+            ).alias("_h"),
+        )
+        # authority half-step: sum hub over in-neighbors, renormalize
+        a_raw = (
+            e.join(hub, e["_s"] == hub["_n"])
+            .groupBy("_d")
+            .agg(F.sum(F.col("_h").cast(dec)).alias("_raw"))
+            .localCheckpoint(eager=True)
+        )
+        a_max = a_raw.agg(F.max("_raw").alias("_mx"))
+        auth = a_raw.crossJoin(F.broadcast(a_max)).select(
+            F.col("_d").alias("_n"),
+            F.call_function(
+                "div",
+                F.col("_raw") * F.lit(scale).cast(dec),
+                F.col("_mx"),
+            ).alias("_a"),
+        )
+    out = (
+        n.join(hub.withColumnRenamed("_h", "hub_micro"), "_n", "left")
+        .join(auth.withColumnRenamed("_a", "auth_micro"), "_n", "left")
+        .select(
+            F.col("_n").alias(node_col),
+            F.coalesce(F.col("hub_micro"), F.lit(0).cast("long")).alias(
+                "hub_micro"
+            ),
+            F.coalesce(F.col("auth_micro"), F.lit(0).cast("long")).alias(
+                "auth_micro"
+            ),
+        )
+    )
+    # the checkpointed half-step tables carry the result; the edge
+    # cache is only needed during the (eager) loop above
+    e.unpersist()
+    return out

@@ -126,6 +126,9 @@ _VARIANT_TAIL = {
     "k_anonymity_audit",
     "chi2_feature_scores",
     "bfs_distances",
+    "mad_outlier_days",
+    "hits_scores",
+    "session_paths",
 }
 
 
@@ -251,6 +254,16 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: frontier BFS over pagerank_centrality's link
         # graph; iterative-loop discipline rep dedup_clusters
         "bfs_distances": "pagerank_centrality",
+        # born-demoted: robust anomaly flags over the daily rollup
+        # family of events_hourly; rank-selection shape rep
+        # quality_decile_stats
+        "mad_outlier_days": "events_hourly",
+        # born-demoted: second link-ranking recurrence over
+        # pagerank_centrality's graph
+        "hits_scores": "pagerank_centrality",
+        # born-demoted: journey discovery; prescribed-journey rep
+        # events_funnel
+        "session_paths": "events_funnel",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
