@@ -99,3 +99,17 @@ def scd2_history(
         *[F.col(a) for a in attr_cols],
         valid_to.isNull().alias("is_current"),
     )
+
+
+def scd2_asof(history: DataFrame, ts) -> DataFrame:
+    """Reconstruct the dimension state as of time ``ts`` from an
+    :func:`scd2_history` output: the version whose half-open validity
+    interval contains it (valid_from <= ts < valid_to, NULL valid_to
+    = open-ended). A row-local filter — time travel over an SCD2
+    table costs a partition-prunable scan, no window, no join; keys
+    born after ``ts`` simply do not appear."""
+    t = F.lit(ts)
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (t < F.col("valid_to")))
+    ).drop("is_current")

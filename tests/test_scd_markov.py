@@ -153,3 +153,26 @@ def test_markov_equal_ts_uses_tie_column(spark):
         for r in markov_transitions(df).collect()
     }
     assert out == {("a", "b"), ("b", "c")}
+
+
+def test_scd2_asof_reconstructs_point_in_time(spark):
+    from ocr_translation_spark.functions.scd import scd2_asof
+
+    rows = [
+        (1, _ts(1), 1, "red", "S"),
+        (1, _ts(5), 2, "blue", "S"),
+        (2, _ts(3), 3, "green", "M"),
+    ]
+    df = spark.createDataFrame(
+        rows, "key long, ts timestamp, tie long, color string, size string"
+    )
+    hist = scd2_history(df, "key", "ts", ["color", "size"], "tie")
+    # day 2: key 1 is red, key 2 not yet born
+    asof = {r.key: r.color for r in scd2_asof(hist, _ts(2)).collect()}
+    assert asof == {1: "red"}
+    # day 5 exactly: half-open intervals — the NEW version applies
+    asof5 = {r.key: r.color for r in scd2_asof(hist, _ts(5)).collect()}
+    assert asof5 == {1: "blue", 2: "green"}
+    # far future: current state, one row per key
+    asof9 = {r.key: r.color for r in scd2_asof(hist, _ts(9)).collect()}
+    assert asof9 == {1: "blue", 2: "green"}
