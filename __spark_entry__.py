@@ -3010,6 +3010,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["session_paths"] = _paths
 
+    def _rrf(spark, sf):
+        """Hybrid retrieval: reciprocal-rank fusion of the exact
+        BM25 lexical top-50 with the PageRank authority top-50 (the
+        classic relevance x query-independent-authority combination)
+        in exact integer micro-units (1e6 div (60 + rank)). Both
+        inputs are bounded lists, so the single-partition rank
+        windows are safe by construction; PageRank reuses the
+        memoized pagerank_centrality prepared() site."""
+        from ocr_translation_spark.functions.fusion import (
+            rank_topn,
+            rrf_fuse,
+        )
+        from ocr_translation_spark.functions.retrieval import bm25_topk
+
+        docs = _read(spark, sf, "documents")
+        bm = bm25_topk(docs, ["dup", "join", "scan"], top_k=50)
+        lex = rank_topn(
+            bm,
+            [F.col("score_micro").desc(), F.col("doc_id").asc()],
+            50,
+        )
+        pr = _pagerank(spark, sf)
+        auth = rank_topn(
+            pr,
+            [F.col("rank_micro").desc(), F.col("doc_id").asc()],
+            50,
+        )
+        return rrf_fuse({"lex": lex, "auth": auth}, k=60, top_k=20)
+
+    q["rrf_fusion"] = _rrf
+
+    def _labelprop(spark, sf):
+        """Semi-supervised label spreading over the shared sha link
+        graph: 10% of docs seed their lang label; 2 synchronous
+        majority rounds (min-label ties), seeds clamped. Memoized via
+        prepared() — the loop is driver-coordinated."""
+        from ocr_translation_spark.functions.graph import (
+            label_propagation,
+        )
+        from ocr_translation_spark.functions._lsh_common import prepared
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+
+        def _tgt(k: int) -> F.Column:
+            return (
+                F.conv(
+                    F.substring(
+                        F.sha2(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(f":{k}"),
+                            ),
+                            256,
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n_docs
+            )
+
+        def _build():
+            links = docs.select(
+                "doc_id",
+                F.array_distinct(
+                    F.filter(
+                        F.array(_tgt(1), _tgt(2), _tgt(3)),
+                        lambda t: t != F.col("doc_id"),
+                    )
+                ).alias("ts"),
+            )
+            edges = links.select(
+                F.col("doc_id").alias("id_a"),
+                F.explode("ts").alias("id_b"),
+            )
+            seeds = docs.filter(F.col("doc_id") % 10 == 0).select(
+                F.col("doc_id").alias("node"), F.col("lang").alias("label")
+            )
+            return label_propagation(edges, seeds, iterations=2)
+
+        return prepared(
+            "entry:label_propagation", (docs,), (n_docs, 2), _build
+        )
+
+    q["label_propagation"] = _labelprop
+
+    def _batchwaste(spark, sf):
+        """Inference-batching padding-waste accounting under arrival
+        vs length-sorted policies (batch = 32): global ranks via the
+        bucket-offset form (no single-task sort), one aggregate per
+        policy; the DuckDB twin ranks with plain windows — an
+        independent formulation re-proving the bucket offsets."""
+        from ocr_translation_spark.functions.batching import (
+            batching_waste,
+        )
+        from ocr_translation_spark.functions.text import normalized_text
+
+        docs = _read(spark, sf, "documents")
+        n_toks = F.size(
+            F.filter(
+                F.split(normalized_text(F.col("text")), " "),
+                lambda t: t != "",
+            )
+        )
+        return batching_waste(docs, n_toks, batch_size=32)
+
+    q["batching_waste"] = _batchwaste
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3322,6 +3433,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_funnel (in-window) and whose one-step structure is
         # markov_transitions (tail)
         "session_paths",
+        # born-demoted: rank-space fusion of two in-window rankers
+        # (bm25_topk lexical + pagerank_centrality authority)
+        "rrf_fusion",
+        # born-demoted: the fourth iterative-graph discipline over
+        # pagerank_centrality's graph (in-window family rep), with
+        # golden_record's majority/min-tie vote rule
+        "label_propagation",
+        # born-demoted: serving-side dual of document_packing
+        # (in-window), ranks via snm_candidate_pairs' bucket-offset
+        # form
+        "batching_waste",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -6075,6 +6197,165 @@ WITH r AS (
 )
 SELECT path, max(len)::BIGINT AS depth, count(*)::BIGINT AS n_sessions
 FROM s GROUP BY path
+"""
+
+    # RRF: both constituent rankings re-derived in full (the bm25
+    # scored table and the unrolled PageRank recurrence), ranked with
+    # plain windows, fused with the same truncating 1e6 // (60 + r).
+    o["rrf_fusion"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tg AS (
+  SELECT doc_id, list_distinct(list_filter(
+    [{_pr_tgt.format(k=1)},
+     {_pr_tgt.format(k=2)},
+     {_pr_tgt.format(k=3)}], t -> t <> doc_id)) AS ts
+  FROM documents, nn
+),
+e0 AS (SELECT doc_id AS src, unnest(ts) AS dst FROM tg),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM e0 GROUP BY src),
+e AS (SELECT e0.src, e0.dst, deg.d FROM e0 JOIN deg USING (src)),
+r0 AS (SELECT doc_id AS node, 1000000::BIGINT AS r FROM documents),
+{", ".join(_pr_steps)},
+auth AS (
+  SELECT doc_id, rank FROM (
+    SELECT node AS doc_id,
+           row_number() OVER (ORDER BY r DESC, node) AS rank
+    FROM r3
+  ) WHERE rank <= 50
+),
+base AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+           '\\s+', ' ', 'g'), ' '), t -> t <> '') AS toks
+  FROM documents
+), per AS (
+  SELECT doc_id, len(toks)::HUGEINT AS dl,
+         len(list_filter(toks, t -> t = 'dup'))::HUGEINT  AS tf0,
+         len(list_filter(toks, t -> t = 'join'))::HUGEINT AS tf1,
+         len(list_filter(toks, t -> t = 'scan'))::HUGEINT AS tf2
+  FROM base
+), stats AS (
+  SELECT count(*)::HUGEINT AS n, sum(dl)::HUGEINT AS t,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::HUGEINT AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::HUGEINT AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::HUGEINT AS df2
+  FROM per
+), bm AS (
+  SELECT p.doc_id,
+       ( (CASE WHEN tf0 > 0 THEN
+            (1000000::HUGEINT * (2*s.n - 2*s.df0 + 1) * 44 * tf0 * s.t)
+            // ((2*s.df0 + 1) * (20*tf0*s.t + 6*s.t + 18*dl*s.n))
+          ELSE 0 END)
+       + (CASE WHEN tf1 > 0 THEN
+            (1000000::HUGEINT * (2*s.n - 2*s.df1 + 1) * 44 * tf1 * s.t)
+            // ((2*s.df1 + 1) * (20*tf1*s.t + 6*s.t + 18*dl*s.n))
+          ELSE 0 END)
+       + (CASE WHEN tf2 > 0 THEN
+            (1000000::HUGEINT * (2*s.n - 2*s.df2 + 1) * 44 * tf2 * s.t)
+            // ((2*s.df2 + 1) * (20*tf2*s.t + 6*s.t + 18*dl*s.n))
+          ELSE 0 END) )::BIGINT AS score_micro
+  FROM per p CROSS JOIN stats s
+  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+), lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY score_micro DESC, doc_id::BIGINT) AS rank
+    FROM bm
+  ) WHERE rank <= 50
+)
+SELECT coalesce(l.doc_id, a.doc_id) AS doc_id,
+       l.rank::BIGINT AS lex_rank,
+       a.rank::BIGINT AS auth_rank,
+       (coalesce(1000000 // (60 + l.rank), 0)
+        + coalesce(1000000 // (60 + a.rank), 0))::BIGINT AS rrf_micro
+FROM lex l FULL OUTER JOIN auth a ON l.doc_id = a.doc_id
+ORDER BY rrf_micro DESC, coalesce(l.doc_id, a.doc_id)
+LIMIT 20
+"""
+
+    # Label propagation: 2 rounds unrolled; majority-with-min-tie via
+    # the row_number (count DESC, label) window — the independent form
+    # of Spark's min(struct(-count, label)).
+    o["label_propagation"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tg AS (
+  SELECT doc_id, list_distinct(list_filter(
+    [{_pr_tgt.format(k=1)},
+     {_pr_tgt.format(k=2)},
+     {_pr_tgt.format(k=3)}], t -> t <> doc_id)) AS ts
+  FROM documents, nn
+),
+e0 AS (SELECT doc_id AS src, unnest(ts) AS dst FROM tg),
+und AS (
+  SELECT src AS u, dst AS v FROM e0
+  UNION
+  SELECT dst AS u, src AS v FROM e0
+),
+l0 AS (
+  SELECT doc_id AS node, lang AS label, 0 AS rnd
+  FROM documents WHERE doc_id % 10 = 0
+),
+v1 AS (
+  SELECT e.v AS cand, l.label, count(*) AS c
+  FROM l0 l JOIN und e ON l.node = e.u GROUP BY 1, 2
+),
+w1 AS (
+  SELECT cand AS node, label, 1 AS rnd FROM (
+    SELECT cand, label,
+           row_number() OVER (
+             PARTITION BY cand ORDER BY c DESC, label) AS rn
+    FROM v1
+  ) WHERE rn = 1 AND cand NOT IN (SELECT node FROM l0)
+),
+l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM w1),
+v2 AS (
+  SELECT e.v AS cand, l.label, count(*) AS c
+  FROM l1 l JOIN und e ON l.node = e.u GROUP BY 1, 2
+),
+w2 AS (
+  SELECT cand AS node, label, 2 AS rnd FROM (
+    SELECT cand, label,
+           row_number() OVER (
+             PARTITION BY cand ORDER BY c DESC, label) AS rn
+    FROM v2
+  ) WHERE rn = 1 AND cand NOT IN (SELECT node FROM l1)
+),
+l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM w2)
+SELECT node, label, rnd::BIGINT AS round_assigned FROM l2
+"""
+
+    # Batching waste: plain-window ranks (the independent formulation
+    # of the Spark side's bucket-offset global_rank_by), identical
+    # batch cut, identical rows*max padding charge.
+    o["batching_waste"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(regexp_replace(lower(trim(text)),
+           '\s+', ' ', 'g'), ' '), t -> t <> ''))::BIGINT AS l
+  FROM documents
+), arr AS (
+  SELECT l, (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS b
+  FROM base
+), srt AS (
+  SELECT l, (row_number() OVER (ORDER BY l, doc_id) - 1) // 32 AS b
+  FROM base
+), ab AS (
+  SELECT b, count(*) AS r, sum(l) AS re, max(l) AS m FROM arr GROUP BY b
+), sb AS (
+  SELECT b, count(*) AS r, sum(l) AS re, max(l) AS m FROM srt GROUP BY b
+), pol AS (
+  SELECT 'arrival' AS policy, count(*)::BIGINT AS n_batches,
+         sum(re)::BIGINT AS real_tokens, sum(r * m)::BIGINT AS padded_tokens
+  FROM ab
+  UNION ALL
+  SELECT 'sorted', count(*)::BIGINT, sum(re)::BIGINT, sum(r * m)::BIGINT
+  FROM sb
+)
+SELECT policy, n_batches, real_tokens, padded_tokens,
+       ((padded_tokens - real_tokens) * 1000000) // padded_tokens
+         AS waste_ppm
+FROM pol
 """
 
     return o

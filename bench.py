@@ -231,6 +231,12 @@ def main() -> None:
         "hits_scores",
         # depth-4 session opening-path mining
         "session_paths",
+        # reciprocal-rank fusion of BM25 + PageRank top-50s
+        "rrf_fusion",
+        # 2-round semi-supervised label spreading (clamped seeds)
+        "label_propagation",
+        # arrival-vs-sorted inference-batching padding waste
+        "batching_waste",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

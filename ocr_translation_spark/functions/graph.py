@@ -540,3 +540,98 @@ def hits_scores(
     # cache is only needed during the (eager) loop above
     e.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    label_col: str = "label",
+    iterations: int = 2,
+) -> DataFrame:
+    """Semi-supervised label spreading: (node, label, round_assigned)
+    after ``iterations`` synchronous rounds over the UNDIRECTED edge
+    set. Seeds are clamped (round 0, never re-labeled); each round,
+    every still-unlabeled node adjacent to labeled nodes adopts the
+    MAJORITY label among its labeled neighbors, ties broken by the
+    minimum label — a pure function of (edges, seeds), so the DuckDB
+    unrolled-CTE twin reproduces it exactly.
+
+    The curation use: spread sparse human/classifier quality or
+    language labels through the near-dup / link graph to cold-start a
+    corpus-wide weak label (Zhu & Ghahramani '02 shape, hard labels).
+    The fourth iterative-graph discipline in this module: categorical
+    state + clamped seeds, next to CC (converge-on-stability),
+    PageRank (fixed-K value recurrence) and BFS (frontier expansion).
+
+    Spark shape at 100 TB: per round ONE equi-join (labels x
+    symmetrized edges on uniformly distributed node ids) + ONE
+    (node, label) count aggregate + ONE argmax-by-struct aggregate +
+    ONE left-anti join against the labeled set — all hash-keyed, no
+    single-task state. The labeled set is persisted per round, the
+    superseded cache released, lineage truncated via localCheckpoint
+    (the bfs_distances loop discipline); unlike BFS the per-round
+    labeled-neighbor scan cannot shrink to a frontier (a node's
+    majority can involve ALL labeled neighbors, old and new), so each
+    round joins the full labeled set — still O(edges) per round.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labeled = (
+        seeds.select(
+            F.col(node_col).alias("node"),
+            F.col(label_col).alias("label"),
+        )
+        .withColumn("round_assigned", F.lit(0))
+        .persist()
+    )
+    try:
+        for rnd in range(1, iterations + 1):
+            votes = (
+                labeled.join(und, labeled["node"] == und["u"])
+                .groupBy(F.col("v").alias("cand"), "label")
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+            )
+            # majority with min-label tie: min over (-count, label)
+            # structs — the golden_record survivorship discipline
+            winners = (
+                votes.groupBy("cand")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("_cnt")).alias("nc"),
+                            F.col("label").alias("lb"),
+                        )
+                    ).alias("_w")
+                )
+                .select(
+                    F.col("cand").alias("node"),
+                    F.col("_w.lb").alias("label"),
+                    F.lit(rnd).alias("round_assigned"),
+                )
+                .join(
+                    labeled.select("node"), "node", "left_anti"
+                )
+                .localCheckpoint(eager=True)
+            )
+            if winners.isEmpty():
+                break
+            new_labeled = labeled.unionByName(winners).persist()
+            new_labeled.count()  # materialize before releasing parent
+            labeled.unpersist()
+            labeled = new_labeled
+    finally:
+        und.unpersist()
+    return labeled.select(
+        "node", "label", F.col("round_assigned").cast("long").alias(
+            "round_assigned"
+        )
+    )

@@ -129,6 +129,9 @@ _VARIANT_TAIL = {
     "mad_outlier_days",
     "hits_scores",
     "session_paths",
+    "rrf_fusion",
+    "label_propagation",
+    "batching_waste",
 }
 
 
@@ -264,6 +267,13 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: journey discovery; prescribed-journey rep
         # events_funnel
         "session_paths": "events_funnel",
+        # born-demoted: rank fusion of two in-window rankers
+        "rrf_fusion": "bm25_topk",
+        # born-demoted: fourth iterative-graph discipline over
+        # pagerank_centrality's graph
+        "label_propagation": "pagerank_centrality",
+        # born-demoted: serving-side dual of document_packing
+        "batching_waste": "document_packing",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
