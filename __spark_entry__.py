@@ -115,6 +115,52 @@ def _msum(c, digits: int) -> F.Column:
     return F.round((total / 10000).cast("double"), digits)
 
 
+def _sha_target(k: int, n_docs: int) -> F.Column:
+    """k-th sha256-derived link target for ``doc_id``, folded into the
+    contiguous [0, n_docs) id space — the ONE definition every derived
+    link-graph consumer (pagerank, BFS, HITS, label propagation,
+    triangles, anchor text) shares; the DuckDB mirror is ``_pr_tgt``
+    in oracle_sql()."""
+    return (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(f":{k}"),
+                    ),
+                    256,
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_docs
+    )
+
+
+def _sha_link_edges(
+    docs: DataFrame, n_docs: int, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """The shared deterministic link graph: up to 3 sha-derived
+    targets per doc, self-links dropped row-locally BEFORE the explode
+    (no distinct shuffle), emitted as (src, dst) edges."""
+    links = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.array(*[_sha_target(k, n_docs) for k in (1, 2, 3)]),
+                lambda t: t != F.col("doc_id"),
+            )
+        ).alias("ts"),
+    )
+    return links.select(
+        F.col("doc_id").alias(src), F.explode("ts").alias(dst)
+    )
+
+
 def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan for compute-heavy per-row queries: a tiny single-file table
     yields ONE input split, serializing the per-row work on one task —
@@ -1849,44 +1895,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         n_docs = docs.count()
 
-        def _tgt(k: int) -> F.Column:
-            return (
-                F.conv(
-                    F.substring(
-                        F.sha2(
-                            F.concat(
-                                F.col("doc_id").cast("string"),
-                                F.lit(f":{k}"),
-                            ),
-                            256,
-                        ),
-                        1,
-                        12,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % n_docs
-            )
-
         from ocr_translation_spark.functions._lsh_common import (
             prepared,
         )
 
         def _build():
-            links = docs.select(
-                "doc_id",
-                F.array_distinct(
-                    F.filter(
-                        F.array(_tgt(1), _tgt(2), _tgt(3)),
-                        lambda t: t != F.col("doc_id"),
-                    )
-                ).alias("ts"),
-            )
-            edges = links.select(
-                F.col("doc_id").alias("src"),
-                F.explode("ts").alias("dst"),
-            )
+            edges = _sha_link_edges(docs, n_docs)
             return pagerank(
                 edges, docs.select("doc_id"), node_col="doc_id"
             )
@@ -2147,26 +2161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         n_docs = docs.count()
 
-        def _tgt(k: int) -> F.Column:
-            return (
-                F.conv(
-                    F.substring(
-                        F.sha2(
-                            F.concat(
-                                F.col("doc_id").cast("string"),
-                                F.lit(f":{k}"),
-                            ),
-                            256,
-                        ),
-                        1,
-                        12,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % n_docs
-            )
-
         def _build():
             edges = docs.select(
                 "doc_id",
@@ -2174,8 +2168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.array(
                         (F.col("doc_id") + 1) % n_docs,
                         (F.col("doc_id") + 2) % n_docs,
-                        _tgt(1),
-                        _tgt(2),
+                        _sha_target(1, n_docs),
+                        _sha_target(2, n_docs),
                     )
                 ).alias("dst"),
             )
@@ -2454,26 +2448,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         n_docs = docs.count()
 
-        def _tgt(k: int) -> F.Column:
-            return (
-                F.conv(
-                    F.substring(
-                        F.sha2(
-                            F.concat(
-                                F.col("doc_id").cast("string"),
-                                F.lit(f":{k}"),
-                            ),
-                            256,
-                        ),
-                        1,
-                        12,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % n_docs
-            )
-
         toks = F.filter(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
             lambda t: t != "",
@@ -2483,7 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array_join(F.slice(toks, 1, 3), " ").alias("anchor"),
             F.explode(
                 F.filter(
-                    F.array(_tgt(1), _tgt(2)),
+                    F.array(_sha_target(1, n_docs), _sha_target(2, n_docs)),
                     lambda t: t != F.col("doc_id"),
                 )
             ).alias("dst"),
@@ -2884,40 +2858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         n_docs = docs.count()
 
-        def _tgt(k: int) -> F.Column:
-            return (
-                F.conv(
-                    F.substring(
-                        F.sha2(
-                            F.concat(
-                                F.col("doc_id").cast("string"),
-                                F.lit(f":{k}"),
-                            ),
-                            256,
-                        ),
-                        1,
-                        12,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % n_docs
-            )
-
         def _build():
-            links = docs.select(
-                "doc_id",
-                F.array_distinct(
-                    F.filter(
-                        F.array(_tgt(1), _tgt(2), _tgt(3)),
-                        lambda t: t != F.col("doc_id"),
-                    )
-                ).alias("ts"),
-            )
-            edges = links.select(
-                F.col("doc_id").alias("id_a"),
-                F.explode("ts").alias("id_b"),
-            )
+            edges = _sha_link_edges(docs, n_docs, src="id_a", dst="id_b")
             seeds = docs.filter(F.col("doc_id") % 101 == 0).select(
                 F.col("doc_id").alias("node")
             )
@@ -2954,40 +2896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         n_docs = docs.count()
 
-        def _tgt(k: int) -> F.Column:
-            return (
-                F.conv(
-                    F.substring(
-                        F.sha2(
-                            F.concat(
-                                F.col("doc_id").cast("string"),
-                                F.lit(f":{k}"),
-                            ),
-                            256,
-                        ),
-                        1,
-                        12,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % n_docs
-            )
-
         def _build():
-            links = docs.select(
-                "doc_id",
-                F.array_distinct(
-                    F.filter(
-                        F.array(_tgt(1), _tgt(2), _tgt(3)),
-                        lambda t: t != F.col("doc_id"),
-                    )
-                ).alias("ts"),
-            )
-            edges = links.select(
-                F.col("doc_id").alias("src"),
-                F.explode("ts").alias("dst"),
-            )
+            edges = _sha_link_edges(docs, n_docs)
             return hits_scores(
                 edges,
                 docs.select("doc_id"),
@@ -3054,40 +2964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         n_docs = docs.count()
 
-        def _tgt(k: int) -> F.Column:
-            return (
-                F.conv(
-                    F.substring(
-                        F.sha2(
-                            F.concat(
-                                F.col("doc_id").cast("string"),
-                                F.lit(f":{k}"),
-                            ),
-                            256,
-                        ),
-                        1,
-                        12,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % n_docs
-            )
-
         def _build():
-            links = docs.select(
-                "doc_id",
-                F.array_distinct(
-                    F.filter(
-                        F.array(_tgt(1), _tgt(2), _tgt(3)),
-                        lambda t: t != F.col("doc_id"),
-                    )
-                ).alias("ts"),
-            )
-            edges = links.select(
-                F.col("doc_id").alias("id_a"),
-                F.explode("ts").alias("id_b"),
-            )
+            edges = _sha_link_edges(docs, n_docs, src="id_a", dst="id_b")
             seeds = docs.filter(F.col("doc_id") % 10 == 0).select(
                 F.col("doc_id").alias("node"), F.col("lang").alias("label")
             )
@@ -6070,8 +5948,9 @@ grid AS (
          coalesce(cells.o, 0::HUGEINT) * nn.n - f.r * l.c AS d,
          f.r * l.c AS rc
   FROM f CROSS JOIN l CROSS JOIN nn
-  LEFT JOIN cells ON cells.feature_value = f.feature_value
-                 AND cells._label = l._label
+  LEFT JOIN cells
+    ON cells.feature_value IS NOT DISTINCT FROM f.feature_value
+   AND cells._label IS NOT DISTINCT FROM l._label
 )
 SELECT feature_value, max(r)::BIGINT AS n_rows,
        ((sum((d * d) // rc) * 1000000) // max(n))::BIGINT AS chi2_micro

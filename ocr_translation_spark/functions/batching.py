@@ -98,17 +98,47 @@ def batching_waste(
     """
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1 (got {batch_size})")
-    base = df.select(
-        F.col(id_col).alias("_id"), len_expr.cast("long").alias("_len")
-    ).filter(F.col("_len").isNotNull())
-    # zero-padded sort keys: lexicographic bucket order == numeric.
-    # prefix_len picks the rank-bucket granularity (global_rank_by
-    # windows per key prefix): 5 of 10 id digits = one bucket per 1e5
-    # ids; 4 of 6 length digits = one bucket per 100 length units —
-    # a SKEWED length distribution concentrates buckets (correctness
-    # unaffected; widen len_pad/prefix for pathological mixes).
+    # persisted ONCE: each global_rank_by drives a driver-side bucket
+    # count collect and the policy aggregate scans again — without the
+    # cache the token-length projection runs over the corpus 4x
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"), len_expr.cast("long").alias("_len")
+        )
+        .filter(F.col("_len").isNotNull())
+        .persist()
+    )
+
+    def _bounded(col: Column, limit: int, what: str) -> Column:
+        # F.lpad silently TRUNCATES values wider than the pad, which
+        # would reorder the sort keys, not just skew buckets — so the
+        # bound is enforced in-plan, on the violating rows only (the
+        # guard lives INSIDE the key expression: a side column would
+        # be pruned by Catalyst and never evaluated).
+        return F.when(
+            (col >= 0) & (col < limit), col.cast("string")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"batching_waste: {what} out of [0, {limit}): "),
+                    col.cast("string"),
+                )
+            )
+        )
+    # zero-padded sort keys: lexicographic bucket order == numeric,
+    # valid ONLY while values fit the pad width (enforced above —
+    # ids < 1e10, lengths < 1e6 tokens; wider corpora raise loudly
+    # and the pads/prefixes get widened together). prefix_len picks
+    # the rank-bucket granularity (global_rank_by windows per key
+    # prefix): 5 of 10 id digits = one bucket per 1e5 ids; 4 of 6
+    # length digits = one bucket per 100 length units — a SKEWED
+    # length distribution concentrates buckets (rank values
+    # unaffected, window parallelism suffers).
     arrival = global_rank_by(
-        base.withColumn("_k", F.lpad(F.col("_id").cast("string"), 10, "0")),
+        base.withColumn(
+            "_k",
+            F.lpad(_bounded(F.col("_id"), 10**10, "id"), 10, "0"),
+        ),
         key="_k",
         id_col="_id",
         prefix_len=5,
@@ -117,9 +147,9 @@ def batching_waste(
         base.withColumn(
             "_k",
             F.concat(
-                F.lpad(F.col("_len").cast("string"), 6, "0"),
+                F.lpad(_bounded(F.col("_len"), 10**6, "length"), 6, "0"),
                 F.lit(":"),
-                F.lpad(F.col("_id").cast("string"), 10, "0"),
+                F.lpad(_bounded(F.col("_id"), 10**10, "id"), 10, "0"),
             ),
         ),
         key="_k",

@@ -81,10 +81,24 @@ def chi2_feature_scores(
     labs = cells.groupBy("_label").agg(F.sum("_o").cast(_DEC).alias("_c"))
     n = cells.agg(F.sum("_o").cast(_DEC).alias("_n"))
 
-    # complete the grid: absent (feature, label) cells score too
+    # complete the grid: absent (feature, label) cells score too.
+    # NULL-SAFE join keys: groupBy keeps NULL feature/label values as
+    # first-class categories, and a plain-equality rejoin would
+    # silently zero their observed counts (inflating every feature's
+    # statistic); the DuckDB twin mirrors with IS NOT DISTINCT FROM.
+    cells_r = cells.select(
+        F.col("feature_value").alias("_fv"),
+        F.col("_label").alias("_lb"),
+        "_o",
+    )
     grid = (
         feats.crossJoin(F.broadcast(labs))
-        .join(cells, ["feature_value", "_label"], "left")
+        .join(
+            cells_r,
+            F.col("feature_value").eqNullSafe(F.col("_fv"))
+            & F.col("_label").eqNullSafe(F.col("_lb")),
+            "left",
+        )
         .crossJoin(F.broadcast(n))
         .select(
             "feature_value",

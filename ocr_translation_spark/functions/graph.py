@@ -474,6 +474,8 @@ def hits_scores(
     renormalization product by N * scale^2 ~ 1e25 at a trillion nodes
     — inside 38 digits; `div` returns LONG, exact.
     """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1 (got {iterations})")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).persist()
     n = nodes.select(F.col(node_col).alias("_n"))
     dec = "DECIMAL(38,0)"
@@ -557,7 +559,9 @@ def label_propagation(
     every still-unlabeled node adjacent to labeled nodes adopts the
     MAJORITY label among its labeled neighbors, ties broken by the
     minimum label — a pure function of (edges, seeds), so the DuckDB
-    unrolled-CTE twin reproduces it exactly.
+    unrolled-CTE twin reproduces it exactly. Seed rows are
+    deduplicated per node (conflicting labels for one seed node
+    resolve to the min label — the same tie rule the vote uses).
 
     The curation use: spread sparse human/classifier quality or
     language labels through the near-dup / link graph to cold-start a
@@ -590,6 +594,12 @@ def label_propagation(
             F.col(node_col).alias("node"),
             F.col(label_col).alias("label"),
         )
+        # one row per seed node: duplicate seed rows would double-count
+        # votes and emit duplicate output rows; conflicting labels for
+        # the same seed node resolve deterministically to the MIN label
+        # (the tie rule the propagation itself uses)
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
         .withColumn("round_assigned", F.lit(0))
         .persist()
     )

@@ -74,13 +74,15 @@ def scd2_history(
     w = Window.partitionBy(key_col).orderBy(*order)
 
     # A version opens when any tracked attribute null-safely differs
-    # from the previous observation of the same key (lag is NULL on
-    # the first row -> eqNullSafe is false unless the attr is NULL
-    # too, so the explicit first-row test keeps NULL-valued openers).
+    # from the previous observation of the same key. First-row
+    # detection is row_number == 1, NOT "lag(ts/tie) IS NULL": a feed
+    # whose first-ordered row carries NULL ts and tie would make the
+    # SECOND row look first and open a spurious version (the DuckDB
+    # twin tests rn = 1 — the formulations must agree).
     unchanged = F.lit(True)
     for a in attr_cols:
         unchanged = unchanged & F.col(a).eqNullSafe(F.lag(a).over(w))
-    is_first = F.lag(ts_col).over(w).isNull() & F.lag(tie_col).over(w).isNull()
+    is_first = F.row_number().over(w) == 1
     opens = changes.withColumn(
         "_opens", is_first | ~unchanged
     ).filter(F.col("_opens")).drop("_opens")

@@ -143,3 +143,38 @@ def test_batching_rejects_bad_batch_size(spark):
     df = spark.createDataFrame([(1, 1)], "doc_id long, ln long")
     with pytest.raises(ValueError):
         batching_waste(df, F.col("ln"), batch_size=0)
+
+
+def test_lp_duplicate_and_conflicting_seeds_resolve(spark):
+    # review-finding regression: duplicate seed rows must not
+    # double-count votes; conflicting labels for one node resolve to
+    # the min label
+    edges = [(1, 10), (2, 10)]
+    seeds = [(1, "y"), (1, "y"), (2, "x")]  # dup rows for node 1
+    got = _lp(spark, edges, seeds, iterations=1)
+    # without dedup node 10 would see y twice and x once -> y;
+    # deduped it is a 1-1 tie -> min label x
+    assert got[10] == ("x", 1)
+    # conflicting seed labels: min wins, one row out
+    seeds2 = [(1, "z"), (1, "a")]
+    got2 = _lp(spark, [(1, 2)], seeds2, iterations=1)
+    assert got2[1] == ("a", 0) and got2[2] == ("a", 1)
+
+
+def test_hits_rejects_zero_iterations(spark):
+    from ocr_translation_spark.functions.graph import hits_scores
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    n = spark.createDataFrame([(1,), (2,)], "node long")
+    with pytest.raises(ValueError):
+        hits_scores(e, n, iterations=0)
+
+
+def test_batching_out_of_range_length_raises(spark):
+    # review-finding regression: lpad TRUNCATES overflowing keys (a
+    # silent reorder); the in-plan guard must raise instead
+    df = spark.createDataFrame(
+        [(1, 10), (2, 2_000_000)], "doc_id long, ln long"
+    )
+    with pytest.raises(Exception, match="length out of"):
+        batching_waste(df, F.col("ln"), batch_size=2).collect()

@@ -114,3 +114,21 @@ def test_chi2_independent_feature_scores_zero(spark):
     got = chi2_feature_scores(df, "source", "lang").collect()
     assert {r.chi2_micro for r in got} == {0}
     assert {r.n_rows for r in got} == {3}
+
+
+def test_chi2_null_label_category_scores_correctly(spark):
+    # a NULL label is a first-class category: the grid rejoin must be
+    # null-safe or the observed (f, NULL) counts silently zero out and
+    # every feature's statistic inflates (review-finding regression)
+    rows = [
+        ("src_a", "en"), ("src_a", None), ("src_a", None),
+        ("src_b", "en"), ("src_b", "en"), ("src_b", None),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = {
+        r.feature_value: (r.n_rows, r.chi2_micro)
+        for r in chi2_feature_scores(df, "source", "lang").collect()
+    }
+    assert got == _chi2_reference(rows)
+    # and the statistic is genuinely non-zero here (distributions differ)
+    assert any(v[1] > 0 for v in got.values())

@@ -176,3 +176,20 @@ def test_scd2_asof_reconstructs_point_in_time(spark):
     # far future: current state, one row per key
     asof9 = {r.key: r.color for r in scd2_asof(hist, _ts(9)).collect()}
     assert asof9 == {1: "blue", 2: "green"}
+
+
+def test_scd2_null_leading_timestamp_not_double_opened(spark):
+    # review-finding regression: a first-ordered row with NULL ts and
+    # tie must not make the SECOND row look first (rn=1 is the test,
+    # not lag-IS-NULL) — an unchanged second observation stays
+    # compressed
+    rows = [
+        (1, None, None, "red", "S"),
+        (1, _ts(2), 5, "red", "S"),
+    ]
+    df = spark.createDataFrame(
+        rows, "key long, ts timestamp, tie long, color string, size string"
+    )
+    out = scd2_history(df, "key", "ts", ["color", "size"], "tie").collect()
+    assert len(out) == 1  # one version, not a spurious second
+    assert out[0].valid_from is None and out[0].is_current
