@@ -2999,6 +2999,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["batching_waste"] = _batchwaste
 
+    def _ppr(spark, sf):
+        """Personalized PageRank (random walk with restart) over the
+        shared link graph: restart mass pinned to the doc_id % 101
+        seed set, K=3 — scores rank proximity to the seeds and
+        seed-unreachable docs are exactly 0. Same persisted-edge /
+        prepared() discipline as pagerank_centrality."""
+        from ocr_translation_spark.functions.graph import pagerank
+        from ocr_translation_spark.functions._lsh_common import prepared
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+
+        def _build():
+            edges = _sha_link_edges(docs, n_docs)
+            seeds = docs.filter(F.col("doc_id") % 101 == 0).select(
+                "doc_id"
+            )
+            return pagerank(
+                edges,
+                docs.select("doc_id"),
+                node_col="doc_id",
+                seeds=seeds,
+            )
+
+        return prepared(
+            "entry:personalized_pagerank", (docs,), (n_docs,), _build
+        )
+
+    q["personalized_pagerank"] = _ppr
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3322,6 +3352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (in-window), ranks via snm_candidate_pairs' bucket-offset
         # form
         "batching_waste",
+        # born-demoted: the seed-restarted variant of
+        # pagerank_centrality's recurrence (in-window family rep)
+        "personalized_pagerank",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -6235,6 +6268,49 @@ SELECT policy, n_batches, real_tokens, padded_tokens,
        ((padded_tokens - real_tokens) * 1000000) // padded_tokens
          AS waste_ppm
 FROM pol
+"""
+
+    # Personalized PageRank: the same unrolled recurrence as
+    # pagerank_centrality with the restart mass (and round-0 rank)
+    # restricted to the doc_id % 101 seed set.
+    _ppr_steps = []
+    _pprev = "r0"
+    for _i in (1, 2, 3):
+        _ppr_steps.append(
+            f"s{_i} AS (\n"
+            f"  SELECT e.dst, sum({_pprev}.r // e.d)::BIGINT AS s\n"
+            f"  FROM e JOIN {_pprev} ON {_pprev}.node = e.src\n"
+            f"  GROUP BY e.dst\n"
+            f"), r{_i} AS (\n"
+            f"  SELECT d.doc_id AS node,\n"
+            f"         ((CASE WHEN d.doc_id % 101 = 0 THEN 150000\n"
+            f"                ELSE 0 END)\n"
+            f"          + (850000::HUGEINT * coalesce(s{_i}.s, 0))"
+            f" // 1000000)::BIGINT AS r\n"
+            f"  FROM documents d LEFT JOIN s{_i} ON s{_i}.dst = d.doc_id\n"
+            f")"
+        )
+        _pprev = f"r{_i}"
+    o["personalized_pagerank"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tg AS (
+  SELECT doc_id, list_distinct(list_filter(
+    [{_pr_tgt.format(k=1)},
+     {_pr_tgt.format(k=2)},
+     {_pr_tgt.format(k=3)}], t -> t <> doc_id)) AS ts
+  FROM documents, nn
+),
+e0 AS (SELECT doc_id AS src, unnest(ts) AS dst FROM tg),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM e0 GROUP BY src),
+e AS (SELECT e0.src, e0.dst, deg.d FROM e0 JOIN deg USING (src)),
+r0 AS (
+  SELECT doc_id AS node,
+         (CASE WHEN doc_id % 101 = 0 THEN 1000000 ELSE 0 END)::BIGINT
+           AS r
+  FROM documents
+),
+{", ".join(_ppr_steps)}
+SELECT node AS doc_id, r AS rank_micro FROM r3
 """
 
     return o

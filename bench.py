@@ -237,6 +237,8 @@ def main() -> None:
         "label_propagation",
         # arrival-vs-sorted inference-batching padding waste
         "batching_waste",
+        # seed-restarted personalized PageRank (K=3)
+        "personalized_pagerank",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

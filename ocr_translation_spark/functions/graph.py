@@ -189,15 +189,23 @@ def pagerank(
     iterations: int = 3,
     damping_ppm: int = 850_000,
     rank_scale: int = 1_000_000,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in EXACT integer micro-units:
     (node, rank_micro) after ``iterations`` synchronous power steps.
+    With ``seeds``, the PERSONALIZED variant (random walk with
+    restart): restart mass and initial rank land on the seed set
+    only, so scores rank proximity to the seeds — the related-items /
+    recommendation form (Jeh & Widom WWW'03) — and seed-unreachable
+    nodes score exactly 0.
 
     Integer recurrence (every engine reproduces it bit-for-bit —
     floor division at both the contribution and damping steps):
 
         contrib(u)  = r_k(u) // out_deg(u)
-        r_{k+1}(v)  = base + (damping_ppm * sum_in(v)) // 1_000_000
+        r_{k+1}(v)  = base(v) + (damping_ppm * sum_in(v)) // 1_000_000
+        base(v)     = rank_scale * (1e6 - damping_ppm) // 1e6,
+                      restricted to seeds when personalized
         base        = rank_scale * (1_000_000 - damping_ppm) // 1e6
 
     Dangling mass (nodes with no out-links) is dropped, the common
@@ -229,9 +237,36 @@ def pagerank(
 
     base = rank_scale * (1_000_000 - damping_ppm) // 1_000_000
     n = nodes.select(F.col(node_col).alias("_n"))
-    ranks = n.select(
-        "_n", F.lit(rank_scale).cast("long").alias("_r")
-    )
+    if seeds is None:
+        # classic PageRank: uniform restart — base mass everywhere
+        nb = n.withColumn("_b", F.lit(base).cast("long"))
+        ranks = nb.select(
+            "_n", F.lit(rank_scale).cast("long").alias("_r")
+        )
+    else:
+        # PERSONALIZED PageRank (random walk with restart): the
+        # restart mass lands only on the seed set, so scores measure
+        # proximity TO THE SEEDS (related-document / recommendation
+        # ranking), not global authority. Same recurrence, seed-
+        # conditional base; init mass on seeds only. Nodes with no
+        # directed path from a seed stay exactly 0 — exact integers
+        # make that a clean invariant, not an epsilon.
+        s = (
+            seeds.select(F.col(node_col).alias("_n"))
+            .distinct()
+            .withColumn("_sb", F.lit(base).cast("long"))
+        )
+        nb = n.join(s, "_n", "left").select(
+            "_n",
+            F.coalesce(F.col("_sb"), F.lit(0).cast("long")).alias("_b"),
+        )
+        ranks = nb.select(
+            "_n",
+            F.when(F.col("_b") > 0, F.lit(rank_scale))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_r"),
+        )
     for _ in range(iterations):
         inbound = (
             e.join(ranks, e["_s"] == ranks["_n"])
@@ -249,10 +284,10 @@ def pagerank(
         # returns the integral quotient as LONG — exact, and the
         # resulting rank is <= base + 0.85 * N * rank_scale, inside
         # LONG for any N below ~1e13 nodes. DuckDB twin: HUGEINT.
-        ranks = n.join(inbound, n["_n"] == inbound["_d"], "left").select(
+        ranks = nb.join(inbound, nb["_n"] == inbound["_d"], "left").select(
             "_n",
             F.expr(
-                f"CAST({base} + (({damping_ppm} * CAST(coalesce(_sum, 0)"
+                f"CAST(_b + (({damping_ppm} * CAST(coalesce(_sum, 0)"
                 f" AS DECIMAL(38,0))) div 1000000) AS LONG)"
             ).alias("_r"),
         )

@@ -132,6 +132,7 @@ _VARIANT_TAIL = {
     "rrf_fusion",
     "label_propagation",
     "batching_waste",
+    "personalized_pagerank",
 }
 
 
@@ -274,6 +275,9 @@ def test_driver_window_covers_every_operator_family():
         "label_propagation": "pagerank_centrality",
         # born-demoted: serving-side dual of document_packing
         "batching_waste": "document_packing",
+        # born-demoted: seed-restarted variant of the in-window
+        # pagerank_centrality recurrence
+        "personalized_pagerank": "pagerank_centrality",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

@@ -86,3 +86,82 @@ def test_total_mass_bounded(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def _run_ppr(spark, edge_list, node_list, seed_list, iterations=3):
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in edge_list]
+    )
+    nodes = spark.createDataFrame([Row(node=n) for n in node_list])
+    seeds = spark.createDataFrame([Row(node=n) for n in seed_list])
+    return {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(
+            edges, nodes, seeds=seeds, iterations=iterations
+        ).collect()
+    }
+
+
+def _ppr_reference(edge_list, node_list, seed_list, iterations=3):
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for s, d in edge_list:
+        out[s].append(d)
+    seeds = set(seed_list)
+    r = {n: (1_000_000 if n in seeds else 0) for n in node_list}
+    for _ in range(iterations):
+        inbound = defaultdict(int)
+        for u, ds in out.items():
+            if u in r:
+                c = r[u] // len(ds)
+                for d in ds:
+                    inbound[d] += c
+        r = {
+            n: (150_000 if n in seeds else 0)
+            + (850_000 * inbound.get(n, 0)) // 1_000_000
+            for n in node_list
+        }
+    return r
+
+
+def test_ppr_unreachable_nodes_score_exactly_zero(spark):
+    # seed 1 -> 2 -> 3 chain plus a disconnected 8 <-> 9 cycle: the
+    # cycle gets NO restart mass and NO walk mass — exactly 0
+    ranks = _run_ppr(
+        spark, [(1, 2), (2, 3), (8, 9), (9, 8)], [1, 2, 3, 8, 9], [1]
+    )
+    assert ranks[8] == 0 and ranks[9] == 0
+    assert ranks[1] > 0 and ranks[2] > 0 and ranks[3] > 0
+
+
+def test_ppr_matches_pure_python_reference(spark):
+    import hashlib
+
+    n = 30
+    edges = sorted(
+        {
+            (i, int(hashlib.sha256(f"{i}:{k}".encode()).hexdigest()[:8], 16) % n)
+            for i in range(n)
+            for k in (1, 2)
+        }
+        - {(i, i) for i in range(n)}
+    )
+    nodes = list(range(n))
+    seeds = [0, 7, 14, 21, 28]
+    assert _run_ppr(spark, edges, nodes, seeds) == _ppr_reference(
+        edges, nodes, seeds
+    )
+
+
+def test_ppr_seed_proximity_ordering(spark):
+    # 1 -> 2 -> 3: closer to the seed = more mass
+    ranks = _run_ppr(spark, [(1, 2), (2, 3)], [1, 2, 3], [1])
+    assert ranks[1] > ranks[2] > ranks[3] > 0
+
+
+def test_ppr_duplicate_seed_rows_are_deduped(spark):
+    edges = [(1, 2)]
+    a = _run_ppr(spark, edges, [1, 2], [1])
+    b = _run_ppr(spark, edges, [1, 2], [1, 1])
+    assert a == b
