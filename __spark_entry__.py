@@ -3029,6 +3029,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["personalized_pagerank"] = _ppr
 
+    def _gkmv(spark, sf):
+        """Per-group KMV cardinality (distinct users per (event_type,
+        day)) at k=32: dedup shuffle on the mixed (group, hash) key +
+        per-group rank window keeping the 32 smallest hashes — state
+        bounded at k per group. At sf0.01 some groups saturate
+        (estimator path) and some don't (exact path), so both
+        branches are oracle-covered."""
+        from ocr_translation_spark.functions.sketches import (
+            group_kmv_distinct,
+        )
+
+        ev = _read(spark, sf, "events")
+        grp = F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"),
+        )
+        return group_kmv_distinct(
+            ev.select(grp.alias("g"), F.col("user_id").cast("string").alias("u")),
+            group_col="g",
+            key_col="u",
+            k=32,
+        )
+
+    q["group_kmv_distinct"] = _gkmv
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3355,6 +3381,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: the seed-restarted variant of
         # pagerank_centrality's recurrence (in-window family rep)
         "personalized_pagerank",
+        # born-demoted: the per-group form of kmv_distinct (tail,
+        # same estimator), bounded-state dual of the exact
+        # events_hourly_users-style countDistinct; sketch family
+        # reps in-window are heavy_hitters + kmv-family verifiability
+        "group_kmv_distinct",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -6311,6 +6342,32 @@ r0 AS (
 ),
 {", ".join(_ppr_steps)}
 SELECT node AS doc_id, r AS rank_micro FROM r3
+"""
+
+    # Per-group KMV: same hash60 derivation, per-group row_number rank
+    # selection of the k smallest distinct hashes, same exact-integer
+    # estimator with both branches live at this scale.
+    o["group_kmv_distinct"] = """
+WITH h AS (
+  SELECT DISTINCT
+         event_type || ':' || strftime(date_trunc('day', ts),
+                                       '%Y-%m-%d') AS grp,
+         ('0x' || substr(sha256(user_id::VARCHAR), 1, 15))
+           ::UBIGINT::BIGINT AS h
+  FROM events
+), mins AS (
+  SELECT grp, h FROM (
+    SELECT grp, h,
+           row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= 32
+)
+SELECT grp, count(*)::BIGINT AS n_kept, max(h) AS kth_min,
+       (CASE WHEN count(*) < 32 THEN count(*)::HUGEINT
+             ELSE (31::HUGEINT * 1152921504606846976::HUGEINT)
+                  // max(h)
+        END)::BIGINT AS est_distinct
+FROM mins GROUP BY grp
 """
 
     return o

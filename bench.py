@@ -239,6 +239,8 @@ def main() -> None:
         "batching_waste",
         # seed-restarted personalized PageRank (K=3)
         "personalized_pagerank",
+        # bounded-state per-group KMV distinct (k=32 minima/group)
+        "group_kmv_distinct",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -301,3 +301,59 @@ def cms_estimates(
             ),
         )
     )
+
+
+def group_kmv_distinct(
+    df: DataFrame,
+    group_col,
+    key_col: str = "key",
+    k: int = 64,
+) -> DataFrame:
+    """Per-GROUP KMV distinct-count sketch:
+    (grp, n_kept, kth_min, est_distinct) — one row per group.
+
+    The scale path for per-group cardinality ("distinct users per
+    domain/day") when exact countDistinct's expand-shuffle over the
+    full key set is too heavy: state per group is bounded at k hashes
+    regardless of the group's true cardinality, and the estimator is
+    the same exact-integer KMV form as the global
+    :func:`kmv_distinct` (n_kept when the minima set is complete,
+    floor((k-1) * 2^60 / kth_min) once it saturates).
+
+    Spark shape (100 TB): dedup of (group, hash) — one shuffle on the
+    uniformly mixed composite key with map-side partial collapse —
+    then a rank window per group that keeps the k smallest hashes
+    (the per-group dual of the global orderBy-limit; output is
+    <= k rows per group BEFORE the final O(groups) aggregate). A hot
+    group costs one sorted window partition over its distinct hashes,
+    never a collected set.
+
+    Deterministic: sha-derived hashes + set-minima — partition
+    invariant, value-oracle-able per group.
+    """
+    grp = F.col(group_col) if isinstance(group_col, str) else group_col
+    hashed = df.select(
+        grp.alias("grp"), hash60(F.col(key_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    minima = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    numer = F.lit(k - 1).cast("decimal(38,0)") * F.lit(HASH_SPACE).cast(
+        "decimal(38,0)"
+    )
+    return minima.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth_min"),
+    ).select(
+        "grp",
+        "n_kept",
+        "kth_min",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("long"))
+        .otherwise(
+            F.call_function(
+                "div", numer, F.col("kth_min").cast("decimal(38,0)")
+            )
+        )
+        .alias("est_distinct"),
+    )

@@ -25,6 +25,7 @@ from ocr_translation_spark.functions.bloom import (
 )
 from ocr_translation_spark.functions.sketches import (
     HASH_SPACE,
+    group_kmv_distinct,
     kmv_distinct,
     misra_gries_heavy_hitters,
 )
@@ -289,3 +290,52 @@ def test_cms_partition_invariance(spark):
         ).collect()
     }
     assert one == many
+
+
+# --------------------------------------------------------- group KMV
+
+
+def test_group_kmv_both_branches_match_python_reference(spark):
+    # group "small" stays below k (exact branch); group "big"
+    # saturates (estimator branch) — both in one DataFrame so the
+    # per-group window really isolates groups.
+    rows = [("small", f"s{i % 9}") for i in range(200)]
+    rows += [("big", f"b{i % 400}") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["g", "u"]).repartition(7)
+    got = {
+        r["grp"]: (r["n_kept"], r["kth_min"], r["est_distinct"])
+        for r in group_kmv_distinct(df, "g", key_col="u", k=32).collect()
+    }
+    assert got["small"] == (9, max(_hash60_py(f"s{i}") for i in range(9)), 9)
+    hs = sorted({_hash60_py(f"b{i}") for i in range(400)})[:32]
+    assert got["big"] == (32, hs[-1], (32 - 1) * HASH_SPACE // hs[-1])
+    assert 0.5 * 400 < got["big"][2] < 2.0 * 400
+
+
+def test_group_kmv_partition_invariance(spark):
+    rows = [(f"g{i % 5}", f"v{i % 97}") for i in range(1500)]
+    one = {
+        tuple(r)
+        for r in group_kmv_distinct(
+            spark.createDataFrame(rows, ["g", "u"]).coalesce(1),
+            "g", key_col="u", k=16,
+        ).collect()
+    }
+    many = {
+        tuple(r)
+        for r in group_kmv_distinct(
+            spark.createDataFrame(rows, ["g", "u"]).repartition(13),
+            "g", key_col="u", k=16,
+        ).collect()
+    }
+    assert one == many
+
+
+def test_group_kmv_state_bounded_at_k_rows_per_group(spark):
+    # the pre-aggregate minima relation must carry <= k rows per
+    # group no matter the group's true cardinality
+    rows = [("hot", f"u{i}") for i in range(5000)] + [("cold", "only")]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    out = {r["grp"]: r["n_kept"] for r in
+           group_kmv_distinct(df, "g", key_col="u", k=8).collect()}
+    assert out == {"hot": 8, "cold": 1}
