@@ -3055,6 +3055,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["group_kmv_distinct"] = _gkmv
 
+    def _exact_q(spark, sf):
+        """EXACT per-group quantiles with bounded state (distributed
+        selection by iterative histogram narrowing) — the third point
+        of the percentile scale story: percentile() is exact but
+        buffers whole groups; the sampled variant bounds state but
+        answers for a sample; this is exact AND O(groups x bins) per
+        round. bins/limit are set low enough that the narrowing loop
+        genuinely runs (>= 1 histogram round) at sf0.01."""
+        from ocr_translation_spark.functions.selection import (
+            group_exact_quantiles,
+        )
+
+        ev = _read(spark, sf, "events")
+        return group_exact_quantiles(
+            ev, "event_type", "value",
+            qs=("0.5", "0.9", "0.99"), bins=16, limit=256,
+        )
+
+    q["exact_group_quantiles"] = _exact_q
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3386,6 +3406,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_hourly_users-style countDistinct; sketch family
         # reps in-window are heavy_hitters + kmv-family verifiability
         "group_kmv_distinct",
+        # born-demoted: exact-selection dual of the (demoted)
+        # events_percentiles pair; rank-statistics family rep
+        # in-window is quality_decile_stats
+        "exact_group_quantiles",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -6368,6 +6392,32 @@ SELECT grp, count(*)::BIGINT AS n_kept, max(h) AS kth_min,
                   // max(h)
         END)::BIGINT AS est_distinct
 FROM mins GROUP BY grp
+"""
+
+    # Exact discrete quantiles, derived independently by the naive
+    # path the Spark side exists to avoid: one full per-group sort
+    # (row_number) joined to exact Fraction-free DECIMAL rank math
+    # (ceil(q*n) with q parsed as an exact decimal literal).
+    o["exact_group_quantiles"] = """
+WITH v AS (
+  SELECT event_type AS grp, value AS v FROM events
+  WHERE value IS NOT NULL
+), n AS (
+  SELECT grp, count(*)::BIGINT AS n FROM v GROUP BY grp
+), qs(q) AS (
+  VALUES ('0.5'), ('0.9'), ('0.99')
+), t AS (
+  SELECT grp, n, q,
+         greatest(1::BIGINT,
+                  CAST(ceil(q::DECIMAL(10,6) * n) AS BIGINT)) AS rank
+  FROM n, qs
+), r AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+  FROM v
+)
+SELECT t.grp, t.q, t.rank, t.n, r.v AS value
+FROM t JOIN r ON r.grp = t.grp AND r.rn = t.rank
 """
 
     return o

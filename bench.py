@@ -241,6 +241,8 @@ def main() -> None:
         "personalized_pagerank",
         # bounded-state per-group KMV distinct (k=32 minima/group)
         "group_kmv_distinct",
+        # exact per-group quantiles by histogram narrowing
+        "exact_group_quantiles",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -133,6 +133,8 @@ _VARIANT_TAIL = {
     "label_propagation",
     "batching_waste",
     "personalized_pagerank",
+    "group_kmv_distinct",
+    "exact_group_quantiles",
 }
 
 
@@ -278,6 +280,11 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: seed-restarted variant of the in-window
         # pagerank_centrality recurrence
         "personalized_pagerank": "pagerank_centrality",
+        # born-demoted: per-group form of the kmv_distinct estimator
+        "group_kmv_distinct": "kmv_distinct",
+        # born-demoted: exact-selection dual of the demoted
+        # events_percentiles pair; rank-statistics rep in-window
+        "exact_group_quantiles": "quality_decile_stats",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

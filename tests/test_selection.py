@@ -1,0 +1,106 @@
+"""Unit tests for exact per-group quantiles by histogram narrowing
+(functions/selection.py).
+
+Checked against a pure-Python sorted-list reference on randomized
+data with duplicates, with `limit` forced far below the group sizes
+so the narrowing loop actually runs multiple rounds; plus partition
+invariance, the all-equal resolved path, the q=0 / q=1 rank edges,
+the inf-width midpoint-split round, and the max_rounds error."""
+
+import random
+from fractions import Fraction
+
+import pytest
+
+from ocr_translation_spark.functions.selection import (
+    group_exact_quantiles,
+)
+
+QS = ("0.0", "0.25", "0.5", "0.9", "0.99", "1.0")
+
+
+def _ref(rows, qs):
+    by_g = {}
+    for g, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append(v)
+    want = {}
+    for g, vs in by_g.items():
+        vs.sort()
+        for q in qs:
+            fq = Fraction(q)
+            r = max(1, -((-fq.numerator * len(vs)) // fq.denominator))
+            want[(g, q)] = (r, len(vs), vs[r - 1])
+    return want
+
+
+def _got(df):
+    return {
+        (r["grp"], r["q"]): (r["rank"], r["n"], r["value"])
+        for r in df.collect()
+    }
+
+
+def test_matches_sorted_reference_with_forced_rounds(spark):
+    rng = random.Random(7)
+    rows = []
+    for g, n in (("big", 4000), ("odd", 317), ("single", 1)):
+        rows += [(g, round(rng.uniform(-50, 50), 2)) for _ in range(n)]
+    rows += [("big", 3.14)] * 200        # heavy duplicate mass
+    rows += [("nullish", None), ("nullish", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(9)
+    out = group_exact_quantiles(df, "g", "v", qs=QS, bins=4, limit=16)
+    assert _got(out) == _ref(rows, QS)
+
+
+def test_all_equal_group_resolves_without_rounds(spark):
+    rows = [("dup", 7.5)] * 100
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = _got(group_exact_quantiles(df, "g", "v", qs=("0.5",), limit=2))
+    assert out == {("dup", "0.5"): (50, 100, 7.5)}
+
+
+def test_partition_invariance(spark):
+    rng = random.Random(11)
+    rows = [("g", round(rng.uniform(0, 1), 4)) for _ in range(2000)]
+    a = _got(group_exact_quantiles(
+        spark.createDataFrame(rows, ["g", "v"]).coalesce(1),
+        "g", "v", qs=("0.5", "0.9"), bins=8, limit=32))
+    b = _got(group_exact_quantiles(
+        spark.createDataFrame(rows, ["g", "v"]).repartition(13),
+        "g", "v", qs=("0.5", "0.9"), bins=8, limit=32))
+    assert a == b == _ref(rows, ("0.5", "0.9"))
+
+
+def test_inf_width_takes_midpoint_split(spark):
+    # hi - lo overflows double: the round must degrade to the exact
+    # midpoint 2-way split instead of minting NaN bins
+    rows = [("g", -1.7e308), ("g", -1.0), ("g", 0.0), ("g", 2.0),
+            ("g", 1.7e308)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = _got(group_exact_quantiles(df, "g", "v",
+                                     qs=("0.5",), bins=4, limit=1))
+    assert out == {("g", "0.5"): (3, 5, 0.0)}
+
+
+def test_rank_edges_q0_and_q1(spark):
+    rows = [("g", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = _got(group_exact_quantiles(df, "g", "v", qs=("0.0", "1.0"),
+                                     bins=4, limit=8))
+    assert out[("g", "0.0")] == (1, 100, 1.0)
+    assert out[("g", "1.0")] == (100, 100, 100.0)
+
+
+def test_q_out_of_range_rejected(spark):
+    df = spark.createDataFrame([("g", 1.0)], ["g", "v"])
+    with pytest.raises(ValueError):
+        group_exact_quantiles(df, "g", "v", qs=("1.5",))
+
+
+def test_max_rounds_exceeded_errors_loudly(spark):
+    rows = [("g", float(i)) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    with pytest.raises(RuntimeError):
+        group_exact_quantiles(df, "g", "v", qs=("0.5",), bins=2,
+                              limit=1, max_rounds=2)
