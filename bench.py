@@ -243,6 +243,8 @@ def main() -> None:
         "group_kmv_distinct",
         # exact per-group quantiles by histogram narrowing
         "exact_group_quantiles",
+        # 2-D Pareto frontier, local+global prune
+        "skyline_orders",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

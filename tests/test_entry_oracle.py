@@ -135,6 +135,7 @@ _VARIANT_TAIL = {
     "personalized_pagerank",
     "group_kmv_distinct",
     "exact_group_quantiles",
+    "skyline_orders",
 }
 
 
@@ -285,6 +286,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: exact-selection dual of the demoted
         # events_percentiles pair; rank-statistics rep in-window
         "exact_group_quantiles": "quality_decile_stats",
+        # born-demoted: multi-criteria shortlist; rank/shortlist reps
+        # in-window are quality_decile_stats + bm25_topk
+        "skyline_orders": "bm25_topk",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
