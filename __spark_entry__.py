@@ -3096,6 +3096,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["skyline_orders"] = _skyline
 
+    def _kmv_overlap(spark, sf):
+        """Audience overlap between event types from merged KMV
+        sketches (theta-sketch set operations): one (group, hash)
+        dedup shuffle, then everything runs on the O(groups x k)
+        minima. Two tiny planted groups (pii_scrub precedent) keep
+        the exact branch AND the mixed saturated/unsaturated pair
+        shape live at every oracle scale — real event types saturate
+        k=64 from sf0.001 up."""
+        from ocr_translation_spark.functions.sketches import (
+            kmv_set_overlap,
+        )
+
+        ev = _read(spark, sf, "events").select(
+            F.col("event_type").alias("g"),
+            F.col("user_id").cast("string").alias("u"),
+        )
+        plant_a = spark.range(40).select(
+            F.lit("zz_plant_a").alias("g"),
+            F.concat(F.lit("pu"), F.col("id")).alias("u"),
+        )
+        plant_b = spark.range(25).select(
+            F.lit("zz_plant_b").alias("g"),
+            F.concat(F.lit("pu"), F.col("id") + 20).alias("u"),
+        )
+        return kmv_set_overlap(
+            ev.unionByName(plant_a).unionByName(plant_b),
+            "g", key_col="u", k=64,
+        )
+
+    q["kmv_set_overlap"] = _kmv_overlap
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3435,6 +3466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the rank/shortlist family reps in-window are
         # quality_decile_stats + bm25_topk
         "skyline_orders",
+        # born-demoted: set-operation extension of the kmv_distinct
+        # estimator family (rep in-window: kmv_distinct)
+        "kmv_set_overlap",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -6468,6 +6502,75 @@ WITH pts AS (
 SELECT t.o_orderkey, t.price, t.d_day
 FROM pts t JOIN cum c ON t.price = c.price
 WHERE (c.mdh IS NULL OR c.mdh > t.d_day) AND NOT (c.md < t.d_day)
+"""
+
+    # KMV set overlap: same hash60 / per-group k-minima derivation,
+    # merged-sketch flags by hash, the same exact-vs-estimator branch
+    # rule (both groups unsaturated => the minima ARE the hash sets)
+    # and the same truncating integer division (HUGEINT //).
+    o["kmv_set_overlap"] = """
+WITH src AS (
+  SELECT event_type AS g, user_id::VARCHAR AS u FROM events
+  UNION ALL
+  SELECT 'zz_plant_a', 'pu' || i::VARCHAR FROM generate_series(0, 39) t(i)
+  UNION ALL
+  SELECT 'zz_plant_b', 'pu' || (i + 20)::VARCHAR
+  FROM generate_series(0, 24) t(i)
+), h AS (
+  SELECT DISTINCT g AS grp,
+         ('0x' || substr(sha256(u), 1, 15))::UBIGINT::BIGINT AS h
+  FROM src
+), m AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= 64
+), kept AS (
+  SELECT grp, count(*) AS n_kept FROM m GROUP BY grp
+), pairs AS (
+  SELECT x.grp AS a, y.grp AS b, x.n_kept AS na, y.n_kept AS nb
+  FROM kept x JOIN kept y ON x.grp < y.grp
+), sides AS (
+  SELECT p.a, p.b, p.na, p.nb, m.h, 1 AS wa, 0 AS wb
+  FROM pairs p JOIN m ON m.grp = p.a
+  UNION ALL
+  SELECT p.a, p.b, p.na, p.nb, m.h, 0, 1
+  FROM pairs p JOIN m ON m.grp = p.b
+), dedup AS (
+  SELECT a, b, na, nb, h, max(wa) AS ia, max(wb) AS ib
+  FROM sides GROUP BY a, b, na, nb, h
+), merged AS (
+  SELECT *, row_number() OVER (PARTITION BY a, b ORDER BY h) AS rn
+  FROM dedup
+), agg AS (
+  SELECT a, b, na, nb,
+         count(*)::BIGINT AS u_full,
+         sum(ia * ib)::BIGINT AS both_full,
+         sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END)::BIGINT AS k_eff,
+         max(CASE WHEN rn <= 64 THEN h END) AS theta,
+         sum(CASE WHEN rn <= 64 THEN ia * ib ELSE 0 END)::BIGINT
+           AS in_both
+  FROM merged GROUP BY a, b, na, nb
+), est AS (
+  SELECT a, b, k_eff, theta, in_both,
+         (na < 64 AND nb < 64) AS is_exact,
+         both_full,
+         CASE WHEN na < 64 AND nb < 64 THEN u_full
+              ELSE ((k_eff - 1)::HUGEINT
+                    * 1152921504606846976::HUGEINT // theta)::BIGINT
+         END AS est_union
+  FROM agg
+)
+SELECT a, b, k_eff, theta, in_both, est_union,
+       est_inter,
+       (est_inter::HUGEINT * 1000000 // est_union)::BIGINT AS jacc_micro
+FROM (
+  SELECT *,
+         CASE WHEN is_exact THEN both_full
+              ELSE (in_both::HUGEINT * est_union // k_eff)::BIGINT
+         END AS est_inter
+  FROM est
+)
 """
 
     return o

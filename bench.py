@@ -245,6 +245,8 @@ def main() -> None:
         "exact_group_quantiles",
         # 2-D Pareto frontier, local+global prune
         "skyline_orders",
+        # theta-sketch-style distinct set overlap (k=64)
+        "kmv_set_overlap",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -357,3 +357,134 @@ def group_kmv_distinct(
         )
         .alias("est_distinct"),
     )
+
+
+def kmv_set_overlap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str = "key",
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-set overlap between every pair of groups from merged
+    KMV sketches (theta-sketch-style set operations, Beyer et al.
+    SIGMOD'07): one row per unordered group pair (a < b) with
+    (a, b, k_eff, theta, in_both, est_union, est_inter, jacc_micro).
+
+    "How many distinct users do event types X and Y share?" at corpus
+    scale: exact distinct-intersection needs a full dedup of BOTH key
+    sets per pair; this needs one dedup shuffle of (group, hash) and
+    then works entirely on the O(groups x k) per-group minima.
+
+    Estimator: merge the two groups' k-minima, keep the k smallest
+    distinct hashes M (theta = max M, k_eff = |M|); then
+    ``est_union = (k_eff - 1) * 2^60 / theta`` and the intersection
+    is scaled from the fraction of M seen in BOTH sketches:
+    ``est_inter = in_both * est_union / k_eff`` (truncating integer
+    division on both engines). When NEITHER group saturated its
+    sketch (n_kept < k) the minima ARE the full hash sets and the
+    union/intersection/Jaccard are exact — both branches live and
+    value-oracle-checked. jacc_micro = est_inter * 10^6 / est_union.
+
+    Spark shape (100 TB): the only corpus-sized work is the
+    (group, hash) dedup with map-side partial collapse; pair
+    construction, merge windows and flag aggregation all run on the
+    bounded minima relation (groups x k rows). Deterministic:
+    sha-derived hashes, set minima, integer arithmetic.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    minima = (
+        df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            hash60(F.col(key_col)).alias("h"),
+        )
+        .distinct()
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("grp").orderBy(F.col("h").asc())
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    kept = minima.groupBy("grp").agg(F.count(F.lit(1)).alias("n_kept"))
+    pairs = (
+        kept.alias("x")
+        .join(kept.alias("y"), F.col("x.grp") < F.col("y.grp"))
+        .select(
+            F.col("x.grp").alias("a"),
+            F.col("y.grp").alias("b"),
+            F.col("x.n_kept").alias("na"),
+            F.col("y.n_kept").alias("nb"),
+        )
+    )
+    side_a = pairs.join(minima, pairs.a == minima.grp).select(
+        "a", "b", "na", "nb", "h",
+        F.lit(1).alias("wa"), F.lit(0).alias("wb"),
+    )
+    side_b = pairs.join(minima, pairs.b == minima.grp).select(
+        "a", "b", "na", "nb", "h",
+        F.lit(0).alias("wa"), F.lit(1).alias("wb"),
+    )
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("a", "b", "na", "nb", "h")
+        .agg(F.max("wa").alias("ia"), F.max("wb").alias("ib"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("a", "b").orderBy(F.col("h").asc())
+            ),
+        )
+    )
+    trunc = F.col("_rn") <= k
+    agg = merged.groupBy("a", "b", "na", "nb").agg(
+        # full merge of the two sketches (<= 2k rows/pair): when
+        # neither sketch saturated these ARE the full hash sets
+        F.count(F.lit(1)).alias("u_full"),
+        F.sum(F.col("ia") * F.col("ib")).alias("both_full"),
+        # k-truncated combined sketch for the estimator branch
+        F.sum(F.when(trunc, 1).otherwise(0)).alias("k_eff"),
+        F.max(F.when(trunc, F.col("h"))).alias("theta"),
+        F.sum(F.when(trunc, F.col("ia") * F.col("ib")).otherwise(0))
+        .alias("in_both"),
+    )
+    exact = (F.col("na") < k) & (F.col("nb") < k)
+    numer = (F.col("k_eff") - 1).cast("decimal(38,0)") * F.lit(
+        HASH_SPACE
+    ).cast("decimal(38,0)")
+    est_union = F.when(exact, F.col("u_full").cast("long")).otherwise(
+        F.call_function("div", numer, F.col("theta").cast("decimal(38,0)"))
+    )
+    return (
+        agg.select(
+            "a", "b", "k_eff", "theta", "in_both",
+            exact.alias("_exact"),
+            F.col("both_full"),
+            est_union.alias("est_union"),
+        )
+        .select(
+            "a", "b", "k_eff", "theta", "in_both", "est_union",
+            F.when(F.col("_exact"), F.col("both_full").cast("long"))
+            .otherwise(
+                F.call_function(
+                    "div",
+                    F.col("in_both").cast("decimal(38,0)")
+                    * F.col("est_union").cast("decimal(38,0)"),
+                    F.col("k_eff").cast("decimal(38,0)"),
+                )
+            )
+            .alias("est_inter"),
+        )
+        .select(
+            "a", "b", "k_eff", "theta", "in_both", "est_union",
+            "est_inter",
+            F.call_function(
+                "div",
+                F.col("est_inter").cast("decimal(38,0)")
+                * F.lit(1000000),
+                F.col("est_union").cast("decimal(38,0)"),
+            ).alias("jacc_micro"),
+        )
+    )

@@ -136,6 +136,7 @@ _VARIANT_TAIL = {
     "group_kmv_distinct",
     "exact_group_quantiles",
     "skyline_orders",
+    "kmv_set_overlap",
 }
 
 
@@ -289,6 +290,8 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: multi-criteria shortlist; rank/shortlist reps
         # in-window are quality_decile_stats + bm25_topk
         "skyline_orders": "bm25_topk",
+        # born-demoted: set-operation extension of kmv_distinct
+        "kmv_set_overlap": "kmv_distinct",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

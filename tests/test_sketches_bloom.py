@@ -339,3 +339,81 @@ def test_group_kmv_state_bounded_at_k_rows_per_group(spark):
     out = {r["grp"]: r["n_kept"] for r in
            group_kmv_distinct(df, "g", key_col="u", k=8).collect()}
     assert out == {"hot": 8, "cold": 1}
+
+
+# ------------------------------------------------------- KMV overlap
+
+
+def _kmv_overlap_ref(sets, k):
+    want = {}
+    for a in sets:
+        for b in sets:
+            if not a < b:
+                continue
+            ha = sorted({_hash60_py(x) for x in sets[a]})[:k]
+            hb = sorted({_hash60_py(x) for x in sets[b]})[:k]
+            full = sorted(set(ha) | set(hb))
+            u_full, both_full = len(full), len(set(ha) & set(hb))
+            m = full[:k]
+            k_eff, theta = len(m), m[-1]
+            in_both = sum(1 for h in m if h in set(ha) and h in set(hb))
+            if len(ha) < k and len(hb) < k:
+                eu, ei = u_full, both_full
+            else:
+                eu = (k_eff - 1) * HASH_SPACE // theta
+                ei = in_both * eu // k_eff
+            want[(a, b)] = (k_eff, theta, in_both, eu, ei,
+                            ei * 1000000 // eu)
+    return want
+
+
+def test_kmv_overlap_matches_python_reference_both_branches(spark):
+    from ocr_translation_spark.functions.sketches import kmv_set_overlap
+
+    sets = {
+        "A": {f"u{i}" for i in range(0, 700)},      # saturated
+        "B": {f"u{i}" for i in range(350, 1000)},   # saturated
+        "C": {f"u{i}" for i in range(0, 20)},       # exact
+        "D": {f"u{i}" for i in range(5, 31)},       # exact
+    }
+    rows = [(g, u) for g, us in sets.items() for u in us] * 2  # dups
+    df = spark.createDataFrame(rows, ["g", "u"]).repartition(7)
+    got = {
+        (r["a"], r["b"]): tuple(r)[2:]
+        for r in kmv_set_overlap(df, "g", "u", k=48).collect()
+    }
+    assert got == _kmv_overlap_ref(sets, 48)
+    # exact pair: true Jaccard of C,D = |{5..19}| / |{0..30}| = 15/31
+    assert got[("C", "D")][3:5] == (31, 15)
+
+
+def test_kmv_overlap_disjoint_sets_zero_intersection(spark):
+    from ocr_translation_spark.functions.sketches import kmv_set_overlap
+
+    rows = [("L", f"l{i}") for i in range(500)]
+    rows += [("R", f"r{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    r = kmv_set_overlap(df, "g", "u", k=32).collect()[0]
+    assert (r["in_both"], r["est_inter"], r["jacc_micro"]) == (0, 0, 0)
+    assert 250 < r["est_union"] < 4000  # ballpark of 1000
+
+
+def test_kmv_overlap_partition_invariance(spark):
+    from ocr_translation_spark.functions.sketches import kmv_set_overlap
+
+    rows = [(f"g{i % 3}", f"v{i % 200}") for i in range(2000)]
+    one = {tuple(r) for r in kmv_set_overlap(
+        spark.createDataFrame(rows, ["g", "u"]).coalesce(1),
+        "g", "u", k=16).collect()}
+    many = {tuple(r) for r in kmv_set_overlap(
+        spark.createDataFrame(rows, ["g", "u"]).repartition(13),
+        "g", "u", k=16).collect()}
+    assert one == many
+
+
+def test_kmv_overlap_rejects_tiny_k(spark):
+    from ocr_translation_spark.functions.sketches import kmv_set_overlap
+
+    with pytest.raises(ValueError):
+        kmv_set_overlap(spark.range(1).selectExpr("'g' g", "'u' u"),
+                        "g", "u", k=1)
