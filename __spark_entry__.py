@@ -3127,6 +3127,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmv_set_overlap"] = _kmv_overlap
 
+    def _phash_nd(spark, sf):
+        """Perceptual near-dup over the binary media column: 64-bit
+        occupancy-grid hash (pure JVM codegen over the SYNTHIMG token
+        text — the deterministic stand-in for DCT pHash, same
+        plumbing) + pigeonhole-EXACT banded Hamming join (radius 3 <
+        4 bands => complete recall, no cross join). Near-dup pairs
+        are planted by unioning a drop-first-token variant of every
+        media_ref ending in 0 or 8 (same rule in the oracle)."""
+        from ocr_translation_spark.functions.phash import phash_near_dup
+
+        media = spark.read.parquet(
+            os.path.join(_fixture_dir(), "media.parquet")
+        ).select("media_ref", "media_bytes")
+        ls = F.split(F.decode(F.col("media_bytes"), "ISO-8859-1"), "\n")
+        pert = (
+            media.filter(F.substring(F.col("media_ref"), -1, 1)
+                         .isin("0", "8"))
+            .select(
+                F.concat(F.col("media_ref"), F.lit("~v2"))
+                .alias("media_ref"),
+                F.encode(
+                    F.concat_ws(
+                        "\n",
+                        F.concat(
+                            F.array(F.element_at(ls, 1)),
+                            F.expr(
+                                "slice(split(decode(media_bytes, "
+                                "'ISO-8859-1'), '\\n'), 3, "
+                                "greatest(size(split(decode("
+                                "media_bytes, 'ISO-8859-1'), '\\n'))"
+                                " - 2, 0))"
+                            ),
+                        ),
+                    ),
+                    "ISO-8859-1",
+                ).alias("media_bytes"),
+            )
+        )
+        return phash_near_dup(media.unionByName(pert))
+
+    q["phash_near_dup"] = _phash_nd
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3469,6 +3511,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: set-operation extension of the kmv_distinct
         # estimator family (rep in-window: kmv_distinct)
         "kmv_set_overlap",
+        # born-demoted: perceptual-media member of the banded-sketch
+        # near-dup family (rep in-window: simhash_near_dup; media
+        # plumbing rep: media_metadata via extract_synthetic_e2e)
+        "phash_near_dup",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -6571,6 +6617,56 @@ FROM (
          END AS est_inter
   FROM est
 )
+"""
+
+    # Perceptual near-dup twin: same SYNTHIMG token parse, same
+    # occupancy-grid hash (HUGEINT shift folded to signed BIGINT two's
+    # complement — Spark's shiftleft wraps, DuckDB's BIGINT << errors
+    # on bit 63), same drop-first-token plant rule, but the NAIVE
+    # quadratic all-pairs scan — the independent check that the banded
+    # join is pigeonhole-complete at radius 3.
+    o["phash_near_dup"] = f"""
+WITH media AS (SELECT media_ref, media_bytes FROM {_FX_MEDIA}),
+pert AS (
+  SELECT media_ref || '~v2' AS media_ref,
+         encode(array_to_string(list_concat([ls[1]], ls[3:]),
+                                chr(10))) AS media_bytes
+  FROM (SELECT media_ref,
+               string_split(decode(media_bytes), chr(10)) AS ls
+        FROM media
+        WHERE substr(media_ref, length(media_ref), 1) IN ('0', '8'))
+), allm AS (
+  SELECT * FROM media UNION ALL SELECT * FROM pert
+), plines AS (
+  SELECT media_ref,
+         unnest(string_split(decode(media_bytes), chr(10))) AS line
+  FROM allm
+), ptoks AS (
+  SELECT media_ref,
+         regexp_extract(line, '^(.*)@(\\d+),(\\d+)$',
+                        ['tok', 'y', 'x']) AS m
+  FROM plines WHERE line <> '' AND line <> 'SYNTHIMG/1'
+), dims AS (
+  SELECT media_ref, m.y::BIGINT AS y, m.x::BIGINT AS x,
+         max(m.x::BIGINT) OVER (PARTITION BY media_ref) + 1 AS w,
+         max(m.y::BIGINT) OVER (PARTITION BY media_ref) + 1 AS h
+  FROM ptoks
+), hs AS (
+  SELECT media_ref,
+         bit_or(1::HUGEINT
+                << (8 * ((y * 8) // h) + ((x * 8) // w))::INT) AS hu
+  FROM dims GROUP BY media_ref
+), ph AS (
+  SELECT a.media_ref,
+         coalesce(CASE WHEN hs.hu >= (1::HUGEINT << 63)
+                       THEN (hs.hu - (1::HUGEINT << 64))::BIGINT
+                       ELSE hs.hu::BIGINT END, 0) AS phash
+  FROM allm a LEFT JOIN hs USING (media_ref)
+)
+SELECT x.media_ref AS ref_a, y.media_ref AS ref_b,
+       bit_count(xor(x.phash, y.phash))::INT AS hamming
+FROM ph x JOIN ph y ON x.media_ref < y.media_ref
+WHERE bit_count(xor(x.phash, y.phash)) <= 3
 """
 
     return o

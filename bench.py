@@ -247,6 +247,8 @@ def main() -> None:
         "skyline_orders",
         # theta-sketch-style distinct set overlap (k=64)
         "kmv_set_overlap",
+        # perceptual occupancy-grid hash + banded Hamming join
+        "phash_near_dup",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

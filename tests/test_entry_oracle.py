@@ -137,6 +137,7 @@ _VARIANT_TAIL = {
     "exact_group_quantiles",
     "skyline_orders",
     "kmv_set_overlap",
+    "phash_near_dup",
 }
 
 
@@ -292,6 +293,9 @@ def test_driver_window_covers_every_operator_family():
         "skyline_orders": "bm25_topk",
         # born-demoted: set-operation extension of kmv_distinct
         "kmv_set_overlap": "kmv_distinct",
+        # born-demoted: perceptual-media member of the banded-sketch
+        # near-dup family
+        "phash_near_dup": "simhash_near_dup",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
