@@ -59,8 +59,42 @@ from __future__ import annotations
 import math
 from fractions import Fraction
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
+
+#: above this many surviving groups the per-group OR envelope would
+#: bloat the plan; fall back to the single global range (still
+#: pushable, still correct — the exact check rides the bounds join)
+_PREFILTER_GROUP_CAP = 64
+
+
+def _range_prefilter(states: dict) -> Column:
+    """LITERAL range predicate covering every open state — unlike the
+    bounds-join filter (whose lo/hi are join columns), literals push
+    down to parquet row-group stats / cached-batch stats, so later
+    narrowing rounds scan O(selectivity) of the base table instead of
+    all of it. Coarse by design (per-group envelope over that group's
+    states, or one global envelope past the cap); the exact per-state
+    range check still happens after the bounds join."""
+    per_group: dict[str, list[float]] = {}
+    for (g, _), s in states.items():
+        if g in per_group:
+            per_group[g][0] = min(per_group[g][0], s["lo"])
+            per_group[g][1] = max(per_group[g][1], s["hi"])
+        else:
+            per_group[g] = [s["lo"], s["hi"]]
+    if len(per_group) > _PREFILTER_GROUP_CAP:
+        glo = min(v[0] for v in per_group.values())
+        ghi = max(v[1] for v in per_group.values())
+        return (F.col("v") >= F.lit(glo)) & (F.col("v") <= F.lit(ghi))
+    pred = F.lit(False)
+    for g, (lo, hi) in per_group.items():
+        pred = pred | (
+            (F.col("grp") == F.lit(g))
+            & (F.col("v") >= F.lit(lo))
+            & (F.col("v") <= F.lit(hi))
+        )
+    return pred
 
 
 def group_exact_quantiles(
@@ -130,8 +164,13 @@ def group_exact_quantiles(
                 [(g, q, s["lo"], s["hi"]) for (g, q), s in work.items()],
                 "grp string, q string, lo double, hi double",
             )
-            joined = base.join(F.broadcast(bounds), "grp").filter(
-                (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+            joined = (
+                base.filter(_range_prefilter(work))
+                .join(F.broadcast(bounds), "grp")
+                .filter(
+                    (F.col("v") >= F.col("lo"))
+                    & (F.col("v") <= F.col("hi"))
+                )
             )
             # per-state bin index; driver-detected inf width degrades
             # to an exact midpoint 2-way split for that round
@@ -204,8 +243,13 @@ def group_exact_quantiles(
                 "grp string, q string, lo double, hi double,"
                 " rank long, grank long, n long",
             )
-            cand = base.join(F.broadcast(fin), "grp").filter(
-                (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+            cand = (
+                base.filter(_range_prefilter(open_states))
+                .join(F.broadcast(fin), "grp")
+                .filter(
+                    (F.col("v") >= F.col("lo"))
+                    & (F.col("v") <= F.col("hi"))
+                )
             )
             w = Window.partitionBy("grp", "q").orderBy(F.col("v").asc())
             parts.append(

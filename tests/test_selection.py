@@ -104,3 +104,44 @@ def test_max_rounds_exceeded_errors_loudly(spark):
     with pytest.raises(RuntimeError):
         group_exact_quantiles(df, "g", "v", qs=("0.5",), bins=2,
                               limit=1, max_rounds=2)
+
+
+def test_narrowing_prefilter_reaches_the_scan(spark, tmp_path):
+    # the round prefilter is a LITERAL predicate (unlike the bounds
+    # join's column comparison) precisely so it pushes to parquet
+    # row-group stats: later rounds must scan O(selectivity), not all
+    from ocr_translation_spark.functions.selection import (
+        _range_prefilter,
+    )
+
+    p = str(tmp_path / "vals.parquet")
+    spark.createDataFrame(
+        [("g", float(i)) for i in range(1000)], "grp string, v double"
+    ).write.parquet(p)
+    states = {("g", "0.5"): {"lo": 200.0, "hi": 300.0}}
+    plan = (
+        spark.read.parquet(p)
+        .filter(_range_prefilter(states))
+        ._jdf.queryExecution().simpleString()
+    )
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    # simpleString truncates long filter lists; match prefixes
+    assert "GreaterThanOrEqual(v,200" in pushed
+    assert "LessThanOrEqual(v,300" in pushed
+
+
+def test_prefilter_group_cap_falls_back_to_global_envelope(spark):
+    from ocr_translation_spark.functions.selection import (
+        _PREFILTER_GROUP_CAP,
+        _range_prefilter,
+    )
+
+    states = {
+        (f"g{i}", "0.5"): {"lo": float(i), "hi": float(i + 1)}
+        for i in range(_PREFILTER_GROUP_CAP + 1)
+    }
+    df = spark.createDataFrame(
+        [("g0", 0.5), ("g0", 999.0)], "grp string, v double"
+    )
+    # global envelope [0, cap+1]: keeps 0.5, drops 999
+    assert df.filter(_range_prefilter(states)).count() == 1
