@@ -249,6 +249,8 @@ def main() -> None:
         "kmv_set_overlap",
         # perceptual occupancy-grid hash + banded Hamming join
         "phash_near_dup",
+        # bitext mutual-NN alignment with margin (exact baseline)
+        "mutual_nn_align",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

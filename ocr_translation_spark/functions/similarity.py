@@ -334,3 +334,98 @@ def lsh_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def mutual_nn_align(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Bitext-style alignment: (a_id, b_id, sim, margin_bp) for every
+    MUTUAL nearest-neighbor pair between two embedding corpora.
+
+    The translation-pair mining shape (the reference's en->vi theme at
+    corpus scale): a pair survives iff a's best match in B is b AND
+    b's best match in A is a — the mutual-NN criterion that filters
+    hubness mismatches in bitext mining (Artetxe & Schwenk '19), plus
+    a margin score: best minus second-best similarity from a's side in
+    integer basis points (difference margin; a ratio margin is
+    ill-defined for negative cosines). margin_bp is NULL when B has a
+    single candidate.
+
+    Exactness discipline: cosine is evaluated with the same
+    index-ordered fold as brute_force_topk, so the doubles are
+    bit-identical to DuckDB's list_dot_product; the margin subtracts
+    the two basis-point INTEGERS (never doubles), so it is exact.
+
+    Scale shape: this is the labeled exact baseline (broadcast of the
+    smaller side x linear scan, one scored relation feeding both
+    direction windows). At corpus scale candidate generation delegates
+    to the SRP-LSH / IVF paths (ann_recall_eval measures their recall)
+    with this operator applied to the candidate set.
+    """
+    a = df_a.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).cast("array<double>").alias("av"),
+    )
+    b = df_b.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).cast("array<double>").alias("bv"),
+    )
+    # the broadcast-nested-loop join inherits the CORPUS side's
+    # partitioning; a small parquet corpus arrives as one split and
+    # would score |A| x |B| cosines on one task — spread it (O(|B|)
+    # shuffle, a no-op when the corpus is already parallel)
+    target = df_b.sparkSession.sparkContext.defaultParallelism
+    if b.rdd.getNumPartitions() < target:
+        b = b.repartition(target)
+    scored = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                cosine(F.col("av"), F.col("bv")), round_digits
+            ).alias("sim"),
+        )
+        # both direction windows read this once: lazy localCheckpoint
+        # materializes the scored relation on first action and the
+        # blocks are released by the ContextCleaner when dropped
+        .localCheckpoint(eager=False)
+    )
+    wa = Window.partitionBy("a_id").orderBy(
+        F.col("sim").desc(), F.col("b_id").asc()
+    )
+    ranked = scored.withColumn("ra", F.row_number().over(wa)).filter(
+        F.col("ra") <= 2
+    )
+    bp = lambda c: F.round(c * 10000).cast("long")  # noqa: E731
+    best_a = ranked.filter(F.col("ra") == 1).select(
+        "a_id", "b_id", "sim", bp(F.col("sim")).alias("_bp1")
+    )
+    second_a = ranked.filter(F.col("ra") == 2).select(
+        "a_id", bp(F.col("sim")).alias("_bp2")
+    )
+    wb = Window.partitionBy("b_id").orderBy(
+        F.col("sim").desc(), F.col("a_id").asc()
+    )
+    best_b = (
+        scored.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") == 1)
+        .select(F.col("b_id").alias("bb_id"), F.col("a_id").alias("ba_id"))
+    )
+    return (
+        best_a.join(
+            best_b,
+            (F.col("b_id") == F.col("bb_id"))
+            & (F.col("a_id") == F.col("ba_id")),
+        )
+        .join(second_a, "a_id", "left")
+        .select(
+            "a_id", "b_id", "sim",
+            (F.col("_bp1") - F.col("_bp2")).alias("margin_bp"),
+        )
+    )

@@ -138,6 +138,7 @@ _VARIANT_TAIL = {
     "skyline_orders",
     "kmv_set_overlap",
     "phash_near_dup",
+    "mutual_nn_align",
 }
 
 
@@ -296,6 +297,8 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: perceptual-media member of the banded-sketch
         # near-dup family
         "phash_near_dup": "simhash_near_dup",
+        # born-demoted: mutual-NN composition over the ANN family
+        "mutual_nn_align": "ann_recall_eval",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
