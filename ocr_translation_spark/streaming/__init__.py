@@ -12,3 +12,7 @@ from .upsert_stream import (  # noqa: F401
     current_state,
     stream_upsert,
 )
+from .kmv_stream import (  # noqa: F401
+    read_kmv_output,
+    stream_kmv_distinct,
+)
