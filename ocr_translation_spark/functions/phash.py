@@ -4,10 +4,13 @@ the binary media column.
 The image-dedup analogue of simhash for documents: a 64-bit
 OCCUPANCY-GRID hash — each payload's token coordinates are quantized
 onto a fixed ``grid x grid`` raster (bit g*floor(y*g/h) + floor(x*g/w)
-set iff any token lands in that cell), so the signature is invariant
-under proportional rescaling (integer upscaling maps every token to
-the same cell — tested against ``multimodal.resize_tokens``) and
-moves by O(1) bits under small edits. This is the deterministic
+set iff any token lands in that cell). The signature drifts O(1) bits
+under small edits and under proportional rescaling — NEAR-invariant,
+not exactly invariant, because the codec stores no dimensions and
+w/h are re-derived as max coord + 1, so cells at bin boundaries can
+shift (the drift bound is pinned against ``multimodal.resize_tokens``
+in tests; size ``max_hamming`` accordingly when hunting rescaled
+copies). This is the deterministic
 stand-in for DCT pHash: the real-pixel path would compute the same
 64-bit signature from an 8x8 low-frequency DCT behind the PIL gate in
 ``functions/multimodal.py``; the SYNTHIMG token grid gives the exact
@@ -131,9 +134,14 @@ def phash_near_dup(
         raise ValueError(
             "max_hamming must be < bands for pigeonhole-exact recall"
         )
-    if 64 % bands:
-        raise ValueError("bands must divide 64")
-    width = 64 // bands
+    # band over the grid^2 LIVE bits only: with grid < 8, banding the
+    # full 64-bit word would make every always-zero upper band match
+    # every pair — the equi-join would silently degenerate to the
+    # quadratic all-pairs scan it exists to avoid
+    live_bits = grid * grid
+    if live_bits % bands:
+        raise ValueError("bands must divide grid^2")
+    width = live_bits // bands
     mask = (1 << width) - 1
     ph = media_phash(media_df, grid=grid).filter("synth").select(
         "media_ref", "phash"

@@ -112,6 +112,10 @@ def group_exact_quantiles(
     non-null ``value_col`` within the group (a real data element,
     never an interpolation). ``qs`` are decimal strings, parsed
     exactly. NULL values are ignored; empty groups yield no row.
+    Rows with a NULL group key are dropped up front — the narrowing
+    rounds route state through an equi-join on the group key, which
+    NULL can never match (a NULL-keyed group would otherwise loop to
+    max_rounds instead of narrowing).
     """
     if bins < 2:
         raise ValueError("bins must be >= 2")
@@ -121,7 +125,7 @@ def group_exact_quantiles(
             F.col(group_col).cast("string").alias("grp"),
             F.col(value_col).cast("double").alias("v"),
         )
-        .filter(F.col("v").isNotNull())
+        .filter(F.col("v").isNotNull() & F.col("grp").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:

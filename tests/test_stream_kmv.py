@@ -144,3 +144,20 @@ def test_null_keys_ignored(spark, tmp_path):
     _mk_stream(spark, tmp_path, in_dir).awaitTermination(300)
     got = read_kmv_output(spark, str(tmp_path / "out")).collect()[0]
     assert (got["n_kept"], got["est_distinct"]) == (2, 2)
+
+
+def test_checkpoint_reset_new_data_still_merges(spark, tmp_path):
+    # review fix: batch ids restart at 0 under a reset checkpoint; a
+    # watermark-gated merge would silently drop the NEW file's keys.
+    # The set-union merge must run unconditionally.
+    in_dir = _write_chunks(tmp_path, [["a", "b", "c"]])
+    _mk_stream(spark, tmp_path, in_dir).awaitTermination(300)
+    got1 = read_kmv_output(spark, str(tmp_path / "out")).collect()[0]
+    assert got1["est_distinct"] == 3
+
+    # checkpoint is RESET (ck2) but the state dir is retained, and a
+    # new file lands: it replays as batch 0 <= last_batch
+    _write_chunks(tmp_path, [["d", "e"]], start=1)
+    _mk_stream(spark, tmp_path, in_dir, ck="ck2").awaitTermination(300)
+    got2 = read_kmv_output(spark, str(tmp_path / "out")).collect()[0]
+    assert got2["est_distinct"] == 5
