@@ -3075,6 +3075,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["exact_group_quantiles"] = _exact_q
 
+    def _weighted_q(spark, sf):
+        """WEIGHTED exact quantiles (smallest value whose cumulative
+        weight reaches ceil(q*W)) — the token-weighted-percentile
+        shape over lineitem: price quantiles weighted by quantity,
+        per return flag. Same bounded-state narrowing loop with
+        weight-mass histograms; limit bounds final-selection rows."""
+        from ocr_translation_spark.functions.selection import (
+            group_exact_quantiles,
+        )
+
+        li = _read(spark, sf, "lineitem")
+        return group_exact_quantiles(
+            li, "l_returnflag", "l_extendedprice",
+            qs=("0.5", "0.9", "0.99"), bins=16, limit=256,
+            weight_col="l_quantity",
+        )
+
+    q["weighted_quantiles"] = _weighted_q
+
     def _skyline(spark, sf):
         """Exact 2-D skyline of orders — maximize price, minimize
         order date ("highest-value earliest orders"): local per-
@@ -3537,6 +3556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: mutual-NN composition over the ANN family
         # (reps in-window: ivf_ann_topk + ann_recall_eval)
         "mutual_nn_align",
+        # born-demoted: weighted variant of exact_group_quantiles
+        # (rank-statistics rep in-window: quality_decile_stats)
+        "weighted_quantiles",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -6545,6 +6567,37 @@ WITH v AS (
 )
 SELECT t.grp, t.q, t.rank, t.n, r.v AS value
 FROM t JOIN r ON r.grp = t.grp AND r.rn = t.rank
+"""
+
+    # Weighted twin: cumulative-weight window instead of row_number;
+    # min(v) over qualifying rows is tie-order independent (every row
+    # below the answer value has cumulative weight < rank in ANY
+    # ordering of equal values).
+    o["weighted_quantiles"] = """
+WITH v AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS v,
+         l_quantity::BIGINT AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+), n AS (
+  SELECT grp, sum(w)::BIGINT AS n FROM v GROUP BY grp
+), qs(q) AS (
+  VALUES ('0.5'), ('0.9'), ('0.99')
+), t AS (
+  SELECT grp, n, q,
+         greatest(1::BIGINT,
+                  CAST(ceil(q::DECIMAL(10,6) * n) AS BIGINT)) AS rank
+  FROM n, qs
+), c AS (
+  SELECT grp, v,
+         sum(w) OVER (PARTITION BY grp ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cw
+  FROM v
+)
+SELECT t.grp, t.q, t.rank, t.n, min(c.v) AS value
+FROM t JOIN c ON c.grp = t.grp AND c.cw >= t.rank
+GROUP BY t.grp, t.q, t.rank, t.n
 """
 
     # Skyline by the independent O(n log n) window formulation: a row

@@ -251,6 +251,8 @@ def main() -> None:
         "phash_near_dup",
         # bitext mutual-NN alignment with margin (exact baseline)
         "mutual_nn_align",
+        # weighted exact quantiles (weight-mass narrowing)
+        "weighted_quantiles",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -105,32 +105,51 @@ def group_exact_quantiles(
     bins: int = 128,
     limit: int = 4096,
     max_rounds: int = 64,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One row per (group, q): (grp, q, rank, n, value).
 
     ``value`` is the exact rank-``max(1, ceil(q*n))``-th smallest
     non-null ``value_col`` within the group (a real data element,
-    never an interpolation). ``qs`` are decimal strings, parsed
+    never an interpolation), where ``n`` and the rank count WEIGHT
+    when ``weight_col`` is given (positive integer weights; the
+    weighted discrete quantile "smallest v whose cumulative weight
+    reaches ceil(q*W)" — e.g. token-weighted document percentiles)
+    and plain rows otherwise. ``qs`` are decimal strings, parsed
     exactly. NULL values are ignored; empty groups yield no row.
     Rows with a NULL group key are dropped up front — the narrowing
     rounds route state through an equi-join on the group key, which
     NULL can never match (a NULL-keyed group would otherwise loop to
-    max_rounds instead of narrowing).
+    max_rounds instead of narrowing) — as are rows with NULL or
+    non-positive weight. ``limit`` bounds final-selection ROWS per
+    state regardless of their weight.
     """
     if bins < 2:
         raise ValueError("bins must be >= 2")
     spark = df.sparkSession
+    w_expr = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
     base = (
         df.select(
             F.col(group_col).cast("string").alias("grp"),
             F.col(value_col).cast("double").alias("v"),
+            w_expr.alias("w"),
         )
-        .filter(F.col("v").isNotNull() & F.col("grp").isNotNull())
+        .filter(
+            F.col("v").isNotNull()
+            & F.col("grp").isNotNull()
+            & F.col("w").isNotNull()
+            & (F.col("w") > 0)
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
         stats = base.groupBy("grp").agg(
-            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("n"),
+            F.count(F.lit(1)).alias("rows"),
             F.min("v").alias("mn"),
             F.max("v").alias("mx"),
         ).collect()
@@ -150,9 +169,11 @@ def group_exact_quantiles(
                 else:
                     open_states[(row["grp"], q)] = {
                         "lo": row["mn"], "hi": row["mx"],
-                        # rank = remaining rank inside [lo, hi];
-                        # grank = the reported global rank ceil(q*n)
-                        "rank": rank, "grank": rank, "cnt": n, "n": n,
+                        # rank = remaining WEIGHT rank inside [lo, hi];
+                        # grank = the reported global rank ceil(q*n);
+                        # cnt = ROWS in range (bounds the final sort)
+                        "rank": rank, "grank": rank,
+                        "cnt": row["rows"], "n": n,
                     }
 
         rounds = 0
@@ -194,7 +215,8 @@ def group_exact_quantiles(
                 mid = F.col("lo") / 2.0 + F.col("hi") / 2.0
                 b = F.when(F.col("v") < mid, F.lit(0)).otherwise(F.lit(1))
             hist = joined.groupBy("grp", "q", b.alias("b")).agg(
-                F.count(F.lit(1)).alias("c"),
+                F.sum("w").alias("c"),       # weight mass per bin
+                F.count(F.lit(1)).alias("rc"),  # rows per bin
                 F.min("v").alias("bmn"),
                 F.max("v").alias("bmx"),
             ).collect()
@@ -217,14 +239,14 @@ def group_exact_quantiles(
                             del open_states[key]
                         elif (
                             r["bmn"] == s["lo"] and r["bmx"] == s["hi"]
-                            and r["c"] == s["cnt"]
+                            and r["rc"] == s["cnt"]
                         ):
                             # no progress (guard; see module docstring)
                             s["cnt"] = 0  # force-finalize
                             s["rank"] = new_rank
                         else:
                             s.update(lo=r["bmn"], hi=r["bmx"],
-                                     rank=new_rank, cnt=r["c"])
+                                     rank=new_rank, cnt=r["rc"])
                         break
                     cum += r["c"]
 
@@ -255,12 +277,21 @@ def group_exact_quantiles(
                     & (F.col("v") <= F.col("hi"))
                 )
             )
-            w = Window.partitionBy("grp", "q").orderBy(F.col("v").asc())
+            # smallest v whose cumulative weight reaches the rank
+            # (with unit weights this is exactly the rank-th row)
+            win = (
+                Window.partitionBy("grp", "q")
+                .orderBy(F.col("v").asc())
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow)
+            )
             parts.append(
-                cand.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == F.col("rank"))
+                cand.withColumn("_cw", F.sum("w").over(win))
+                .filter(F.col("_cw") >= F.col("rank"))
+                .groupBy("grp", "q", "grank", "n")
+                .agg(F.min("v").alias("value"))
                 .select("grp", "q", F.col("grank").alias("rank"), "n",
-                        F.col("v").alias("value"))
+                        "value")
             )
         if not parts:
             return spark.createDataFrame([], out_schema)

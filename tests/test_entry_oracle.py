@@ -139,6 +139,7 @@ _VARIANT_TAIL = {
     "kmv_set_overlap",
     "phash_near_dup",
     "mutual_nn_align",
+    "weighted_quantiles",
 }
 
 
@@ -299,6 +300,8 @@ def test_driver_window_covers_every_operator_family():
         "phash_near_dup": "simhash_near_dup",
         # born-demoted: mutual-NN composition over the ANN family
         "mutual_nn_align": "ann_recall_eval",
+        # born-demoted: weighted variant of exact_group_quantiles
+        "weighted_quantiles": "quality_decile_stats",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

@@ -157,3 +157,38 @@ def test_null_group_keys_dropped_not_looping(spark):
                                      bins=4, limit=8, max_rounds=16))
     assert set(out) == {("g", "0.5")}
     assert out[("g", "0.5")] == (250, 500, 249.0)
+
+
+def test_weighted_matches_expanded_reference(spark):
+    # weighted quantile == unweighted quantile over the row expanded
+    # weight times; forced narrowing rounds
+    rng = random.Random(23)
+    rows = [("g", round(rng.uniform(0, 100), 1), rng.randrange(1, 7))
+            for _ in range(800)]
+    rows += [("h", 5.0, 3), ("h", 9.0, 1)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = {
+        (r["grp"], r["q"]): (r["rank"], r["n"], r["value"])
+        for r in group_exact_quantiles(
+            df, "g", "v", qs=("0.5", "0.9"), bins=4, limit=16,
+            weight_col="w",
+        ).collect()
+    }
+    expanded = [(g, v) for g, v, w in rows for _ in range(w)]
+    assert got == _ref(expanded, ("0.5", "0.9"))
+    # hand check: group h has W=4, ceil(.5*4)=2 -> cumulative weight
+    # of 5.0 is 3 >= 2 -> the median is 5.0
+    assert got[("h", "0.5")] == (2, 4, 5.0)
+
+
+def test_nonpositive_and_null_weights_dropped(spark):
+    rows = [("g", 1.0, 2), ("g", 2.0, 0), ("g", 3.0, -5),
+            ("g", 4.0, None), ("g", 9.0, 2)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = {
+        (r["grp"], r["q"]): (r["rank"], r["n"], r["value"])
+        for r in group_exact_quantiles(
+            df, "g", "v", qs=("1.0",), weight_col="w"
+        ).collect()
+    }
+    assert got == {("g", "1.0"): (4, 4, 9.0)}
