@@ -3207,6 +3207,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mutual_nn_align"] = _mutual_align
 
+    def _topk_pushdown(spark, sf):
+        """Grouped top-k with per-partition pruning: the rank window
+        runs over <= k x partitions rows per group instead of whole
+        groups (top-k is a mergeable summary; local-top-k is a sound
+        superset under the total (value, tiebreak) order). Top-3
+        priciest orders per order priority."""
+        from ocr_translation_spark.functions.topk import grouped_topk
+
+        o = _read(spark, sf, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        return grouped_topk(
+            o, "o_orderpriority", "o_totalprice", "o_orderkey", k=3
+        )
+
+    q["grouped_topk_pushdown"] = _topk_pushdown
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3559,6 +3576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: weighted variant of exact_group_quantiles
         # (rank-statistics rep in-window: quality_decile_stats)
         "weighted_quantiles",
+        # born-demoted: bounded-shuffle dual of the window top-k
+        # family (rep in-window: curation_e2e's per-source cap)
+        "grouped_topk_pushdown",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -6778,6 +6798,19 @@ SELECT x.a_id, x.b_id, x.sim, (x.bp1 - sec_a.bp2) AS margin_bp
 FROM best_a x
 JOIN best_b y ON x.b_id = y.b_id AND x.a_id = y.a_id
 LEFT JOIN sec_a ON sec_a.a_id = x.a_id
+"""
+
+    # Top-k pushdown twin: the plain (unpruned) rank window — the
+    # independent proof that per-partition pruning changed the plan,
+    # not the row set.
+    o["grouped_topk_pushdown"] = """
+SELECT o_orderkey, o_orderpriority, o_totalprice, rank FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
 """
 
     return o

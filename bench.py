@@ -253,6 +253,8 @@ def main() -> None:
         "mutual_nn_align",
         # weighted exact quantiles (weight-mass narrowing)
         "weighted_quantiles",
+        # grouped top-k with per-partition pruning
+        "grouped_topk_pushdown",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

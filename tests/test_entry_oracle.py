@@ -140,6 +140,7 @@ _VARIANT_TAIL = {
     "phash_near_dup",
     "mutual_nn_align",
     "weighted_quantiles",
+    "grouped_topk_pushdown",
 }
 
 
@@ -302,6 +303,8 @@ def test_driver_window_covers_every_operator_family():
         "mutual_nn_align": "ann_recall_eval",
         # born-demoted: weighted variant of exact_group_quantiles
         "weighted_quantiles": "quality_decile_stats",
+        # born-demoted: bounded-shuffle dual of the window top-k
+        "grouped_topk_pushdown": "curation_e2e",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
