@@ -3224,6 +3224,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["grouped_topk_pushdown"] = _topk_pushdown
 
+    def _merkle(spark, sf):
+        """Anti-entropy replica diff in O(diverged buckets): both
+        sides fold to 64 order-insensitive xor fingerprints; the
+        row-level diff joins ONLY the disagreeing buckets, pushed in
+        as a literal isin predicate. Drift is planted in-query
+        (snapshot_diff's documents vs a drop/modify/add twin) and the
+        twin proves the bucket-pruned result equals the naive full
+        diff."""
+        from ocr_translation_spark.functions.diff import (
+            merkle_bucket_diff,
+        )
+
+        old = _read(spark, sf, "documents").select("doc_id", "text")
+        drifted = (
+            old.filter(F.col("doc_id") % 97 != 0)
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 89 == 0,
+                    F.concat(
+                        F.lit("CHANGED-"),
+                        F.col("doc_id").cast("string"),
+                    ),
+                ).otherwise(F.col("text")),
+            )
+            .unionByName(
+                spark.range(1000000, 1000005).select(
+                    F.col("id").alias("doc_id"),
+                    F.lit("brand new").alias("text"),
+                )
+            )
+        )
+        return merkle_bucket_diff(old, drifted, buckets=64)
+
+    q["merkle_replica_diff"] = _merkle
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3579,6 +3615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: bounded-shuffle dual of the window top-k
         # family (rep in-window: curation_e2e's per-source cap)
         "grouped_topk_pushdown",
+        # born-demoted: bucket-pruned scale path of the in-window
+        # snapshot_diff (its value-identical detail engine)
+        "merkle_replica_diff",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -6811,6 +6850,31 @@ SELECT o_orderkey, o_orderpriority, o_totalprice, rank FROM (
            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
   FROM orders
 ) WHERE rank <= 3
+"""
+
+    # Merkle replica diff twin: the NAIVE full-outer diff over the
+    # same planted drift — the independent proof the bucket pruning
+    # changed the plan, not the row set.
+    o["merkle_replica_diff"] = """
+WITH old AS (
+  SELECT doc_id, text FROM documents
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 89 = 0
+              THEN 'CHANGED-' || doc_id::VARCHAR
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT 1000000 + i, 'brand new' FROM generate_series(0, 4) t(i)
+), j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, status FROM j WHERE status <> 'unchanged'
 """
 
     return o

@@ -255,6 +255,8 @@ def main() -> None:
         "weighted_quantiles",
         # grouped top-k with per-partition pruning
         "grouped_topk_pushdown",
+        # Merkle bucket-checksum replica diff (anti-entropy)
+        "merkle_replica_diff",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -141,6 +141,7 @@ _VARIANT_TAIL = {
     "mutual_nn_align",
     "weighted_quantiles",
     "grouped_topk_pushdown",
+    "merkle_replica_diff",
 }
 
 
@@ -305,6 +306,8 @@ def test_driver_window_covers_every_operator_family():
         "weighted_quantiles": "quality_decile_stats",
         # born-demoted: bounded-shuffle dual of the window top-k
         "grouped_topk_pushdown": "curation_e2e",
+        # born-demoted: bucket-pruned scale path of snapshot_diff
+        "merkle_replica_diff": "snapshot_diff",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
