@@ -3260,6 +3260,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merkle_replica_diff"] = _merkle
 
+    def _drift(spark, sf):
+        """Corpus distribution-shift monitor: the terms most over-
+        represented in the English slice vs the rest (and vice
+        versa), Laplace-smoothed relative-frequency ratios in exact
+        ppm (the log-odds family without logs — monotone, integer,
+        oracle-able). One corpus explode + one vocab-sized aggregate;
+        heads are TakeOrdered."""
+        from ocr_translation_spark.functions.drift import (
+            corpus_drift_terms,
+        )
+
+        docs = _read(spark, sf, "documents")
+        return corpus_drift_terms(
+            docs.filter(F.col("lang") == "en"),
+            docs.filter(F.col("lang") != "en"),
+            k=15, min_count=5,
+        )
+
+    q["corpus_drift_terms"] = _drift
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3618,6 +3638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: bucket-pruned scale path of the in-window
         # snapshot_diff (its value-identical detail engine)
         "merkle_replica_diff",
+        # born-demoted: corpus-statistics family (reps in-window:
+        # pmi_collocations + tfidf_top_terms)
+        "corpus_drift_terms",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -6875,6 +6898,43 @@ WITH old AS (
   FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
 )
 SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+"""
+
+    # Drift twin: same tokenization, same exact HUGEINT cross-
+    # multiplied smoothed ratio, same two rank heads.
+    o["corpus_drift_terms"] = """
+WITH toks AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+         unnest(list_filter(
+           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+           t -> t <> '')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term, sum(a)::BIGINT AS cnt_a,
+         sum(1 - a)::BIGINT AS cnt_b
+  FROM toks GROUP BY term
+), tot AS (
+  SELECT sum(cnt_a)::BIGINT AS ta, sum(cnt_b)::BIGINT AS tb,
+         count(*)::BIGINT AS v
+  FROM vocab
+), scored AS (
+  SELECT term, cnt_a, cnt_b,
+         (((cnt_a + 1)::HUGEINT * (tb + v) * 1000000)
+          // ((cnt_b + 1)::HUGEINT * (ta + v)))::BIGINT AS ratio_micro
+  FROM vocab, tot WHERE cnt_a + cnt_b >= 5
+), ra AS (
+  SELECT *, row_number() OVER (ORDER BY ratio_micro DESC, term)
+         AS rank FROM scored
+), rb AS (
+  SELECT *, row_number() OVER (ORDER BY ratio_micro ASC, term)
+         AS rank FROM scored
+)
+SELECT term, cnt_a, cnt_b, ratio_micro, 'a' AS direction,
+       rank::INT AS rank
+FROM ra WHERE rank <= 15
+UNION ALL
+SELECT term, cnt_a, cnt_b, ratio_micro, 'b', rank::INT
+FROM rb WHERE rank <= 15
 """
 
     return o

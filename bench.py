@@ -257,6 +257,8 @@ def main() -> None:
         "grouped_topk_pushdown",
         # Merkle bucket-checksum replica diff (anti-entropy)
         "merkle_replica_diff",
+        # corpus distribution-shift terms (exact ppm log-odds family)
+        "corpus_drift_terms",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -142,6 +142,7 @@ _VARIANT_TAIL = {
     "weighted_quantiles",
     "grouped_topk_pushdown",
     "merkle_replica_diff",
+    "corpus_drift_terms",
 }
 
 
@@ -308,6 +309,8 @@ def test_driver_window_covers_every_operator_family():
         "grouped_topk_pushdown": "curation_e2e",
         # born-demoted: bucket-pruned scale path of snapshot_diff
         "merkle_replica_diff": "snapshot_diff",
+        # born-demoted: corpus-statistics family
+        "corpus_drift_terms": "pmi_collocations",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
