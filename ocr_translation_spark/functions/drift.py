@@ -88,6 +88,11 @@ def corpus_drift_terms(
                 * dec(F.col("ta") + F.col("v")),
             ).alias("ratio_micro"),
         )
+        # both rank heads read this once: without the checkpoint each
+        # head would re-run the corpus explode + vocab aggregate
+        # (plans are trees); the materialized relation is O(filtered
+        # vocabulary), never corpus
+        .localCheckpoint(eager=False)
     )
     def head(direction, asc):
         order = [
