@@ -3280,6 +3280,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_drift_terms"] = _drift
 
+    def _winsor(spark, sf):
+        """Winsorized (p05/p95-clipped) robust per-group statistics
+        in exact micro-units: the feature-clipping stage of an ML
+        data pipeline, composed from two exact operators — discrete
+        cutoffs via bounded-state histogram narrowing
+        (selection.group_exact_quantiles), then ONE corpus pass with
+        a broadcast O(groups) cutoff join, HALF_UP micro rounding and
+        order-insensitive BIGINT sums. bins/limit forced low so the
+        narrowing loop genuinely runs at sf0.01."""
+        from ocr_translation_spark.functions.winsorize import (
+            winsorized_stats,
+        )
+
+        ev = _read(spark, sf, "events")
+        return winsorized_stats(
+            ev, "event_type", "value", bins=16, limit=256,
+        )
+
+    q["winsorized_stats"] = _winsor
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3641,6 +3661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: corpus-statistics family (reps in-window:
         # pmi_collocations + tfidf_top_terms)
         "corpus_drift_terms",
+        # born-demoted: robust-statistics composition over the
+        # exact_group_quantiles engine (rank-statistics rep
+        # in-window: quality_decile_stats)
+        "winsorized_stats",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -6680,6 +6704,51 @@ WITH v AS (
 SELECT t.grp, t.q, t.rank, t.n, min(c.v) AS value
 FROM t JOIN c ON c.grp = t.grp AND c.cw >= t.rank
 GROUP BY t.grp, t.q, t.rank, t.n
+"""
+
+    # Winsorize twin: same discrete-quantile cutoffs (rank =
+    # max(1, ceil(q*n)) smallest element), same clamp, same HALF_UP
+    # rounding of the DOUBLE product v*1e6, same truncating integer
+    # mean — independent engine, identical exact arithmetic.
+    o["winsorized_stats"] = """
+WITH v AS (
+  SELECT event_type AS grp, value AS v FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+), n AS (
+  SELECT grp, count(*)::BIGINT AS n FROM v GROUP BY grp
+), qs(q) AS (
+  VALUES ('0.05'), ('0.95')
+), t AS (
+  SELECT grp, n, q,
+         greatest(1::BIGINT,
+                  CAST(ceil(q::DECIMAL(10,6) * n) AS BIGINT)) AS rank
+  FROM n, qs
+), r AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+  FROM v
+), cuts AS (
+  SELECT t.grp,
+         max(CASE WHEN t.q = '0.05' THEN r.v END) AS lo,
+         max(CASE WHEN t.q = '0.95' THEN r.v END) AS hi
+  FROM t JOIN r ON r.grp = t.grp AND r.rn = t.rank
+  GROUP BY t.grp
+), clipped AS (
+  SELECT v.grp,
+         CASE WHEN v.v < c.lo THEN 1 ELSE 0 END AS low,
+         CASE WHEN v.v > c.hi THEN 1 ELSE 0 END AS high,
+         CAST(round(greatest(least(v.v, c.hi), c.lo) * 1000000)
+              AS BIGINT) AS cv_micro,
+         CAST(round(c.lo * 1000000) AS BIGINT) AS lo_micro,
+         CAST(round(c.hi * 1000000) AS BIGINT) AS hi_micro
+  FROM v JOIN cuts c ON c.grp = v.grp
+)
+SELECT grp, count(*)::BIGINT AS n, sum(low)::BIGINT AS n_low,
+       sum(high)::BIGINT AS n_high, lo_micro, hi_micro,
+       sum(cv_micro)::BIGINT AS sum_micro,
+       (sum(cv_micro)::HUGEINT // count(*)::HUGEINT)::BIGINT
+         AS mean_micro
+FROM clipped GROUP BY grp, lo_micro, hi_micro
 """
 
     # Skyline by the independent O(n log n) window formulation: a row

@@ -259,6 +259,8 @@ def main() -> None:
         "merkle_replica_diff",
         # corpus distribution-shift terms (exact ppm log-odds family)
         "corpus_drift_terms",
+        # winsorized robust stats (clip at exact p05/p95, micro sums)
+        "winsorized_stats",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -143,6 +143,7 @@ _VARIANT_TAIL = {
     "grouped_topk_pushdown",
     "merkle_replica_diff",
     "corpus_drift_terms",
+    "winsorized_stats",
 }
 
 
@@ -311,6 +312,9 @@ def test_driver_window_covers_every_operator_family():
         "merkle_replica_diff": "snapshot_diff",
         # born-demoted: corpus-statistics family
         "corpus_drift_terms": "pmi_collocations",
+        # born-demoted: robust-statistics composition over the
+        # exact-selection engine; rank-statistics rep in-window
+        "winsorized_stats": "quality_decile_stats",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
