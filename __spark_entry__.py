@@ -3300,6 +3300,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winsorized_stats"] = _winsor
 
+    def _growth(spark, sf):
+        """Running-distinct growth accounting (daily active / new /
+        returning / cumulative users) via the FIRST-TOUCH identity:
+        a user counts toward the cumulative total exactly on their
+        min(day), so the unbounded windowed-DISTINCT over the corpus
+        (which Spark refuses and which buffers O(users) per day)
+        becomes one ordinary cumulative SUM over the O(days) rollup.
+        The DuckDB twin runs the NAIVE windowed count(DISTINCT) form
+        — an independent proof of the identity."""
+        from ocr_translation_spark.functions.growth import (
+            cumulative_new_users,
+        )
+
+        return cumulative_new_users(_read(spark, sf, "events"))
+
+    q["cumulative_new_users"] = _growth
+
+    def _cusum(spark, sf):
+        """CUSUM changepoint detection in exact cross-multiplied
+        integers (D_t = T*S_t - t*N; no mean, no division, no float):
+        where did each series' daily-volume LEVEL shift? A level
+        shift is planted in-query (the 'error' slice doubled from
+        Jan 16 on) so the extremum is non-degenerate and the
+        cold_before direction genuinely fires."""
+        from ocr_translation_spark.functions.changepoint import (
+            cusum_changepoint,
+        )
+
+        ev = _read(spark, sf, "events").select("event_type", "ts")
+        planted = ev.unionByName(
+            ev.filter(
+                (F.col("event_type") == "error")
+                & (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+            )
+        )
+        return cusum_changepoint(planted)
+
+    q["cusum_changepoint"] = _cusum
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3665,6 +3704,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact_group_quantiles engine (rank-statistics rep
         # in-window: quality_decile_stats)
         "winsorized_stats",
+        # born-demoted: events time-accounting family (rep in-window:
+        # events_hourly); the first-touch running-distinct identity
+        "cumulative_new_users",
+        # born-demoted: daily-volume monitoring family (rep
+        # in-window: events_hourly; MAD flags outlier DAYS, CUSUM
+        # locates the LEVEL SHIFT)
+        "cusum_changepoint",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -6749,6 +6795,73 @@ SELECT grp, count(*)::BIGINT AS n, sum(low)::BIGINT AS n_low,
        (sum(cv_micro)::HUGEINT // count(*)::HUGEINT)::BIGINT
          AS mean_micro
 FROM clipped GROUP BY grp, lo_micro, hi_micro
+"""
+
+    # Growth twin: the NAIVE unbounded windowed count(DISTINCT) —
+    # the formulation the Spark operator decomposes away (first-touch
+    # identity); matching it proves the identity, not the plan.
+    o["cumulative_new_users"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), c AS (
+  SELECT day, count(DISTINCT u) OVER (ORDER BY day) AS cum
+  FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY day ORDER BY u) = 1
+), d AS (
+  SELECT day, count(*)::BIGINT AS dau FROM pairs GROUP BY day
+), j AS (
+  SELECT d.day, d.dau,
+         (c.cum - coalesce(lag(c.cum) OVER (ORDER BY c.day), 0))
+           ::BIGINT AS new_users,
+         c.cum::BIGINT AS cum_users
+  FROM d JOIN c ON c.day = d.day
+)
+SELECT day, dau, new_users,
+       (dau - new_users)::BIGINT AS returning_users, cum_users
+FROM j
+"""
+
+    # CUSUM twin: identical exact integer recurrence over the same
+    # planted level shift, via windows.
+    o["cusum_changepoint"] = """
+WITH ev AS (
+  SELECT event_type, ts FROM events
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-16'
+), daily AS (
+  SELECT event_type AS series,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*)::BIGINT AS x
+  FROM ev GROUP BY 1, 2
+), cum AS (
+  SELECT series, day,
+         sum(x) OVER (PARTITION BY series ORDER BY day)::BIGINT
+           AS s_t,
+         row_number() OVER (PARTITION BY series ORDER BY day)
+           ::BIGINT AS t,
+         count(*) OVER (PARTITION BY series)::BIGINT AS n_days,
+         sum(x) OVER (PARTITION BY series)::BIGINT AS total
+  FROM daily
+), interior AS (
+  SELECT *, (n_days * s_t - t * total) AS d_signed
+  FROM cum WHERE t < n_days
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY series ORDER BY abs(d_signed) DESC, day ASC) AS rk
+  FROM interior
+)
+SELECT series, day AS cp_day, t AS t_cp, n_days, total,
+       abs(d_signed)::BIGINT AS dev,
+       CASE WHEN d_signed >= 0 THEN 'hot_before'
+            ELSE 'cold_before' END AS direction,
+       ((s_t * 1000000)::HUGEINT // t::HUGEINT)::BIGINT
+         AS mean_before_micro,
+       (((total - s_t) * 1000000)::HUGEINT
+        // (n_days - t)::HUGEINT)::BIGINT AS mean_after_micro
+FROM ranked WHERE rk = 1
 """
 
     # Skyline by the independent O(n log n) window formulation: a row

@@ -261,6 +261,10 @@ def main() -> None:
         "corpus_drift_terms",
         # winsorized robust stats (clip at exact p05/p95, micro sums)
         "winsorized_stats",
+        # running-distinct growth curve (first-touch identity)
+        "cumulative_new_users",
+        # exact-integer CUSUM level-shift detection
+        "cusum_changepoint",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

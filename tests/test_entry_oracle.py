@@ -144,6 +144,8 @@ _VARIANT_TAIL = {
     "merkle_replica_diff",
     "corpus_drift_terms",
     "winsorized_stats",
+    "cumulative_new_users",
+    "cusum_changepoint",
 }
 
 
@@ -315,6 +317,12 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: robust-statistics composition over the
         # exact-selection engine; rank-statistics rep in-window
         "winsorized_stats": "quality_decile_stats",
+        # born-demoted: events time-accounting family (first-touch
+        # running-distinct identity)
+        "cumulative_new_users": "events_hourly",
+        # born-demoted: daily-volume monitoring family (MAD flags
+        # outlier days; CUSUM locates the level shift)
+        "cusum_changepoint": "events_hourly",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
