@@ -265,6 +265,10 @@ def main() -> None:
         "cumulative_new_users",
         # exact-integer CUSUM level-shift detection
         "cusum_changepoint",
+        # MRR eval of the BM25 ranker vs boolean-AND relevance
+        "mrr_eval",
+        # inter-arrival-regularity bot detection (exact CV^2 ppm)
+        "bot_regularity_scores",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

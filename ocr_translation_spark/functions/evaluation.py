@@ -157,3 +157,76 @@ def span_eval(
             F.expr("(2000000 * tp) div (n_pred + n_gold)"),
         ).alias("f1_micro"),
     )
+
+
+def mrr_eval(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean-reciprocal-rank ingredients for a fixed query set over an
+    exact-integer BM25 ranking (retrieval.bm25_topk): one row per
+    query — (query_id, n_rel_topk, first_rel_rank, rr_micro).
+
+    Ground truth is the boolean-AND rule: a document is RELEVANT to a
+    query iff it contains every query term (n_matched == |terms| in
+    bm25_topk's output — but the DuckDB twin re-derives both the
+    ranking and the relevance independently, so the label is not
+    self-certifying). ``first_rel_rank`` is the 1-indexed rank of the
+    best relevant document within the top_k (0 if none made the
+    cut), and ``rr_micro = 1000000 div first_rel_rank`` is the exact
+    truncating reciprocal rank the caller averages into MRR.
+
+    Scale shape: the query set is O(1) (an eval harness, not a
+    workload), so the plan is |queries| independent bm25_topk
+    subtrees — each one corpus scan with row-local tf/dl aggregates,
+    ONE single-row stats broadcast and a TakeOrdered head — unioned;
+    the per-query rank/relevance reduction runs over top_k rows.
+    """
+    from pyspark.sql import Window
+    from ocr_translation_spark.functions.retrieval import bm25_topk
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    parts = []
+    for qid in sorted(queries):
+        terms = queries[qid]
+        topk = bm25_topk(
+            df, terms, top_k=top_k, text_col=text_col, id_col=id_col
+        )
+        # re-derive the 1-indexed rank under bm25_topk's own total
+        # order (score desc, numeric id asc) over the tiny k-row head
+        w = Window.orderBy(
+            F.col("score_micro").desc(),
+            F.col(id_col).cast("long").asc(),
+        )
+        rel = F.col("n_matched") == len(terms)
+        parts.append(
+            topk.select(
+                F.row_number().over(w).alias("rank"),
+                rel.alias("rel"),
+            ).agg(
+                F.lit(qid).alias("query_id"),
+                F.sum(F.when(F.col("rel"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_rel_topk"),
+                F.coalesce(
+                    F.min(F.when(F.col("rel"), F.col("rank"))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("first_rel_rank"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "rr_micro",
+        F.when(
+            F.col("first_rel_rank") > 0,
+            F.expr("1000000 div first_rel_rank"),
+        ).otherwise(F.lit(0).cast("long")),
+    )

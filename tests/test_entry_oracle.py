@@ -146,6 +146,8 @@ _VARIANT_TAIL = {
     "winsorized_stats",
     "cumulative_new_users",
     "cusum_changepoint",
+    "mrr_eval",
+    "bot_regularity_scores",
 }
 
 
@@ -323,6 +325,11 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: daily-volume monitoring family (MAD flags
         # outlier days; CUSUM locates the level shift)
         "cusum_changepoint": "events_hourly",
+        # born-demoted: evaluation harness over the in-window
+        # bm25_topk ranker
+        "mrr_eval": "bm25_topk",
+        # born-demoted: user-behavior accounting family
+        "bot_regularity_scores": "events_funnel",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
