@@ -485,7 +485,6 @@ def _mrr_eval_sql(queries: dict[str, list[str]], k: int) -> str:
            AS first_rel_rank
   FROM ranked_{j} WHERE rank <= {k}
 )""")
-        j += 1
     union = "\nUNION ALL\n".join(
         f"SELECT query_id, n_rel_topk, first_rel_rank,"
         f" CASE WHEN first_rel_rank > 0"

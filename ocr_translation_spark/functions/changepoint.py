@@ -51,11 +51,20 @@ def cusum_changepoint(
     earliest), the signed direction at the extremum, and the exact
     truncating micro-unit mean daily volume of the two segments
     (days 1..t vs t+1..T)."""
-    daily = events.groupBy(
-        F.col(series_col).alias("series"),
-        F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd")
-        .alias("day"),
-    ).agg(F.count(F.lit(1)).alias("x"))
+    daily = (
+        events.filter(
+            # NULL days would enter the ORDER-SENSITIVE prefix-sum
+            # window, where Spark sorts nulls first and DuckDB last
+            F.col(series_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(
+            F.col(series_col).alias("series"),
+            F.date_format(
+                F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd"
+            ).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
 
     ws = Window.partitionBy("series").orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -81,16 +90,19 @@ def cusum_changepoint(
     pick = Window.partitionBy("series").orderBy(
         F.abs(F.col("d_signed")).desc(), F.col("day").asc()
     )
+    # cast BEFORE the 1e6 multiply: a LONG s_t * 1000000 would
+    # overflow at per-series volume ~9.2e12, far inside the D_t
+    # headroom documented above
     mb = F.call_function(
         "div",
-        (F.col("s_t") * F.lit(1000000)).cast("decimal(38,0)"),
+        F.col("s_t").cast("decimal(38,0)")
+        * F.lit(1000000).cast("decimal(38,0)"),
         F.col("t").cast("decimal(38,0)"),
     ).cast("long")
     ma = F.call_function(
         "div",
-        ((F.col("total") - F.col("s_t")) * F.lit(1000000)).cast(
-            "decimal(38,0)"
-        ),
+        (F.col("total") - F.col("s_t")).cast("decimal(38,0)")
+        * F.lit(1000000).cast("decimal(38,0)"),
         (F.col("n_days") - F.col("t")).cast("decimal(38,0)"),
     ).cast("long")
     return (

@@ -209,7 +209,13 @@ def mrr_eval(
                 rel.alias("rel"),
             ).agg(
                 F.lit(qid).alias("query_id"),
-                F.sum(F.when(F.col("rel"), 1).otherwise(0))
+                # coalesce: a query matching NO document at all gives
+                # an empty top-k, and SUM over an empty relation is
+                # NULL, not 0
+                F.coalesce(
+                    F.sum(F.when(F.col("rel"), 1).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias("n_rel_topk"),
                 F.coalesce(

@@ -47,8 +47,8 @@ def winsorized_stats(
     value_col: str,
     q_low: str = "0.05",
     q_high: str = "0.95",
-    bins: int = 16,
-    limit: int = 256,
+    bins: int = 128,
+    limit: int = 4096,
 ) -> DataFrame:
     """(grp, n, n_low, n_high, lo_micro, hi_micro, sum_micro,
     mean_micro) — aggregates of value clamped into [p(q_low),

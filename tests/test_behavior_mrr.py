@@ -98,24 +98,26 @@ def test_mrr_first_relevant_and_empty(spark):
     assert got["none"] == (0, 0, 0)
 
 
-def test_mrr_truncating_reciprocal(spark):
-    # relevant doc forced to rank 3: two longer-scoring one-term
-    # docs ahead? Instead plant two both-term docs with HIGHER tf.
+def test_mrr_truncating_reciprocal_and_fully_empty_query(spark):
+    # short one-term docs outscore (BM25 length norm + idf) the
+    # diluted both-term doc, forcing first_rel_rank = 3 — the
+    # truncating division path genuinely runs
     rows = [
-        ("1", "alpha alpha beta beta"),
-        ("2", "alpha beta alpha beta"),
-        ("3", "alpha beta pad pad pad pad pad pad"),
-        ("4", "pad pad pad pad"),
+        ("1", "alpha"),
+        ("2", "alpha beta " + "pad " * 30),
+        ("3", "beta " + "pad " * 5),
+        ("4", "pad pad"), ("5", "pad pad"), ("6", "pad pad"),
     ]
     df = spark.createDataFrame(rows, "doc_id string, text string")
     out = {
         r["query_id"]: (r["n_rel_topk"], r["first_rel_rank"],
                         r["rr_micro"])
         for r in mrr_eval(
-            df, {"q": ["alpha", "beta"]}, top_k=10
+            df,
+            {"q": ["alpha", "beta"], "void": ["zzz", "yyy"]},
+            top_k=5,
         ).collect()
     }
-    n_rel, first, rr = out["q"]
-    assert n_rel == 3 and first == 1 and rr == 1000000
-    # and the truncating division rule itself
-    assert 1000000 // 3 == 333333
+    assert out["q"] == (1, 3, 333333)
+    # a query matching NOTHING (empty top-k): zeros, not NULLs
+    assert out["void"] == (0, 0, 0)

@@ -89,3 +89,19 @@ def test_uniform_tiebreak_and_single_day_excluded(spark):
     got = _got(cusum_changepoint(df))
     assert got["u"][0] == "2024-05-01" and got["u"][4] == 0
     assert "one" not in got
+
+
+def test_null_ts_and_series_rows_are_dropped(spark):
+    # NULL days must not enter the order-sensitive prefix-sum window
+    # (Spark sorts nulls first, DuckDB last — a silent twin split)
+    rows = _mk("s", [2, 2, 10, 10])
+    clean = _got(cusum_changepoint(
+        spark.createDataFrame(rows, "event_type string, ts timestamp")
+    ))
+    dirty = _got(cusum_changepoint(
+        spark.createDataFrame(
+            rows + [("s", None), (None, rows[0][1])],
+            "event_type string, ts timestamp",
+        )
+    ))
+    assert dirty == clean
