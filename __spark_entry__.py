@@ -3460,6 +3460,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bot_regularity_scores"] = _bots
 
+    def _ranknorm(spark, sf):
+        """Exact percent-rank feature normalization WITHOUT the
+        single-partition window the naive percent_rank() plans:
+        per-value cumulatives over a range-partitioned O(distinct)
+        rollup + driver-side O(partitions) offsets, joined back to
+        rows. The DuckDB twin runs the naive global-sort rank() form
+        — an independent proof of the decomposition. SQL tie
+        semantics (equal values share a pct) by construction."""
+        from ocr_translation_spark.functions.ranknorm import (
+            rank_normalize,
+        )
+
+        ev = _read(spark, sf, "events").select("event_id", "value")
+        return rank_normalize(
+            ev, "value", id_cols=("event_id",), num_ranges=32
+        )
+
+    q["rank_normalize"] = _ranknorm
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3839,6 +3858,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: user-behavior accounting family (rep
         # in-window: events_funnel)
         "bot_regularity_scores",
+        # born-demoted: rank-statistics family (rep in-window:
+        # quality_decile_stats); the numeric-key counterpart of the
+        # string bucket-offset global rank (snm_candidate_pairs)
+        "rank_normalize",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -7022,6 +7045,21 @@ WITH s AS (
 SELECT u AS user_id, n_events, n_gaps, span_s, sum_gap_sq, cv2_ppm,
        (n_events >= 20 AND cv2_ppm <= 300000) AS is_bot
 FROM c
+"""
+
+    # Rank-normalize twin: the NAIVE single-sort formulation — SQL
+    # rank() gives 1 + count(strictly smaller) with ties sharing the
+    # rank, exactly the decomposed operator's n_smaller + 1.
+    o["rank_normalize"] = """
+WITH v AS (
+  SELECT event_id, value FROM events WHERE value IS NOT NULL
+), n AS (SELECT count(*)::HUGEINT AS n FROM v)
+SELECT event_id, value,
+       CASE WHEN n.n <= 1 THEN 0
+            ELSE ((rank() OVER (ORDER BY value) - 1)::HUGEINT
+                  * 1000000 // (n.n - 1))
+       END::BIGINT AS pct_rank_ppm
+FROM v CROSS JOIN n
 """
 
     # Skyline by the independent O(n log n) window formulation: a row

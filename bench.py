@@ -269,6 +269,8 @@ def main() -> None:
         "mrr_eval",
         # inter-arrival-regularity bot detection (exact CV^2 ppm)
         "bot_regularity_scores",
+        # exact percent-rank normalize (range-partitioned cumulative)
+        "rank_normalize",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -148,6 +148,7 @@ _VARIANT_TAIL = {
     "cusum_changepoint",
     "mrr_eval",
     "bot_regularity_scores",
+    "rank_normalize",
 }
 
 
@@ -330,6 +331,9 @@ def test_driver_window_covers_every_operator_family():
         "mrr_eval": "bm25_topk",
         # born-demoted: user-behavior accounting family
         "bot_regularity_scores": "events_funnel",
+        # born-demoted: rank-statistics family (numeric-key global
+        # rank without a single-partition window)
+        "rank_normalize": "quality_decile_stats",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
