@@ -3479,6 +3479,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rank_normalize"] = _ranknorm
 
+    def _containment(spark, sf):
+        """ASYMMETRIC near-containment self-join over the same
+        3-gram shingle sets the Jaccard and MinHash paths use:
+        ordered pairs with |A∩B|/|A| >= 0.8 — quote / boilerplate-
+        subset / short-doc-in-long-doc detection, the directional
+        question symmetric Jaccard cannot ask (B may be arbitrarily
+        large). Probe-side pigeonhole prefix (order-free soundness),
+        container side fully indexed, exact integer verify. Twin
+        candidates come from the independent share-any-shingle rule,
+        proving the prefix filter lost no pair."""
+        from ocr_translation_spark.functions.dedup import shingles
+        from ocr_translation_spark.functions.setjoin import (
+            containment_selfjoin,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id", shingles(F.col("text"), 3).alias("sh")
+        )
+        return containment_selfjoin(d, "doc_id", "sh", 4, 5)
+
+    q["containment_join"] = _containment
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3862,6 +3884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality_decile_stats); the numeric-key counterpart of the
         # string bucket-offset global rank (snm_candidate_pairs)
         "rank_normalize",
+        # born-demoted: directional member of the exact set-similarity
+        # join family (rep in-window: setsim_join_exact)
+        "containment_join",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -5633,6 +5658,32 @@ v AS (
 SELECT id_a, id_b, inter_size, union_size,
        round(inter_size::DOUBLE / union_size, 6) AS jaccard
 FROM v WHERE 10 * inter_size >= 7 * union_size
+"""
+
+    # Containment twin: ORDERED candidate pairs via the independent
+    # share-any-shingle rule, verified with the same exact integer
+    # test on the PROBE side's size — a value match proves the
+    # probe-prefix filter (and the size/positional pruning) lost no
+    # directional pair.
+    o["containment_join"] = f"""
+WITH {_SH_CTES},
+e AS (SELECT doc_id, unnest(g) AS tok FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM e a JOIN e b USING (tok) WHERE a.doc_id <> b.doc_id
+),
+v AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.g, sb.g))::BIGINT AS inter_size,
+         len(sa.g)::BIGINT AS size_a,
+         len(sb.g)::BIGINT AS size_b
+  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+            JOIN sh sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, inter_size, size_a, size_b,
+       ((1000000 * inter_size::HUGEINT) // size_a)::BIGINT
+         AS containment_ppm
+FROM v WHERE 5 * inter_size >= 4 * size_a
 """
 
     # Same deterministic graph (ring+2 plus two sha256-derived links

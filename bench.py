@@ -271,6 +271,8 @@ def main() -> None:
         "bot_regularity_scores",
         # exact percent-rank normalize (range-partitioned cumulative)
         "rank_normalize",
+        # asymmetric near-containment self-join (quote detection)
+        "containment_join",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -80,27 +80,9 @@ def setsim_selfjoin(
         site="setjoin.sets",
     )
 
-    # Global document frequency per token: the canonical total order is
-    # (df asc, token asc) — rarest first, ties broken lexically.
-    tok_df = (
-        sets.select(F.explode("_toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("dfreq"))
-    )
-
-    # Reorder each set under the global order. array_sort on
-    # struct(dfreq, tok) sorts by dfreq then tok — exactly the order.
-    ordered = (
-        sets.select("_id", F.size("_toks").alias("sz"),
-                    F.explode("_toks").alias("tok"))
-        .join(tok_df, "tok")
-        .groupBy("_id", "sz")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("dfreq", "tok"))
-            ).alias("ord")
-        )
-    )
+    # Reorder each set under the global (df asc, token asc) order —
+    # rarest first, ties broken lexically (shared helper below).
+    ordered = _global_ordered(sets)
 
     # Prefix length p = sz - ceil(t*sz) + 1; ceil(a/b) = (a + b - 1) div b
     # in exact integer arithmetic.
@@ -167,5 +149,153 @@ def setsim_selfjoin(
         .withColumn(
             "jaccard",
             F.round(F.col("inter_size") / F.col("union_size"), 6),
+        )
+    )
+
+
+def _global_ordered(sets: DataFrame) -> DataFrame:
+    """(_id, sz, ord) per set: elements reordered under the global
+    (document-frequency asc, token asc) total order — rarest first.
+    Shared by the Jaccard and containment joins; the order only
+    shrinks candidate fan-in, correctness never depends on it."""
+    tok_df = (
+        sets.select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("dfreq"))
+    )
+    return (
+        sets.select(
+            "_id", F.size("_toks").alias("sz"),
+            F.explode("_toks").alias("tok"),
+        )
+        .join(tok_df, "tok")
+        .groupBy("_id", "sz")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dfreq", "tok"))
+            ).alias("ord")
+        )
+    )
+
+
+def containment_selfjoin(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """ASYMMETRIC near-containment: every ORDERED pair (id_a != id_b)
+    with |set_a ∩ set_b| / |set_a| >= t_num/t_den — "a is mostly
+    contained in b" (quote, boilerplate-subset and short-doc-in-
+    long-doc detection; the directional complement of the symmetric
+    Jaccard join above, which this superset does NOT bound the size
+    of: b may be arbitrarily large).
+
+    Exact, no recall loss, no n^2:
+
+    * probe-side prefix (pigeonhole, ORDER-FREE soundness): the
+      overlap must reach o = ceil(t*|a|); if none of the first
+      |a| - o + 1 elements of a is shared, the shared elements all
+      sit in a's remaining o - 1 — short of o. Any fixed element
+      choice works, so taking the prefix under the global rarest-
+      first order is purely a fan-in optimization.
+    * the CONTAINER side has no sound prefix without probe-size
+      bounds, so it is indexed in full — one corpus explode, the
+      inverted-index shape (index.py); shingle tokens are near-
+      unique, so hot-token fan-in stays structural, not quadratic.
+    * size filter |b| >= ceil(t*|a|) and the positional bound
+      overlap <= 1 + min(|a|-pa-1, |b|-pb-1) prune inside the join.
+    * survivors verify with exact integers:
+      t_den * |intersect| >= t_num * |a|.
+
+    Returns (id_a, id_b, inter_size, size_a, size_b,
+    containment_ppm) with containment_ppm = 1e6 * inter div |a|
+    (truncating, engine-exact). The DuckDB twin generates candidates
+    by the independent share-any-token rule, proving the prefix
+    filter lost no pair.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+
+    sets = pin_exclusive(
+        df.select(
+            F.col(id_col).alias("_id"), F.col(set_col).alias("_toks")
+        ).filter(F.size("_toks") > 0),
+        site="setjoin.cont.sets",
+    )
+    ordered = _global_ordered(sets)
+
+    sz = F.col("sz")
+    # o = ceil(t*sz); prefix length = sz - o + 1
+    p = sz - F.floor((F.lit(t_num) * sz + t_den - 1) / t_den).cast(
+        "int"
+    ) + 1
+    probe = ordered.select(
+        "_id",
+        "sz",
+        F.posexplode(
+            F.slice(F.transform("ord", lambda s: s["tok"]), 1, p)
+        ).alias("pos", "tok"),
+    )
+    index = ordered.select(
+        "_id",
+        "sz",
+        F.posexplode(
+            F.transform("ord", lambda s: s["tok"])
+        ).alias("pos", "tok"),
+    )
+
+    a, b = probe.alias("a"), index.alias("b")
+    max_overlap = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos") - 1,
+        F.col("b.sz") - F.col("b.pos") - 1,
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a._id") != F.col("b._id"))
+            # container must hold at least o = ceil(t*|a|) elements
+            & (
+                F.lit(t_den) * F.col("b.sz")
+                >= F.lit(t_num) * F.col("a.sz")
+            )
+            # positional bound must still reach o
+            & (
+                F.lit(t_den) * max_overlap
+                >= F.lit(t_num) * F.col("a.sz")
+            ),
+        )
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sa = sets.select(
+        F.col("_id").alias("id_a"), F.col("_toks").alias("ta")
+    )
+    sb = sets.select(
+        F.col("_id").alias("id_b"), F.col("_toks").alias("tb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("long")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter_size"),
+            F.size("ta").cast("long").alias("size_a"),
+            F.size("tb").cast("long").alias("size_b"),
+        )
+        .filter(
+            F.lit(t_den) * F.col("inter_size")
+            >= F.lit(t_num) * F.col("size_a")
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("(1000000 * inter_size) div size_a"),
         )
     )

@@ -149,6 +149,7 @@ _VARIANT_TAIL = {
     "mrr_eval",
     "bot_regularity_scores",
     "rank_normalize",
+    "containment_join",
 }
 
 
@@ -334,6 +335,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: rank-statistics family (numeric-key global
         # rank without a single-partition window)
         "rank_normalize": "quality_decile_stats",
+        # born-demoted: directional member of the exact set-
+        # similarity join family
+        "containment_join": "setsim_join_exact",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
