@@ -224,7 +224,12 @@ def containment_selfjoin(
         ).filter(F.size("_toks") > 0),
         site="setjoin.cont.sets",
     )
-    ordered = _global_ordered(sets)
+    # the reordered relation feeds TWO consumers (probe prefix +
+    # full container index) — unpinned, the df aggregate + reorder
+    # join would execute twice
+    ordered = pin_exclusive(
+        _global_ordered(sets), site="setjoin.cont.ordered"
+    )
 
     sz = F.col("sz")
     # o = ceil(t*sz); prefix length = sz - o + 1
