@@ -186,15 +186,33 @@ def mrr_eval(
     the per-query rank/relevance reduction runs over top_k rows.
     """
     from pyspark.sql import Window
+    from ocr_translation_spark.functions._lsh_common import (
+        pin_exclusive,
+    )
     from ocr_translation_spark.functions.retrieval import bm25_topk
+    from ocr_translation_spark.functions.text import normalized_text
 
     if not queries:
         raise ValueError("queries must be non-empty")
+    # normalize + tokenize the corpus ONCE and pin it — every query's
+    # bm25 subtree reads the cached token arrays instead of re-running
+    # the regexp pass per query (|queries| x corpus otherwise)
+    toks_df = pin_exclusive(
+        df.select(
+            F.col(id_col),
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda t: t != "",
+            ).alias("_mrr_toks"),
+        ),
+        site="evaluation.mrr.toks",
+    )
     parts = []
     for qid in sorted(queries):
         terms = queries[qid]
         topk = bm25_topk(
-            df, terms, top_k=top_k, text_col=text_col, id_col=id_col
+            toks_df, terms, top_k=top_k, text_col="_mrr_toks",
+            id_col=id_col, pre_split=True,
         )
         # re-derive the 1-indexed rank under bm25_topk's own total
         # order (score desc, numeric id asc) over the tiny k-row head

@@ -83,6 +83,7 @@ def bm25_topk(
     b: tuple[int, int] = (3, 4),
     text_col: str = "text",
     id_col: str = "doc_id",
+    pre_split: bool = False,
 ) -> DataFrame:
     """Top-k documents for ``query_terms`` by exact-integer BM25.
 
@@ -104,9 +105,17 @@ def bm25_topk(
     if a <= 0 or c <= 0 or r <= 0 or not (0 <= p <= r):
         raise ValueError("k1 must be positive rational, b in [0, 1]")
 
-    toks = F.filter(
-        F.split(normalized_text(F.col(text_col)), " "),
-        lambda t: t != "",
+    # pre_split: text_col already holds the normalized token array
+    # (array<string>) — lets a multi-query caller (evaluation.mrr_eval)
+    # normalize+tokenize the corpus ONCE and pin it instead of paying
+    # the regexp pass per query; value-identical by construction
+    toks = (
+        F.col(text_col)
+        if pre_split
+        else F.filter(
+            F.split(normalized_text(F.col(text_col)), " "),
+            lambda t: t != "",
+        )
     )
 
     # arity-1 lambda built through a call, NOT `lambda t, w=w: ...`:

@@ -121,3 +121,26 @@ def test_mrr_truncating_reciprocal_and_fully_empty_query(spark):
     assert out["q"] == (1, 3, 333333)
     # a query matching NOTHING (empty top-k): zeros, not NULLs
     assert out["void"] == (0, 0, 0)
+
+
+def test_bm25_pre_split_is_value_identical(spark):
+    from pyspark.sql import functions as F
+    from ocr_translation_spark.functions.retrieval import bm25_topk
+    from ocr_translation_spark.functions.text import normalized_text
+
+    rows = [("1", "Alpha  beta pad"), ("2", "alpha pad pad"),
+            ("3", "BETA pad"), ("4", "pad pad pad")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    plain = bm25_topk(df, ["alpha", "beta"], top_k=4).collect()
+    toks = df.select(
+        "doc_id",
+        F.filter(
+            F.split(normalized_text(F.col("text")), " "),
+            lambda t: t != "",
+        ).alias("toks"),
+    )
+    split = bm25_topk(
+        toks, ["alpha", "beta"], top_k=4,
+        text_col="toks", pre_split=True,
+    ).collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in split]
