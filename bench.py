@@ -273,6 +273,8 @@ def main() -> None:
         "rank_normalize",
         # asymmetric near-containment self-join (quote detection)
         "containment_join",
+        # longest-prefix-match CIDR enrichment (broadcast join chain)
+        "ip_lpm_enrich",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -150,6 +150,7 @@ _VARIANT_TAIL = {
     "bot_regularity_scores",
     "rank_normalize",
     "containment_join",
+    "item_cooccurrence_sim",
 }
 
 
@@ -237,9 +238,10 @@ def test_driver_window_covers_every_operator_family():
         # family rep in-window is snapshot_diff (bucketed layout)
         "zorder_key": "snapshot_diff",
         # born-demoted: basket co-presence rule mining; family rep
-        # in-window is item_cooccurrence_sim (same capped-basket
-        # pair discipline)
-        "assoc_rules": "item_cooccurrence_sim",
+        # in-window is word_cooccurrence (same capped co-presence
+        # pair-counting discipline, after item_cooccurrence_sim was
+        # itself demoted for ip_lpm_enrich)
+        "assoc_rules": "word_cooccurrence",
         # born-demoted: two-stage time rollup, closed-form exact
         # arithmetic; time-series agg family rep is events_hourly
         "trend_slope": "events_hourly",
@@ -338,6 +340,10 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: directional member of the exact set-
         # similarity join family
         "containment_join": "setsim_join_exact",
+        # demoted for ip_lpm_enrich: capped co-occurrence counting in
+        # exact integer micro-units; its family rep in-window is
+        # word_cooccurrence, the windowed-text member
+        "item_cooccurrence_sim": "word_cooccurrence",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
