@@ -261,7 +261,10 @@ def test_driver_window_covers_every_operator_family():
         # + extract_synthetic_e2e (the measured semantics)
         "extraction_span_f1": "ann_recall_eval",
         "winnowing_fingerprint": "canonical_fingerprint",
-        "events_json_props": "item_cooccurrence_sim",
+        # semi-structured projection over the events table; events
+        # family reps in-window are events_hourly + events_cube
+        # (remapped after item_cooccurrence_sim's demotion)
+        "events_json_props": "events_hourly",
         # born-demoted: versioned-dimension fold; CDC/history family
         # rep is snapshot_diff (its output feeds this operator)
         "scd2_history": "snapshot_diff",
