@@ -3577,6 +3577,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ip_lpm_enrich"] = _ip_lpm
 
+    def _geo_grid(spark, sf):
+        """Grid-bucketed spatial join (functions/spatial.py): points
+        x rectangular zones as a hash EQUI-join on covering grid
+        cells + the exact containment predicate — never the
+        broadcast-nested-loop theta-join. Each event carries a
+        deterministic sha256-derived (x, y) in a 4096^2 plane; 100
+        planted nation-owned rectangles overlap densely so multi-zone
+        points exercise the pair semantics. The twin runs the raw
+        containment theta-join, proving the grid decomposition loses
+        and invents nothing. Unmatched points are accounted in a
+        zone_id = -1 row (never silently dropped)."""
+        from ocr_translation_spark.functions.spatial import (
+            grid_point_in_rect_join,
+        )
+
+        rects = _read(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n"),
+            F.col("n_name").alias("owner"),
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias(
+                "r"
+            ),
+        )
+        k, r = F.col("n"), F.col("r").cast("long")
+        x0 = ((k * 97 + r * 53) % 64) * 64
+        y0 = ((k * 71 + r * 29) % 64) * 64
+        cap = F.lit(4095).cast("long")
+        zones = rects.select(
+            (k * 4 + r).alias("zone_id"),
+            "owner",
+            x0.alias("x0"),
+            y0.alias("y0"),
+            F.least(x0 + 64 * ((k + r) % 8 + 1) - 1, cap).alias("x1"),
+            F.least(y0 + 64 * ((k * 2 + r) % 8 + 1) - 1, cap).alias(
+                "y1"
+            ),
+        )
+        sha = F.sha2(F.col("event_id").cast("string"), 256)
+        pts = _read(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            F.conv(F.substring(sha, 9, 3), 16, 10)
+            .cast("long")
+            .alias("x"),
+            F.conv(F.substring(sha, 12, 3), 16, 10)
+            .cast("long")
+            .alias("y"),
+        )
+        pairs = grid_point_in_rect_join(pts, zones, "x", "y", 8)
+        zc = pairs.groupBy("zone_id", "owner").agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        unm = (
+            pts.join(pairs.select("event_id"), "event_id", "left_anti")
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                F.count_distinct("user_id").alias("n_users"),
+            )
+            .select(
+                F.lit(-1).cast("long").alias("zone_id"),
+                F.lit("(none)").alias("owner"),
+                "n_points",
+                "n_users",
+            )
+            .filter(F.col("n_points") > 0)
+        )
+        return zc.unionByName(unm)
+
+    q["geo_grid_join"] = _geo_grid
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -3967,6 +4037,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact integer micro-units (rep in-window: word_cooccurrence,
         # the windowed-text member of the same counting family)
         "item_cooccurrence_sim",
+        # demoted for geo_grid_join: graph pattern counting over the
+        # same derived graphs as the in-window iterative-graph reps
+        # (pagerank_centrality + dedup_clusters)
+        "triangle_counts",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -7507,6 +7581,47 @@ UNION ALL
 SELECT '(unmatched)', 0, count(*)::BIGINT,
        count(DISTINCT user_id)::BIGINT
 FROM unm HAVING count(*) > 0
+"""
+
+    # Spatial twin: the raw containment THETA-join the grid operator
+    # exists to avoid — proving the cell decomposition loses and
+    # invents no pair.
+    o["geo_grid_join"] = """
+WITH pts AS (
+  SELECT event_id, user_id,
+         ('0x' || substr(sha256(event_id::VARCHAR), 9, 3))::BIGINT
+           AS x,
+         ('0x' || substr(sha256(event_id::VARCHAR), 12, 3))::BIGINT
+           AS y
+  FROM events
+), zr AS (
+  SELECT n_nationkey::BIGINT AS n, n_name, r
+  FROM nation, (SELECT unnest([0, 1, 2, 3]) AS r)
+), zones AS (
+  SELECT (n * 4 + r)::BIGINT AS zone_id, n_name AS owner,
+         ((n * 97 + r * 53) % 64) * 64 AS x0,
+         ((n * 71 + r * 29) % 64) * 64 AS y0,
+         least(((n * 97 + r * 53) % 64) * 64
+               + 64 * (1 + (n + r) % 8) - 1, 4095) AS x1,
+         least(((n * 71 + r * 29) % 64) * 64
+               + 64 * (1 + (n * 2 + r) % 8) - 1, 4095) AS y1
+  FROM zr
+), pairs AS (
+  SELECT p.event_id, p.user_id, z.zone_id, z.owner
+  FROM pts p JOIN zones z
+    ON p.x BETWEEN z.x0 AND z.x1 AND p.y BETWEEN z.y0 AND z.y1
+)
+SELECT zone_id, owner, count(*)::BIGINT AS n_points,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM pairs GROUP BY 1, 2
+UNION ALL
+SELECT -1::BIGINT, '(none)', count(*)::BIGINT,
+       count(DISTINCT user_id)::BIGINT
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs q WHERE q.event_id = p.event_id
+)
+HAVING count(*) > 0
 """
 
     return o

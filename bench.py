@@ -275,6 +275,8 @@ def main() -> None:
         "containment_join",
         # longest-prefix-match CIDR enrichment (broadcast join chain)
         "ip_lpm_enrich",
+        # grid-bucketed spatial join (cell equi-join, exact predicate)
+        "geo_grid_join",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -151,6 +151,7 @@ _VARIANT_TAIL = {
     "rank_normalize",
     "containment_join",
     "item_cooccurrence_sim",
+    "triangle_counts",
 }
 
 
@@ -347,6 +348,10 @@ def test_driver_window_covers_every_operator_family():
         # exact integer micro-units; its family rep in-window is
         # word_cooccurrence, the windowed-text member
         "item_cooccurrence_sim": "word_cooccurrence",
+        # demoted for geo_grid_join: graph pattern counting; the
+        # graph-analytics family reps in-window are
+        # pagerank_centrality + dedup_clusters
+        "triangle_counts": "pagerank_centrality",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
