@@ -3647,6 +3647,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_grid_join"] = _geo_grid
 
+    def _multi_touch(spark, sf):
+        """Linear multi-touch attribution (functions/attribution.py):
+        each purchase's 1,000,000 micro credit is split across its
+        24h-lookback click/view/signup touches by LARGEST REMAINDER
+        (floor share + the mod-k leftover to the earliest touches) —
+        deterministic, and total credit == 1e6 x conversions EXACTLY.
+        One user-key shuffle per side; the per-conversion windows
+        reuse the join layout (superset key). Untouched conversions
+        keep full credit in the '(none)' row."""
+        from ocr_translation_spark.functions.attribution import (
+            linear_attribution,
+        )
+
+        return linear_attribution(
+            _read(spark, sf, "events"),
+            "purchase",
+            ("click", "view", "signup"),
+            lookback="24 hours",
+        )
+
+    q["multi_touch_attribution"] = _multi_touch
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -4041,6 +4063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same derived graphs as the in-window iterative-graph reps
         # (pagerank_centrality + dedup_clusters)
         "triangle_counts",
+        # born-demoted: fractional-credit counterpart of the in-window
+        # purchase_attribution_asof (last-touch as-of join)
+        "multi_touch_attribution",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -7621,6 +7646,46 @@ FROM pts p
 WHERE NOT EXISTS (
   SELECT 1 FROM pairs q WHERE q.event_id = p.event_id
 )
+HAVING count(*) > 0
+"""
+
+    # Multi-touch twin: the same largest-remainder credit law stated
+    # through DuckDB's own join + windows; the exactness invariant
+    # (sum(credit) == 1e6 * conversions) holds on both engines.
+    o["multi_touch_attribution"] = """
+WITH base AS (
+  SELECT * FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), conv AS (
+  SELECT user_id AS u, event_id AS conv_id, ts AS conv_ts
+  FROM base WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS u, event_id AS touch_id, ts AS touch_ts,
+         event_type AS channel
+  FROM base WHERE event_type IN ('click', 'view', 'signup')
+), pairs AS (
+  SELECT c.conv_id, t.channel, t.touch_ts, t.touch_id
+  FROM conv c JOIN touch t ON c.u = t.u
+   AND t.touch_ts <= c.conv_ts
+   AND t.touch_ts >= c.conv_ts - INTERVAL 24 HOURS
+), cred AS (
+  SELECT conv_id, channel,
+         1000000 // count(*) OVER (PARTITION BY conv_id)
+         + CASE WHEN row_number() OVER (
+                  PARTITION BY conv_id ORDER BY touch_ts, touch_id
+                ) <= 1000000 % count(*) OVER (PARTITION BY conv_id)
+           THEN 1 ELSE 0 END AS credit
+  FROM pairs
+)
+SELECT channel, count(*)::BIGINT AS n_touches,
+       count(DISTINCT conv_id)::BIGINT AS n_conversions,
+       sum(credit)::BIGINT AS credit_micro
+FROM cred GROUP BY 1
+UNION ALL
+SELECT '(none)', 0::BIGINT, count(*)::BIGINT,
+       (count(*) * 1000000)::BIGINT
+FROM conv c
+WHERE NOT EXISTS (SELECT 1 FROM cred p WHERE p.conv_id = c.conv_id)
 HAVING count(*) > 0
 """
 

@@ -277,6 +277,8 @@ def main() -> None:
         "ip_lpm_enrich",
         # grid-bucketed spatial join (cell equi-join, exact predicate)
         "geo_grid_join",
+        # linear multi-touch attribution (largest-remainder credit)
+        "multi_touch_attribution",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

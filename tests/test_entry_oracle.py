@@ -152,6 +152,7 @@ _VARIANT_TAIL = {
     "containment_join",
     "item_cooccurrence_sim",
     "triangle_counts",
+    "multi_touch_attribution",
 }
 
 
@@ -352,6 +353,9 @@ def test_driver_window_covers_every_operator_family():
         # graph-analytics family reps in-window are
         # pagerank_centrality + dedup_clusters
         "triangle_counts": "pagerank_centrality",
+        # born-demoted: fractional-credit counterpart of the
+        # last-touch as-of attribution join in-window
+        "multi_touch_attribution": "purchase_attribution_asof",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
