@@ -3669,6 +3669,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multi_touch_attribution"] = _multi_touch
 
+    def _kcore(spark, sf):
+        """k-core decomposition (functions/graph.py): iterative
+        PEELING — drop every vertex with remaining undirected degree
+        < k until fixpoint — over the shared sha-derived link graph.
+        The cohesion grade degree alone cannot give (a hub whose
+        neighbors are all leaves survives no 2-core): link-ring /
+        spam-farm detection on crawl graphs. Each round is one degree
+        agg + two semi-joins on uniform ids; the edge set only
+        shrinks; convergence is an O(1) driver scalar per round. The
+        k-core is the UNIQUE maximal subgraph with min degree >= k,
+        so the twin peels by unrolled CTE rounds (extra rounds no-op
+        at the fixpoint)."""
+        from ocr_translation_spark.functions.graph import (
+            kcore_decomposition,
+        )
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+        edges = _sha_link_edges(docs, n_docs, src="id_a", dst="id_b")
+        return kcore_decomposition(edges, k=4)
+
+    q["kcore_decomposition"] = _kcore
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -4066,6 +4089,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: fractional-credit counterpart of the in-window
         # purchase_attribution_asof (last-touch as-of join)
         "multi_touch_attribution",
+        # born-demoted: fifth iterative-graph discipline (peeling) over
+        # the same derived link graph (reps in-window:
+        # pagerank_centrality + dedup_clusters)
+        "kcore_decomposition",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -7687,6 +7714,46 @@ SELECT '(none)', 0::BIGINT, count(*)::BIGINT,
 FROM conv c
 WHERE NOT EXISTS (SELECT 1 FROM cred p WHERE p.conv_id = c.conv_id)
 HAVING count(*) > 0
+"""
+
+    # k-core twin: the same unique fixpoint reached by UNROLLED peel
+    # rounds (15 >> observed convergence; extra rounds are no-ops at
+    # the fixpoint) over the shared sha-derived link graph.
+    # each round references its predecessor three times — MATERIALIZED
+    # stops DuckDB from inlining the chain into a 3^15 expansion
+    _kc_rounds = []
+    _kprev = "e0"
+    for _i in range(1, 16):
+        _kc_rounds.append(
+            f"s{_i} AS MATERIALIZED (\n"
+            f"  SELECT u FROM {_kprev} GROUP BY u"
+            f" HAVING count(*) >= 4\n"
+            f"), e{_i} AS MATERIALIZED (\n"
+            f"  SELECT e.u, e.v FROM {_kprev} e\n"
+            f"  JOIN s{_i} a ON e.u = a.u\n"
+            f"  JOIN s{_i} b ON e.v = b.u\n"
+            f")"
+        )
+        _kprev = f"e{_i}"
+    o["kcore_decomposition"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tg AS (
+  SELECT doc_id, list_distinct(list_filter(
+    [{_pr_tgt.format(k=1)},
+     {_pr_tgt.format(k=2)},
+     {_pr_tgt.format(k=3)}], t -> t <> doc_id)) AS ts
+  FROM documents, nn
+),
+dir AS (SELECT doc_id AS src, unnest(ts) AS dst FROM tg),
+e0 AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM dir
+    UNION ALL SELECT dst, src FROM dir
+  )
+),
+{", ".join(_kc_rounds)}
+SELECT u AS node, count(*)::BIGINT AS core_degree
+FROM {_kprev} GROUP BY u
 """
 
     return o

@@ -279,6 +279,8 @@ def main() -> None:
         "geo_grid_join",
         # linear multi-touch attribution (largest-remainder credit)
         "multi_touch_attribution",
+        # iterative k-core peel over the derived link graph
+        "kcore_decomposition",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

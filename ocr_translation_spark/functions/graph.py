@@ -680,3 +680,101 @@ def label_propagation(
             "round_assigned"
         )
     )
+
+
+def kcore_decomposition(
+    edges: DataFrame,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """The k-core: (node, core_degree) for every vertex of the maximal
+    subgraph in which each vertex keeps undirected degree >= k —
+    core_degree is the degree WITHIN that subgraph.
+
+    The fifth iterative-graph discipline next to CC (stabilize),
+    PageRank/HITS (fixed-K recurrence), and BFS (frontier): PEELING —
+    repeatedly delete every vertex whose remaining degree is below k
+    until a fixpoint. k-cores grade graph cohesion where degree alone
+    misleads (a high-degree hub whose neighbors are all leaves
+    survives no 2-core): spam-farm and link-ring detection on crawl
+    graphs, dense-community extraction, influencer validation.
+
+    Each round is ONE degree aggregate + TWO semi-joins (edges against
+    surviving endpoints) — all hash-partitioned on uniformly
+    distributed vertex ids, no single-task state. The edge set only
+    SHRINKS, so per-round cost falls monotonically; the loop exits
+    when a round deletes nothing (an O(1) driver-side scalar per
+    round, the connected_components convention) and errors loudly
+    after ``max_iters`` rather than returning an unfinished peel —
+    real peels converge fast because each round removes whole layers.
+    Superseded caches are released each round; the fixpoint edge set
+    is what the result aggregates, so its final persist is handed to
+    an eager localCheckpoint before release.
+
+    Deterministic: the k-core is a UNIQUE subgraph (the union of all
+    subgraphs with min degree >= k), a pure function of the edge set —
+    the DuckDB twin reproduces it by unrolling MORE peel rounds than
+    convergence needs (extra rounds are no-ops at the fixpoint).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col(src) != F.col(dst))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            .filter(F.col(src) != F.col(dst))
+        )
+        .distinct()
+        .persist()
+    )
+    cur = und
+    n_edges = cur.count()
+    try:
+        for it in range(max_iters):
+            if n_edges == 0:
+                # empty: no vertex survives any k >= 1 core; eager
+                # checkpoint (trivial) so the plan outlives unpersist
+                return cur.select(
+                    F.col("u").alias("node"),
+                    F.lit(0).cast("long").alias("core_degree"),
+                ).localCheckpoint(eager=True)
+            survivors = (
+                cur.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("_d"))
+                .filter(F.col("_d") >= k)
+                .select("u")
+            )
+            nxt = cur.join(survivors, "u", "left_semi").join(
+                survivors.select(F.col("u").alias("v")),
+                "v",
+                "left_semi",
+            )
+            if (it + 1) % _CHECKPOINT_EVERY == 0:
+                # truncate lineage: round k must not replay 1..k-1
+                nxt = nxt.localCheckpoint(eager=False)
+            nxt = nxt.persist()
+            n_next = nxt.count()  # the round's one job
+            if cur is not und:
+                cur.unpersist()
+            cur = nxt
+            if n_next == n_edges:  # nothing peeled: fixpoint
+                # eagerly checkpoint the result so its blocks outlive
+                # the finally-block unpersist (the CC convention)
+                return (
+                    cur.groupBy(F.col("u").alias("node"))
+                    .agg(F.count(F.lit(1)).alias("core_degree"))
+                    .localCheckpoint(eager=True)
+                )
+            n_edges = n_next
+        raise RuntimeError(
+            f"k-core peel did not converge in {max_iters} rounds; "
+            "raise max_iters (each round deletes at least one whole "
+            "layer, so this only bounds degenerate chains)"
+        )
+    finally:
+        if cur is not und:
+            cur.unpersist()
+        und.unpersist()

@@ -153,6 +153,7 @@ _VARIANT_TAIL = {
     "item_cooccurrence_sim",
     "triangle_counts",
     "multi_touch_attribution",
+    "kcore_decomposition",
 }
 
 
@@ -356,6 +357,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: fractional-credit counterpart of the
         # last-touch as-of attribution join in-window
         "multi_touch_attribution": "purchase_attribution_asof",
+        # born-demoted: fifth iterative-graph discipline (peeling)
+        # over the shared link graph
+        "kcore_decomposition": "pagerank_centrality",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
