@@ -3692,6 +3692,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kcore_decomposition"] = _kcore
 
+    def _interval_coalesce(spark, sf):
+        """Gaps-and-islands interval coalescing (functions/
+        timeseries.py): merge each user's overlapping-or-touching
+        activity intervals into maximal disjoint islands — ONE user
+        shuffle shared by the running-max window, the island counter
+        and the island aggregate. Each event spawns a deterministic
+        [ts, ts + (1 + event_id % 12) hours] validity interval, so
+        islands genuinely mix merges (~6.5h mean span vs ~11h mean
+        gap) and breaks. Twin restates the fold through DuckDB's
+        window engine."""
+        from ocr_translation_spark.functions.timeseries import (
+            coalesce_intervals,
+        )
+
+        ev = _read(spark, sf, "events").filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        iv = ev.select(
+            "user_id",
+            F.col("ts").alias("start"),
+            (
+                F.col("ts")
+                + F.make_interval(
+                    hours=(1 + F.col("event_id") % 12).cast("int")
+                )
+            ).alias("end"),
+        )
+        out = coalesce_intervals(iv, "user_id", "start", "end")
+        # the parquet ts is TIMESTAMP_NTZ; the session tz is pinned
+        # UTC, so the cast is an identity relabel for unix_micros
+        return out.select(
+            "user_id",
+            F.unix_micros(
+                F.col("island_start").cast("timestamp")
+            ).alias("island_start_us"),
+            F.unix_micros(F.col("island_end").cast("timestamp")).alias(
+                "island_end_us"
+            ),
+            "n_merged",
+        )
+
+    q["interval_coalesce"] = _interval_coalesce
+
+    def _weighted_sample(spark, sf):
+        """Sequential Poisson weighted sampling (functions/
+        sampling.py): rank by the exact-integer priority h div w
+        (h = content-addressed 60-bit sha hash, w = document length)
+        and take the 100 smallest via TakeOrderedAndProject — a
+        deterministic ~length-proportional sample with no global
+        sort, no RNG, no normalization pass. Twin computes the same
+        priority law with HUGEINT //."""
+        from ocr_translation_spark.functions.sampling import (
+            weighted_priority_sample,
+        )
+
+        docs = _read(spark, sf, "documents").select(
+            "doc_id", "n_chars"
+        )
+        return weighted_priority_sample(docs, "n_chars", 100, "doc_id")
+
+    q["weighted_priority_sample"] = _weighted_sample
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -4093,6 +4155,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same derived link graph (reps in-window:
         # pagerank_centrality + dedup_clusters)
         "kcore_decomposition",
+        # born-demoted: gaps-and-islands interval fold; the gap-based
+        # session family rep in-window is events_funnel (via the
+        # demoted events_sessionize mapping)
+        "interval_coalesce",
+        # born-demoted: deterministic-sampling family (reps in-window:
+        # mixture_resample + training_shuffle_order)
+        "weighted_priority_sample",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -7754,6 +7823,49 @@ e0 AS (
 {", ".join(_kc_rounds)}
 SELECT u AS node, count(*)::BIGINT AS core_degree
 FROM {_kprev} GROUP BY u
+"""
+
+    # Interval-coalesce twin: the same gaps-and-islands fold stated
+    # through DuckDB's window engine.
+    o["interval_coalesce"] = """
+WITH iv AS (
+  SELECT user_id, ts AS s,
+         ts + ((1 + event_id % 12) * INTERVAL 1 HOUR) AS e
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (
+           PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS pm
+  FROM iv
+), f AS (
+  SELECT user_id, s, e,
+         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw
+  FROM m
+), g AS (
+  SELECT user_id, s, e,
+         sum(nw) OVER (
+           PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS isl
+  FROM f
+)
+SELECT user_id, epoch_us(min(s))::BIGINT AS island_start_us,
+       epoch_us(max(e))::BIGINT AS island_end_us,
+       count(*)::BIGINT AS n_merged
+FROM g GROUP BY user_id, isl
+"""
+
+    # Weighted-sample twin: the identical exact priority law
+    # (truncating integer division mirrors Spark's div).
+    o["weighted_priority_sample"] = """
+SELECT doc_id, n_chars,
+       (('0x' || substr(sha256(doc_id::VARCHAR), 1, 15))::UBIGINT
+        // n_chars::UBIGINT)::BIGINT AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT 100
 """
 
     return o

@@ -281,6 +281,10 @@ def main() -> None:
         "multi_touch_attribution",
         # iterative k-core peel over the derived link graph
         "kcore_decomposition",
+        # gaps-and-islands interval coalescing (one user shuffle)
+        "interval_coalesce",
+        # sequential Poisson weighted sample (TakeOrdered, no sort)
+        "weighted_priority_sample",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

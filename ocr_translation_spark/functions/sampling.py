@@ -202,3 +202,55 @@ def budget_apportion(
             .alias("quota"),
         )
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame, weight_col: str, k: int, id_col: str
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``k`` rows without
+    replacement — sequential Poisson sampling (Ohlsson '98), the
+    order-sampling scheme production πps samplers use: draw a uniform
+    u_i per row, rank by u_i / w_i ascending, take the k smallest.
+    Heavier rows draw smaller priorities, so inclusion probability is
+    approximately proportional to weight for k << n; unlike quota
+    schemes it needs no weight normalization pass.
+
+    u_i here is the content-addressed 60-bit sha256 hash (the
+    ``sketches`` convention) — reproducible on any engine, resumable,
+    and independent of partition order. The priority is EXACT integer
+    arithmetic, ``h div w`` in BIGINT (a double u/w collides and ties
+    unpredictably across engines; the integer quantization error is
+    ~1e-15 relative for realistic weights); ties break by id. Weights
+    must be positive integers — zero or negative weights are rejected
+    loudly in-plan, not clamped (a silently clamped weight is a
+    silently wrong distribution).
+
+    Spark shape (100 TB): the priority is a per-row expression (zero
+    shuffle) and the selection is orderBy(priority).limit(k) — Spark
+    plans TakeOrderedAndProject: each task keeps a k-row heap, the
+    driver merges O(tasks x k). No global sort ever materializes.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    ic = F.col(id_col)
+    h = F.conv(
+        F.substring(F.sha2(ic.cast("string"), 256), 1, 15), 16, 10
+    ).cast("long")
+    w = F.col(weight_col)
+    guarded_w = F.when(
+        w.isNull() | (w <= 0),
+        F.raise_error(
+            F.lit(
+                "weighted_priority_sample: weights must be positive "
+                f"integers (offending column: {weight_col})"
+            )
+        ).cast("long"),
+    ).otherwise(w.cast("long"))
+    return (
+        df.select(
+            "*",
+            F.call_function("div", h, guarded_w).alias("priority"),
+        )
+        .orderBy("priority", ic)
+        .limit(k)
+    )

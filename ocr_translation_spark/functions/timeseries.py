@@ -200,3 +200,85 @@ def trend_slopes(
         ),
         F.when(F.col("n_days") > 1, sgn * mag).alias("slope_micro"),
     )
+
+
+def coalesce_intervals(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key into maximal
+    disjoint islands: ``(key, island_start, island_end, n_merged)``.
+
+    The gaps-and-islands fold behind session stitching, validity-
+    period compaction, on-time accounting, and coverage dedup (e.g.
+    "how much wall-clock was this user active", where raw activity
+    intervals overlap heavily). Touching intervals (next.start ==
+    current max end) MERGE; strictly later starts open a new island.
+    NULL starts/ends are rejected loudly — a NULL endpoint silently
+    sorted to one end would corrupt every downstream island.
+
+    Spark shape (100 TB): ONE hash shuffle on the key. Both windows
+    (the running max-end that detects gaps, the island counter) and
+    the final per-island aggregate are keyed by the key or a superset
+    of it, so they all reuse that single exchange's layout; per-key
+    window state is O(1) (running max + running sum). Intervals of
+    one key land in one task — keys are users/devices/docs, whose
+    per-key row counts are bounded; hot keys are the documented
+    salting candidates.
+
+    Deterministic: islands are a pure function of the interval SET
+    (the sort tie-breaks by end then start ordinal, and merged spans
+    do not depend on tie order) — the DuckDB twin restates the same
+    fold through its own window engine.
+    """
+    k, s, e = F.col(key_col), F.col(start_col), F.col(end_col)
+    guarded = intervals.select(
+        k.alias("k"),
+        F.when(
+            s.isNull() | e.isNull() | (e < s),
+            F.raise_error(
+                F.lit(
+                    "coalesce_intervals: NULL or inverted interval "
+                    f"(need {start_col} <= {end_col}, non-NULL)"
+                )
+            ).cast(intervals.schema[start_col].dataType),
+        )
+        .otherwise(s)
+        .alias("s"),
+        e.alias("e"),
+    )
+    wo = Window.partitionBy("k").orderBy("s", "e")
+    # running max of PRIOR ends; a start strictly past it opens an
+    # island. rowsBetween excludes the current row so a row never
+    # compares against its own end.
+    prior_max = F.max("e").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = guarded.select(
+        "k",
+        "s",
+        "e",
+        F.when(prior_max.isNull() | (F.col("s") > prior_max), 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    island = F.sum("_new").over(
+        wo.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.select("k", "s", "e", island.alias("_isl"))
+        .groupBy("k", "_isl")
+        .agg(
+            F.min("s").alias("island_start"),
+            F.max("e").alias("island_end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "island_start",
+            "island_end",
+            "n_merged",
+        )
+    )

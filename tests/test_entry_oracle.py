@@ -154,6 +154,8 @@ _VARIANT_TAIL = {
     "triangle_counts",
     "multi_touch_attribution",
     "kcore_decomposition",
+    "interval_coalesce",
+    "weighted_priority_sample",
 }
 
 
@@ -360,6 +362,11 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: fifth iterative-graph discipline (peeling)
         # over the shared link graph
         "kcore_decomposition": "pagerank_centrality",
+        # born-demoted: gaps-and-islands interval fold; gap-based
+        # session family rep in-window is events_funnel
+        "interval_coalesce": "events_funnel",
+        # born-demoted: deterministic-sampling family
+        "weighted_priority_sample": "mixture_resample",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
