@@ -3624,26 +3624,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long")
             .alias("y"),
         )
-        pairs = grid_point_in_rect_join(pts, zones, "x", "y", 8)
-        zc = pairs.groupBy("zone_id", "owner").agg(
+        # ONE pass: the left join keeps unmatched points with NULL
+        # zone columns, so the '(none)' accounting row needs no
+        # second corpus scan + anti-join
+        pairs = grid_point_in_rect_join(
+            pts, zones, "x", "y", 8, how="left"
+        )
+        return pairs.groupBy(
+            F.coalesce(F.col("zone_id"), F.lit(-1).cast("long")).alias(
+                "zone_id"
+            ),
+            F.coalesce(F.col("owner"), F.lit("(none)")).alias("owner"),
+        ).agg(
             F.count(F.lit(1)).alias("n_points"),
             F.count_distinct("user_id").alias("n_users"),
         )
-        unm = (
-            pts.join(pairs.select("event_id"), "event_id", "left_anti")
-            .agg(
-                F.count(F.lit(1)).alias("n_points"),
-                F.count_distinct("user_id").alias("n_users"),
-            )
-            .select(
-                F.lit(-1).cast("long").alias("zone_id"),
-                F.lit("(none)").alias("owner"),
-                "n_points",
-                "n_users",
-            )
-            .filter(F.col("n_points") > 0)
-        )
-        return zc.unionByName(unm)
 
     q["geo_grid_join"] = _geo_grid
 

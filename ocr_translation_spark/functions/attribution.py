@@ -71,47 +71,46 @@ def linear_attribution(
         F.col(ts_col).alias("touch_ts"),
         F.col(type_col).alias("channel"),
     )
-    pairs = conv.join(touch, "u").filter(
-        (F.col("touch_ts") <= F.col("conv_ts"))
+    # ONE pass: the LEFT join keeps untouched conversions as a single
+    # NULL-touch row each, so the '(none)' accounting leg needs no
+    # second scan + anti-join + re-derived credit subtree
+    pairs = conv.join(
+        touch,
+        (conv["u"] == touch["u"])
+        & (F.col("touch_ts") <= F.col("conv_ts"))
         & (
             F.col("touch_ts")
             >= F.col("conv_ts") - F.expr(f"INTERVAL {lookback}")
-        )
-    )
+        ),
+        "left",
+    ).select(conv["u"], "conv_id", "touch_id", "touch_ts", "channel")
     # (u, conv_id) is a superset of the join key u: both windows
-    # reuse the join's hash layout — no second exchange
+    # reuse the join's hash layout — no second exchange. count() over
+    # touch_id skips the NULL marker rows, so k = real touches.
     wk = Window.partitionBy("u", "conv_id")
     wr = wk.orderBy("touch_ts", "touch_id")
     ranked = pairs.select(
         "conv_id",
         "channel",
-        F.count(F.lit(1)).over(wk).alias("k"),
+        "touch_id",
+        F.count("touch_id").over(wk).alias("k"),
         F.row_number().over(wr).alias("rn"),
     )
     credited = ranked.select(
         "conv_id",
         "channel",
-        (
+        "touch_id",
+        F.when(F.col("touch_id").isNull(), F.lit(MICRO).cast("long"))
+        .otherwise(
             F.expr(f"{MICRO} div k")  # integral divide, no doubles
             + (F.col("rn") <= F.lit(MICRO) % F.col("k")).cast("long")
-        ).alias("credit"),
+        )
+        .alias("credit"),
     )
-    by_channel = credited.groupBy("channel").agg(
-        F.count(F.lit(1)).alias("n_touches"),
+    return credited.groupBy(
+        F.coalesce(F.col("channel"), F.lit("(none)")).alias("channel")
+    ).agg(
+        F.count("touch_id").alias("n_touches"),
         F.count_distinct("conv_id").alias("n_conversions"),
         F.sum("credit").alias("credit_micro"),
     )
-    untouched = (
-        conv.join(
-            credited.select("conv_id"), "conv_id", "left_anti"
-        )
-        .agg(F.count(F.lit(1)).alias("n_conversions"))
-        .filter(F.col("n_conversions") > 0)
-        .select(
-            F.lit("(none)").alias("channel"),
-            F.lit(0).cast("long").alias("n_touches"),
-            "n_conversions",
-            (F.col("n_conversions") * MICRO).alias("credit_micro"),
-        )
-    )
-    return by_channel.unionByName(untouched)

@@ -46,6 +46,7 @@ def grid_point_in_rect_join(
     x_col: str = "x",
     y_col: str = "y",
     cell_bits: int = 8,
+    how: str = "inner",
 ) -> DataFrame:
     """All (point, zone) pairs with the point inside the rectangle.
 
@@ -54,7 +55,15 @@ def grid_point_in_rect_join(
     ``2^cell_bits`` wide — pick it so a typical zone covers O(1..100)
     cells; the fan-out is (width/cell + 1) * (height/cell + 1) rows
     per zone. Points with NULL coordinates match nothing.
+
+    ``how="left"`` keeps unmatched points with NULL zone columns in
+    ONE pass — the containment predicate lives in the join condition
+    (Spark still extracts the (cx, cy) equi-keys for the hash join),
+    so unmatched accounting never needs a second scan + anti-join
+    over the corpus.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left': {how!r}")
     if cell_bits < 0:
         raise ValueError(f"cell_bits must be >= 0: {cell_bits}")
     px, py = F.col(x_col), F.col(y_col)
@@ -83,15 +92,17 @@ def grid_point_in_rect_join(
     )
     pcells = points.withColumns(
         {
-            "cx": F.shiftright(px, cell_bits),
-            "cy": F.shiftright(py, cell_bits),
+            "_pcx": F.shiftright(px, cell_bits),
+            "_pcy": F.shiftright(py, cell_bits),
         }
     )
+    cond = (
+        (F.col("_pcx") == zcells["cx"])
+        & (F.col("_pcy") == zcells["cy"])
+        & px.between(zcells["x0"], zcells["x1"])
+        & py.between(zcells["y0"], zcells["y1"])
+    )
     return (
-        pcells.join(zcells, ["cx", "cy"])
-        .filter(
-            px.between(F.col("x0"), F.col("x1"))
-            & py.between(F.col("y0"), F.col("y1"))
-        )
-        .drop("cx", "cy")
+        pcells.join(zcells, cond, how)
+        .drop("_pcx", "_pcy", "cx", "cy")
     )
