@@ -3749,6 +3749,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weighted_priority_sample"] = _weighted_sample
 
+    def _seasonality(spark, sf):
+        """Day-of-week multiplicative seasonality per event series
+        (functions/timeseries.py): exact cross-multiplied ppm ratio
+        of dow mean daily volume to overall mean daily volume; ONE
+        corpus shuffle (the daily rollup), everything after on
+        O(series x days) rows; the weekday key is epoch_day % 7
+        (engine-neutral integer arithmetic, never dayofweek())."""
+        from ocr_translation_spark.functions.timeseries import (
+            seasonality_index,
+        )
+
+        return seasonality_index(_read(spark, sf, "events"))
+
+    q["seasonality_index"] = _seasonality
+
+    def _time_to_convert(spark, sf):
+        """Time-to-convert quantiles per acquisition channel: a
+        COMPOSITION of the last-touch attribution join (rank-1 window
+        over preceding touches, the purchase_attribution_asof shape)
+        and the exact distributed selection engine
+        (functions/selection.group_exact_quantiles): p50/p90 of
+        (purchase ts - last preceding touch ts) seconds per channel —
+        real data elements, never interpolations. Conversions with no
+        preceding touch have no defined latency and are excluded by
+        the inner join."""
+        from ocr_translation_spark.functions.selection import (
+            group_exact_quantiles,
+        )
+        from pyspark.sql import Window as W
+
+        base = _read(spark, sf, "events").filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        conv = base.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("u"),
+            F.col("event_id").alias("conv_id"),
+            F.col("ts").alias("conv_ts"),
+        )
+        touch = base.filter(
+            F.col("event_type").isin("click", "view", "signup")
+        ).select(
+            F.col("user_id").alias("u"),
+            F.col("event_id").alias("touch_id"),
+            F.col("ts").alias("touch_ts"),
+            F.col("event_type").alias("channel"),
+        )
+        pairs = conv.join(
+            touch,
+            (conv["u"] == touch["u"])
+            & (F.col("touch_ts") <= F.col("conv_ts")),
+        )
+        wr = W.partitionBy(conv["u"], "conv_id").orderBy(
+            F.col("touch_ts").desc(), F.col("touch_id").desc()
+        )
+        last = pairs.withColumn(
+            "_rn", F.row_number().over(wr)
+        ).filter(F.col("_rn") == 1)
+        deltas = last.select(
+            "channel",
+            F.call_function(
+                "div",
+                F.unix_micros(F.col("conv_ts").cast("timestamp"))
+                - F.unix_micros(F.col("touch_ts").cast("timestamp")),
+                F.lit(1_000_000).cast("long"),
+            ).alias("delta_s"),
+        )
+        return group_exact_quantiles(
+            deltas, "channel", "delta_s", qs=("0.5", "0.9")
+        )
+
+    q["time_to_convert"] = _time_to_convert
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -4157,6 +4229,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: deterministic-sampling family (reps in-window:
         # mixture_resample + training_shuffle_order)
         "weighted_priority_sample",
+        # born-demoted: daily-volume profile family (rep in-window:
+        # events_hourly; MAD flags days, CUSUM locates shifts, this
+        # normalizes the weekday baseline)
+        "seasonality_index",
+        # born-demoted: composition of the last-touch attribution join
+        # (rep purchase_attribution_asof) and the exact selection
+        # engine (rank-statistics rep quality_decile_stats)
+        "time_to_convert",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -7861,6 +7941,75 @@ SELECT doc_id, n_chars,
 FROM documents
 ORDER BY priority, doc_id
 LIMIT 100
+"""
+
+    # Seasonality twin: the same cross-multiplied ppm ratio; the
+    # weekday key is epoch_day % 7 on both engines (never an
+    # engine-specific dayofweek(), whose week origin differs).
+    o["seasonality_index"] = """
+WITH daily AS (
+  SELECT event_type AS series,
+         (ts::DATE - DATE '1970-01-01') AS day,
+         count(*)::BIGINT AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), dw AS (
+  SELECT series, (day % 7)::BIGINT AS dow,
+         sum(c)::BIGINT AS dow_events,
+         count(*)::BIGINT AS dow_days
+  FROM daily GROUP BY 1, 2
+), tot AS (
+  SELECT series, sum(dow_events)::BIGINT AS s,
+         sum(dow_days)::BIGINT AS n
+  FROM dw GROUP BY 1
+)
+SELECT d.series, d.dow, d.dow_days, d.dow_events,
+       ((d.dow_events::HUGEINT * t.n * 1000000)
+        // (d.dow_days::HUGEINT * t.s))::BIGINT AS index_ppm
+FROM dw d JOIN tot t USING (series)
+"""
+
+    # Time-to-convert twin: last-touch selection via rank-1 window,
+    # then the exact discrete quantile (rank = max(1, ceil(q*n)),
+    # stated as integer ceilings) read off order statistics — the
+    # independent restatement of the histogram-narrowing engine.
+    o["time_to_convert"] = """
+WITH base AS (
+  SELECT * FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), conv AS (
+  SELECT user_id AS u, event_id AS conv_id, ts AS conv_ts
+  FROM base WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS u, event_id AS touch_id, ts AS touch_ts,
+         event_type AS channel
+  FROM base WHERE event_type IN ('click', 'view', 'signup')
+), lastt AS (
+  SELECT c.conv_id, t.channel,
+         (epoch_us(c.conv_ts) - epoch_us(t.touch_ts)) // 1000000
+           AS delta_s
+  FROM conv c JOIN touch t
+    ON c.u = t.u AND t.touch_ts <= c.conv_ts
+  QUALIFY row_number() OVER (
+    PARTITION BY c.conv_id
+    ORDER BY t.touch_ts DESC, t.touch_id DESC
+  ) = 1
+), ranked AS (
+  SELECT channel AS grp, delta_s,
+         row_number() OVER (
+           PARTITION BY channel ORDER BY delta_s
+         ) AS rn,
+         count(*) OVER (PARTITION BY channel) AS n
+  FROM lastt
+)
+SELECT grp, '0.5' AS q, ((n + 1) // 2)::BIGINT AS rank,
+       n::BIGINT AS n, delta_s::DOUBLE AS value
+FROM ranked WHERE rn = (n + 1) // 2
+UNION ALL
+SELECT grp, '0.9', ((9 * n + 9) // 10)::BIGINT, n::BIGINT,
+       delta_s::DOUBLE
+FROM ranked WHERE rn = (9 * n + 9) // 10
 """
 
     return o

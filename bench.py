@@ -285,6 +285,10 @@ def main() -> None:
         "interval_coalesce",
         # sequential Poisson weighted sample (TakeOrdered, no sort)
         "weighted_priority_sample",
+        # exact ppm day-of-week seasonality (one corpus shuffle)
+        "seasonality_index",
+        # last-touch latency quantiles (attribution x selection)
+        "time_to_convert",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

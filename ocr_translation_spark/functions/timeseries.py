@@ -282,3 +282,71 @@ def coalesce_intervals(
             "n_merged",
         )
     )
+
+
+def seasonality_index(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Multiplicative day-of-week seasonality per series, in exact
+    ppm: ``index_ppm = (dow mean daily count) / (overall mean daily
+    count) * 1e6`` — the classical ratio-to-overall-average seasonal
+    index (1e6 = no weekday effect), the profile capacity planning
+    and anomaly baselines divide by before comparing days.
+
+    Exactness: both means are rational; the ratio is computed CROSS-
+    MULTIPLIED in DECIMAL(38,0) — ``(S_d * n * 1e6) div (n_d * S)``
+    — no float division, so the DuckDB twin (HUGEINT ``//``) is
+    bit-exact. The weekday key is ``epoch_day % 7`` (0 = Thursday:
+    1970-01-01), pure integer arithmetic identical on any engine —
+    never an engine-specific dayofweek() whose week origin differs.
+
+    Spark shape (100 TB): ONE corpus shuffle for the (series, day)
+    daily rollup; everything after runs on O(series x days) rows —
+    the dow rollup, the per-series totals (derived from the dow
+    rollup, NOT a second corpus scan), and a broadcast join back.
+    """
+    s, t = F.col(series_col), F.col(ts_col)
+    daily = (
+        events.filter(s.isNotNull() & t.isNotNull())
+        .groupBy(
+            s.alias("series"),
+            F.datediff(t.cast("date"), F.lit("1970-01-01")).alias(
+                "_day"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dow = (
+        daily.groupBy(
+            "series", (F.col("_day") % 7).cast("long").alias("dow")
+        )
+        .agg(
+            F.sum("c").alias("dow_events"),
+            F.count(F.lit(1)).alias("dow_days"),
+        )
+    )
+    totals = dow.groupBy("series").agg(
+        F.sum("dow_events").alias("_S"),
+        F.sum("dow_days").alias("_n"),
+    )
+    d38 = "decimal(38,0)"
+    return (
+        dow.join(F.broadcast(totals), "series")
+        .select(
+            "series",
+            "dow",
+            "dow_days",
+            "dow_events",
+            F.call_function(
+                "div",
+                F.col("dow_events").cast(d38)
+                * F.col("_n").cast(d38)
+                * F.lit(1_000_000).cast(d38),
+                F.col("dow_days").cast(d38) * F.col("_S").cast(d38),
+            )
+            .cast("long")
+            .alias("index_ppm"),
+        )
+    )

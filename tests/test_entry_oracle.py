@@ -156,6 +156,8 @@ _VARIANT_TAIL = {
     "kcore_decomposition",
     "interval_coalesce",
     "weighted_priority_sample",
+    "seasonality_index",
+    "time_to_convert",
 }
 
 
@@ -367,6 +369,11 @@ def test_driver_window_covers_every_operator_family():
         "interval_coalesce": "events_funnel",
         # born-demoted: deterministic-sampling family
         "weighted_priority_sample": "mixture_resample",
+        # born-demoted: daily-volume profile family
+        "seasonality_index": "events_hourly",
+        # born-demoted: composition of last-touch attribution and the
+        # exact selection engine
+        "time_to_convert": "purchase_attribution_asof",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
