@@ -3821,6 +3821,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["time_to_convert"] = _time_to_convert
 
+    def _contrastive(spark, sf):
+        """Contrastive training triplets (anchor, positive, negative)
+        mined from the near-dup cluster structure — the standard way
+        to bootstrap embedding-training pairs from dedup output:
+        positives are same-cluster near-dups (smallest other member,
+        deterministic), negatives the first of 3 sha-derived probe
+        candidates whose cluster differs (self and same-cluster
+        probes rejected; an anchor whose 3 probes all collide keeps a
+        NULL negative — accounted, never dropped). Composition of
+        minhash pairs -> CC clusters (in-window reps minhash_near_dup
+        + dedup_clusters) with one cluster-keyed window pass, one
+        id-keyed probe join, and a min-struct pick."""
+        from pyspark.sql import Window as W
+
+        from ocr_translation_spark.functions.graph import (
+            dedup_clusters,
+        )
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+        pairs = minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
+        cl = dedup_clusters(pairs, docs).select("doc_id", "cluster_id")
+        wc = W.partitionBy("cluster_id")
+        sized = cl.withColumn(
+            "_n", F.count(F.lit(1)).over(wc)
+        ).filter(F.col("_n") >= 2)
+        m1 = sized.withColumn("_min1", F.min("doc_id").over(wc))
+        pos = m1.withColumn(
+            "_min2",
+            F.min(
+                F.when(
+                    F.col("doc_id") != F.col("_min1"), F.col("doc_id")
+                )
+            ).over(wc),
+        ).select(
+            "doc_id",  # anchor, named doc_id so _sha_target applies
+            "cluster_id",
+            F.when(F.col("doc_id") == F.col("_min1"), F.col("_min2"))
+            .otherwise(F.col("_min1"))
+            .alias("positive_id"),
+        )
+        cand = pos.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"),
+                            _sha_target(k, n_docs).alias("neg"),
+                        )
+                        for k in (1, 2, 3)
+                    ]
+                )
+            ).alias("_c"),
+        ).select(
+            "doc_id",
+            "cluster_id",
+            "positive_id",
+            F.col("_c.k").alias("k"),
+            F.col("_c.neg").alias("neg"),
+        )
+        valid = cand.join(
+            cl.select(
+                F.col("doc_id").alias("neg"),
+                F.col("cluster_id").alias("_nc"),
+            ),
+            "neg",
+        ).filter(F.col("_nc") != F.col("cluster_id"))
+        best = valid.groupBy("doc_id").agg(
+            F.min(F.struct("k", "neg")).alias("_b")
+        )
+        return (
+            pos.join(best, "doc_id", "left")
+            .select(
+                F.col("doc_id").alias("anchor_id"),
+                "positive_id",
+                F.col("_b.neg").alias("negative_id"),
+                "cluster_id",
+            )
+        )
+
+    q["contrastive_triplets"] = _contrastive
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -4237,6 +4320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (rep purchase_attribution_asof) and the exact selection
         # engine (rank-statistics rep quality_decile_stats)
         "time_to_convert",
+        # born-demoted: training-pair mining composed over the
+        # in-window minhash_near_dup + dedup_clusters structure
+        "contrastive_triplets",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -8010,6 +8096,51 @@ UNION ALL
 SELECT grp, '0.9', ((9 * n + 9) // 10)::BIGINT, n::BIGINT,
        delta_s::DOUBLE
 FROM ranked WHERE rn = (9 * n + 9) // 10
+"""
+
+    # Contrastive-triplets twin: the shared minhash-pairs + recursive
+    # transitive-closure chain, then the same deterministic positive
+    # (smallest other member) and probe-negative (first of 3
+    # sha-derived candidates in a different cluster) laws.
+    o["contrastive_triplets"] = f"""
+WITH RECURSIVE {_minhash_pairs_ctes(0.5, 32)}, und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+), cl AS (
+  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+), nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+mem AS (
+  SELECT c.doc_id, c.cluster_id FROM cl c
+  WHERE EXISTS (
+    SELECT 1 FROM cl o
+    WHERE o.cluster_id = c.cluster_id AND o.doc_id <> c.doc_id
+  )
+), pos AS (
+  SELECT m.doc_id, m.cluster_id, min(o.doc_id) AS positive_id
+  FROM mem m JOIN mem o
+    ON o.cluster_id = m.cluster_id AND o.doc_id <> m.doc_id
+  GROUP BY 1, 2
+), nprobe AS (
+  SELECT p.doc_id, p.cluster_id, p.positive_id, t.k,
+         ((('0x' || substr(sha256(p.doc_id::VARCHAR || ':' || t.k),
+            1, 12))::UBIGINT)::BIGINT % nn.n) AS neg
+  FROM pos p, range(1, 4) t(k), nn
+), negv AS (
+  SELECT c.doc_id, c.k, c.neg,
+         row_number() OVER (
+           PARTITION BY c.doc_id ORDER BY c.k
+         ) AS rn
+  FROM nprobe c JOIN cl x ON x.doc_id = c.neg
+  WHERE x.cluster_id <> c.cluster_id
+)
+SELECT p.doc_id AS anchor_id, p.positive_id,
+       v.neg AS negative_id, p.cluster_id
+FROM pos p LEFT JOIN negv v ON v.doc_id = p.doc_id AND v.rn = 1
 """
 
     return o

@@ -289,6 +289,8 @@ def main() -> None:
         "seasonality_index",
         # last-touch latency quantiles (attribution x selection)
         "time_to_convert",
+        # contrastive training triplets over near-dup clusters
+        "contrastive_triplets",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

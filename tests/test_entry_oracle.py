@@ -158,6 +158,7 @@ _VARIANT_TAIL = {
     "weighted_priority_sample",
     "seasonality_index",
     "time_to_convert",
+    "contrastive_triplets",
 }
 
 
@@ -374,6 +375,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: composition of last-touch attribution and the
         # exact selection engine
         "time_to_convert": "purchase_attribution_asof",
+        # born-demoted: training-pair mining over the near-dup
+        # cluster structure
+        "contrastive_triplets": "dedup_clusters",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
