@@ -3904,6 +3904,145 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contrastive_triplets"] = _contrastive
 
+    def _ab_experiment(spark, sf):
+        """Deterministic A/B experiment report
+        (functions/experiment.py): sha-hash arm assignment (the
+        Kohavi-style reproducible split every experimentation
+        platform uses instead of RNG), first-exposure ->
+        post-exposure-conversion funnel in ONE user-keyed aggregate
+        (max(conv ts) >= min(exp ts) decides "converted after first
+        exposure" without a self-join), exact truncating-ppm rates,
+        and a cross-multiplied integer beats-control verdict via a
+        broadcast of the 1-row control aggregate."""
+        from ocr_translation_spark.functions.experiment import (
+            ab_experiment_report,
+        )
+
+        return ab_experiment_report(
+            _read(spark, sf, "events"), n_arms=2
+        )
+
+    q["ab_experiment_report"] = _ab_experiment
+
+    def _burst(spark, sf):
+        """Hysteresis burst segmentation (functions/changepoint.py
+        burst_windows): the two-state Kleinberg-style automaton over
+        per-series daily volume — enter at >= 2x mean, exit below
+        mean, previous state carried through the band via the
+        last-non-null window idiom (identical syntax in the DuckDB
+        twin). The driver corpus is volume-uniform (Poisson spread
+        shrinks with scale: sf0.1 days peak at 1.11x mean), so the
+        registered query PLANTS a deterministic regime — events on
+        epoch_day % 7 == 3 are tripled by unioning two extra copies
+        (engine-neutral integer day arithmetic, same rule in the
+        twin) — which pushes one weekday each week to ~2.25x the new
+        mean (enters) with ordinary days at ~0.75x (exits), so the
+        enter, exit, AND band-carry paths all execute at every sf."""
+        from ocr_translation_spark.functions.changepoint import (
+            burst_windows,
+        )
+
+        ev = _read(spark, sf, "events")
+        boosted_day = (
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            % 7
+            == 3
+        )
+        boost = ev.filter(boosted_day)
+        planted = ev.unionAll(boost).unionAll(boost)
+        return burst_windows(planted)
+
+    q["burst_windows"] = _burst
+
+    def _q8(spark, sf):
+        """TPC-H q8-shaped national market share: of the revenue a
+        region's customers spent on one part type in 1995-1996, what
+        ppm went to suppliers from one nation, by order year? The
+        share is exact integer ppm: per-row volume quantized half-up
+        to ten-thousandths (the _msum money encoding), summed in
+        DECIMAL(38,0), then one truncating div per year — both
+        engines compute identical integers. Dims broadcast; the only
+        shuffles are the two fact joins and the tiny year rollup."""
+        part = _read(spark, sf, "part").filter(
+            F.col("p_type") == "ECONOMY"
+        )
+        supp = _read(spark, sf, "supplier")
+        n1 = _read(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("s_nk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+        n2 = _read(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("c_nk"),
+            F.col("n_regionkey").alias("c_rk"),
+        )
+        region = _read(spark, sf, "region").filter(
+            F.col("r_name") == "AFRICA"
+        )
+        orders = _read(spark, sf, "orders").filter(
+            # o_orderdate is a TIMESTAMP: "< next Jan 1", never
+            # "<= Dec 31" (which is midnight and drops the day)
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        cust = _read(spark, sf, "customer")
+        li = _read(spark, sf, "lineitem")
+        vol = F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            + F.lit(0.5)
+        )
+        base = (
+            li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+            .join(F.broadcast(n1), supp["s_nationkey"] == F.col("s_nk"))
+            .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nk"))
+            .join(
+                F.broadcast(region),
+                F.col("c_rk") == region["r_regionkey"],
+            )
+        )
+        tgt = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+            F.lit(0)
+        )
+
+        def _split_sum(c):
+            # the _msum hi/lo long-split: plain sum(long) would
+            # overflow at ~9.2e9 rows/group of ~1e9-cent volumes;
+            # the split holds to ~8.8e12 rows/group
+            lo = F.sum(c.bitwiseAND(F.lit((1 << 20) - 1)))
+            hi = F.sum(F.shiftright(c, 20))
+            return hi.cast("decimal(38,0)") * F.lit(1 << 20) + lo.cast(
+                "decimal(38,0)"
+            )
+
+        grouped = base.groupBy(
+            F.year("o_orderdate").alias("o_year")
+        ).agg(
+            _split_sum(tgt).alias("_tgt"),
+            _split_sum(vol).alias("_all"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        return grouped.select(
+            "o_year",
+            F.call_function(
+                "div",
+                F.col("_tgt") * F.lit(1000000).cast("decimal(38,0)"),
+                F.col("_all"),
+            )
+            .cast("long")
+            .alias("mkt_share_ppm"),
+            F.round((F.col("_all") / 10000).cast("double"), 2).alias(
+                "total_volume"
+            ),
+            "n_items",
+        )
+
+    q["tpch_q8_market_share"] = _q8
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -4323,6 +4462,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: training-pair mining composed over the
         # in-window minhash_near_dup + dedup_clusters structure
         "contrastive_triplets",
+        # demoted for ab_experiment_report, a NEW online-controlled-
+        # experiment family (deterministic hash-split assignment +
+        # post-exposure conversion + cross-multiplied control
+        # comparison): grouping-sets reshaping of the same grouped
+        # event counts as events_hourly (in-window); its pivot twin
+        # was already tail
+        "events_cube",
+        # born-demoted: daily-volume monitoring family (rep in-window:
+        # events_hourly; MAD flags outlier days, CUSUM locates the
+        # level shift, this segments sustained regimes with
+        # hysteresis carry)
+        "burst_windows",
+        # born-demoted: multi-join + conditional-share aggregate, the
+        # same relational family as tpch_q3_shipping (in-window)
+        "tpch_q8_market_share",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -8141,6 +8295,130 @@ mem AS (
 SELECT p.doc_id AS anchor_id, p.positive_id,
        v.neg AS negative_id, p.cluster_id
 FROM pos p LEFT JOIN negv v ON v.doc_id = p.doc_id AND v.rn = 1
+"""
+
+    # A/B twin: the identical sha-derived arm arithmetic (the same
+    # '0x'||substr(sha256(...)) spelling as kmv/sampling), the same
+    # one-aggregate conversion rule, BIGINT // for the truncating ppm
+    # rate, and the cross-multiplied control comparison.
+    o["ab_experiment_report"] = """
+WITH per_unit AS (
+  SELECT user_id AS unit,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_exp,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_conv
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+), assigned AS (
+  SELECT (('0x' || substr(sha256('arm:' || unit::VARCHAR), 1, 15))
+            ::UBIGINT % 2)::BIGINT AS arm,
+         CASE WHEN last_conv IS NOT NULL AND last_conv >= first_exp
+              THEN 1 ELSE 0 END AS conv
+  FROM per_unit WHERE first_exp IS NOT NULL
+), per_arm AS (
+  SELECT arm, count(*)::BIGINT AS n_exposed,
+         sum(conv)::BIGINT AS n_converted
+  FROM assigned GROUP BY 1
+), ctrl AS (
+  SELECT n_exposed AS ctrl_exposed, n_converted AS ctrl_converted
+  FROM per_arm WHERE arm = 0
+)
+SELECT arm, n_exposed, n_converted,
+       (n_converted * 1000000) // n_exposed AS cvr_ppm,
+       CASE WHEN arm = 0 THEN FALSE
+            ELSE n_converted * ctrl_exposed > ctrl_converted * n_exposed
+       END AS beats_control
+FROM per_arm LEFT JOIN ctrl ON TRUE
+"""
+
+    # Burst twin: the same planted x3 weekday (engine-neutral
+    # epoch-day % 7), the same cross-multiplied enter/exit rules, the
+    # same last_value IGNORE NULLS carry and gaps-and-islands rollup.
+    o["burst_windows"] = """
+WITH ev AS (
+  SELECT event_type, ts FROM events
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE (ts::DATE - DATE '1970-01-01') % 7 = 3
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE (ts::DATE - DATE '1970-01-01') % 7 = 3
+), daily AS (
+  SELECT event_type AS series,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*)::BIGINT AS x
+  FROM ev
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT series, day, x,
+         count(*) OVER (PARTITION BY series)::BIGINT AS n_days,
+         sum(x) OVER (PARTITION BY series)::BIGINT AS total
+  FROM daily
+), staged AS (
+  SELECT series, day, x,
+         CASE WHEN x * n_days >= 2 * total THEN 1
+              WHEN x * n_days < total THEN 0
+              ELSE NULL END AS e
+  FROM tot
+), st AS (
+  SELECT series, day, x,
+         coalesce(last_value(e IGNORE NULLS) OVER (
+           PARTITION BY series ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ), 0) AS state
+  FROM staged
+), flagged AS (
+  SELECT series, day, x, state,
+         CASE WHEN state = 1 AND coalesce(
+                lag(state) OVER (PARTITION BY series ORDER BY day),
+                0) = 0
+              THEN 1 ELSE 0 END AS opens
+  FROM st
+), isl AS (
+  SELECT series, day, x, state,
+         sum(opens) OVER (
+           PARTITION BY series ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM flagged
+)
+SELECT series, min(day) AS burst_start, max(day) AS burst_end,
+       count(*)::BIGINT AS n_burst_days,
+       sum(x)::BIGINT AS burst_volume,
+       max(x)::BIGINT AS peak_volume
+FROM isl WHERE state = 1
+GROUP BY series, island
+"""
+
+    # Q8 twin: identical half-up ten-thousandths quantization (the
+    # floor(x*1e4 + 0.5) _msum encoding), HUGEINT sums, and the same
+    # truncating // for the ppm share.
+    o["tpch_q8_market_share"] = """
+WITH base AS (
+  SELECT year(o_orderdate)::INTEGER AS o_year,
+         floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+           ::BIGINT AS v,
+         CASE WHEN n1.n_name = 'NATION_5' THEN 1 ELSE 0 END AS is_tgt
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'AFRICA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       ((sum(CASE WHEN is_tgt = 1 THEN v ELSE 0 END)::HUGEINT
+         * 1000000) // sum(v)::HUGEINT)::BIGINT AS mkt_share_ppm,
+       round((sum(v)::HUGEINT::DECIMAL(38,4) / 10000)::DOUBLE, 2)
+         AS total_volume,
+       count(*)::BIGINT AS n_items
+FROM base GROUP BY 1
 """
 
     return o

@@ -291,6 +291,12 @@ def main() -> None:
         "time_to_convert",
         # contrastive training triplets over near-dup clusters
         "contrastive_triplets",
+        # deterministic hash-split A/B report (one user shuffle)
+        "ab_experiment_report",
+        # hysteresis burst segmentation (planted x3 weekday regime)
+        "burst_windows",
+        # TPC-H q8 national market share (exact integer ppm)
+        "tpch_q8_market_share",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -159,6 +159,9 @@ _VARIANT_TAIL = {
     "seasonality_index",
     "time_to_convert",
     "contrastive_triplets",
+    "events_cube",
+    "burst_windows",
+    "tpch_q8_market_share",
 }
 
 
@@ -174,7 +177,18 @@ def test_driver_window_covers_every_operator_family():
         "shingle_fingerprint": "canonical_fingerprint",
         "lsh_ann_topk": "ivf_ann_topk",
         "events_sessionize": "events_funnel",
-        "events_pivot": "events_cube",
+        # remapped after events_cube itself was demoted for
+        # ab_experiment_report: both reshapings roll up the same
+        # grouped event counts as events_hourly
+        "events_pivot": "events_hourly",
+        # demoted for ab_experiment_report, a NEW online-controlled-
+        # experiment family
+        "events_cube": "events_hourly",
+        # born-demoted: daily-volume monitoring family (MAD flags
+        # days, CUSUM locates shifts, this segments regimes)
+        "burst_windows": "events_hourly",
+        # born-demoted: multi-join + conditional-share aggregate
+        "tpch_q8_market_share": "tpch_q3_shipping",
         "source_top_docs": "curation_e2e",
         "token_concentration": "vocab_oov_rate",
         "semantic_dedup": "dedup_clusters",
