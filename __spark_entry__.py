@@ -3912,8 +3912,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         post-exposure-conversion funnel in ONE user-keyed aggregate
         (max(conv ts) >= min(exp ts) decides "converted after first
         exposure" without a self-join), exact truncating-ppm rates,
-        and a cross-multiplied integer beats-control verdict via a
-        broadcast of the 1-row control aggregate."""
+        and a cross-multiplied integer beats-control verdict pulled
+        via an unpartitioned window over the n_arms-row rollup (one
+        pass over events; a control self-join would re-run the
+        corpus-sized unit shuffle)."""
         from ocr_translation_spark.functions.experiment import (
             ab_experiment_report,
         )
@@ -4042,6 +4044,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_q8_market_share"] = _q8
+
+    def _link_pred(spark, sf):
+        """Resource-allocation link prediction (functions/graph.py
+        link_prediction_ra) over the SAME derived ring+sha graph as
+        triangle_counts: the ring guarantees every vertex pair
+        (i, i+2) shares the common neighbor i+1 at every scale
+        factor, so non-adjacent candidates with non-trivial scores
+        always exist, and the two sha-derived links add irregular
+        degree structure so the 1e6 div deg weighting genuinely
+        varies. Exact integer micro-unit scores; top-100 by
+        (score desc, u, v) — deterministic."""
+        from ocr_translation_spark.functions.graph import (
+            link_prediction_ra,
+        )
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+        edges = docs.select(
+            F.col("doc_id").alias("id_a"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") + 1) % n_docs,
+                    (F.col("doc_id") + 2) % n_docs,
+                    _sha_target(1, n_docs),
+                    _sha_target(2, n_docs),
+                )
+            ).alias("id_b"),
+        )
+        return link_prediction_ra(edges, top_k=100)
+
+    q["link_prediction_ra"] = _link_pred
 
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
@@ -4477,6 +4510,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: multi-join + conditional-share aggregate, the
         # same relational family as tpch_q3_shipping (in-window)
         "tpch_q8_market_share",
+        # born-demoted: wedge-join scoring over the same derived link
+        # graph as the in-window graph reps (pagerank_centrality +
+        # dedup_clusters); the missing-edge dual of triangle_counts'
+        # closure check
+        "link_prediction_ra",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -8419,6 +8457,50 @@ SELECT o_year,
          AS total_volume,
        count(*)::BIGINT AS n_items
 FROM base GROUP BY 1
+"""
+
+    # Same derived ring+sha graph as triangle_counts; RA score as the
+    # exact truncating-integer sum over common neighbors (1e6 // deg),
+    # so BIGINT // mirrors Spark's IntegralDivide bit-for-bit. The
+    # (score desc, u, v) tiebreak is total, so the top-100 SET is a
+    # pure function of the edge set and both engines agree exactly.
+    o["link_prediction_ra"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tg AS (
+  SELECT doc_id, [(doc_id + 1) % n, (doc_id + 2) % n,
+                  {_pr_tgt.format(k=1)}, {_pr_tgt.format(k=2)}] AS ts
+  FROM documents, nn
+),
+e0 AS (SELECT doc_id AS s, unnest(ts) AS t FROM tg),
+edges AS (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+  FROM e0 WHERE s <> t
+),
+und AS (
+  SELECT u AS z, v AS nbr FROM edges
+  UNION ALL SELECT v AS z, u AS nbr FROM edges
+),
+deg AS (SELECT z, count(*)::BIGINT AS degree FROM und GROUP BY z),
+adj AS (
+  SELECT und.z, und.nbr, (1000000 // deg.degree)::BIGINT AS w
+  FROM und JOIN deg USING (z)
+),
+wedges AS (
+  SELECT a1.nbr AS u, a2.nbr AS v, a1.w AS w
+  FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.nbr < a2.nbr
+),
+scored AS (
+  SELECT u, v, sum(w)::BIGINT AS ra_score_micro,
+         count(*)::BIGINT AS n_common
+  FROM wedges GROUP BY u, v
+),
+missing AS (
+  SELECT s.u, s.v, s.ra_score_micro, s.n_common
+  FROM scored s LEFT JOIN edges e ON s.u = e.u AND s.v = e.v
+  WHERE e.u IS NULL
+)
+SELECT u, v, ra_score_micro, n_common
+FROM missing ORDER BY ra_score_micro DESC, u, v LIMIT 100
 """
 
     return o

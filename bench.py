@@ -297,6 +297,8 @@ def main() -> None:
         "burst_windows",
         # TPC-H q8 national market share (exact integer ppm)
         "tpch_q8_market_share",
+        # resource-allocation link prediction (wedge join + anti-join)
+        "link_prediction_ra",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -162,6 +162,7 @@ _VARIANT_TAIL = {
     "events_cube",
     "burst_windows",
     "tpch_q8_market_share",
+    "link_prediction_ra",
 }
 
 
@@ -392,6 +393,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: training-pair mining over the near-dup
         # cluster structure
         "contrastive_triplets": "dedup_clusters",
+        # born-demoted: wedge-join missing-edge scoring over the
+        # shared link graph; graph-analytics reps in-window
+        "link_prediction_ra": "pagerank_centrality",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

@@ -148,3 +148,102 @@ def test_triangle_brute_force_parity_randomized(spark):
         edges = [e for e in edges if e[0] != e[1]]
         got = _tri_run(spark, edges)
         assert got == _tri_brute(edges), f"trial {trial}"
+
+
+def _lp_brute(edges, top_k=100, max_deg=None):
+    """Pure-Python RA link prediction mirroring the documented
+    semantics: 1e6 // deg(z) per common neighbor, non-adjacent pairs
+    only, top_k by (score desc, u, v)."""
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs: dict[int, set[int]] = {}
+    for u, v in es:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    scores: dict[tuple[int, int], list[int]] = {}
+    for z, ns in nbrs.items():
+        if max_deg is not None and len(ns) > max_deg:
+            continue
+        w = 1000000 // len(nbrs[z])
+        sn = sorted(ns)
+        for i in range(len(sn)):
+            for j in range(i + 1, len(sn)):
+                p = (sn[i], sn[j])
+                s = scores.setdefault(p, [0, 0])
+                s[0] += w
+                s[1] += 1
+    rows = [
+        (u, v, s, c)
+        for (u, v), (s, c) in scores.items()
+        if (u, v) not in es
+    ]
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:top_k]
+
+
+def _lp_run(spark, edges, **kw):
+    from ocr_translation_spark.functions.graph import link_prediction_ra
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return [
+        (r.u, r.v, r.ra_score_micro, r.n_common)
+        for r in link_prediction_ra(df, **kw).collect()
+    ]
+
+
+def test_link_prediction_path_graph(spark):
+    # path 1-2-3: the only wedge is centered at 2 (deg 2), so the one
+    # predicted link is (1,3) with score 1e6//2 and one common nbr.
+    assert _lp_run(spark, [(1, 2), (2, 3)]) == [(1, 3, 500000, 1)]
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    # triangle 1-2-3: every wedge closes; nothing to predict.
+    assert _lp_run(spark, [(1, 2), (2, 3), (1, 3)]) == []
+
+
+def test_link_prediction_square_scores_both_diagonals(spark):
+    # 4-cycle: each diagonal has two degree-2 common neighbors.
+    got = _lp_run(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    assert got == [(1, 3, 1000000, 2), (2, 4, 1000000, 2)]
+
+
+def test_link_prediction_hub_cap_drops_superstar_center(spark):
+    # star center 0 (deg 4) + path 1-9-2: capping at 3 removes the
+    # star's wedges but keeps the path's prediction through 9.
+    edges = [(0, i) for i in (1, 2, 3, 4)] + [(1, 9), (9, 2)]
+    got = _lp_run(spark, edges, max_intermediate_degree=3)
+    assert got == _lp_brute(edges, max_deg=3)
+    # and the capped result is a subset-with-lower-scores of exact
+    exact = dict(
+        ((u, v), (s, c)) for u, v, s, c in _lp_brute(edges)
+    )
+    for u, v, s, c in got:
+        assert s <= exact[(u, v)][0] and c <= exact[(u, v)][1]
+
+
+def test_link_prediction_brute_force_parity_randomized(spark):
+    import random
+
+    rng = random.Random(20260819)
+    for trial in range(3):
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        got = _lp_run(spark, edges, top_k=10**9)
+        want = _lp_brute(edges, top_k=10**9)
+        assert sorted(got) == sorted(want), f"trial {trial}"
+
+
+def test_link_prediction_partition_invariance(spark):
+    from ocr_translation_spark.functions.graph import link_prediction_ra
+
+    edges = [(i, (i * 7 + 3) % 23) for i in range(23)] + [
+        (i, i + 1) for i in range(22)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = link_prediction_ra(df, top_k=15).collect()
+    b = link_prediction_ra(df.repartition(13), top_k=15).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
