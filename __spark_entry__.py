@@ -2114,6 +2114,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_prefilter_decontaminate"] = _bloom_decontam
 
+    def _ngram_decontam(spark, sf):
+        """GPT-3-style n-gram eval-overlap decontamination
+        (functions/decontaminate.py): eval set = the doc_id % 23 == 0
+        slice; every train doc with doc_id % 17 == 3 gets the first 8
+        tokens of a deterministically-mapped eval doc appended, so the
+        planted leak is exactly one 8-gram shared with exactly one
+        eval doc — the hit join, the position/gram/eval-doc distinct
+        counts and the clean-doc zero path are all non-degenerate
+        (the 31-token vocabulary makes chance 8-gram collisions nil)."""
+        from ocr_translation_spark.functions.decontaminate import (
+            ngram_decontaminate,
+        )
+
+        docs = _read_spread(spark, sf, "documents")
+        n_docs = docs.count()
+        n_eval = (n_docs - 1) // 23 + 1
+        ev = docs.where(F.col("doc_id") % 23 == 0).select(
+            F.col("doc_id").alias("eval_id"),
+            F.call_function("div", F.col("doc_id"), F.lit(23)).alias(
+                "eval_idx"
+            ),
+            F.col("text").alias("eval_text"),
+        )
+        windows = ev.select(
+            "eval_idx",
+            F.array_join(
+                F.slice(F.split(F.trim("eval_text"), r"\s+"), 1, 8), " "
+            ).alias("w"),
+        )
+        train = docs.where(F.col("doc_id") % 23 != 0).join(
+            F.broadcast(windows),
+            F.col("doc_id") % n_eval == F.col("eval_idx"),
+            "left",
+        )
+        planted = train.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 17 == 3,
+                F.concat(F.col("text"), F.lit(" "), F.col("w")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return ngram_decontaminate(
+            planted,
+            ev.select(
+                F.col("eval_id").alias("doc_id"),
+                F.col("eval_text").alias("text"),
+            ),
+            k=8,
+        )
+
+    q["ngram_decontaminate"] = _ngram_decontam
+
     def _inverted_index(spark, sf):
         """Bounded-posting inverted index (functions/index.py): rank
         doc ids per term BEFORE collecting so the hot-term group state
@@ -4515,6 +4569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_clusters); the missing-edge dual of triangle_counts'
         # closure check
         "link_prediction_ra",
+        # born-demoted: decontamination family (in-window rep
+        # bloom_prefilter_decontaminate — the exact-match form; this
+        # is the GPT-3 n-gram-overlap form)
+        "ngram_decontaminate",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -8501,6 +8559,66 @@ missing AS (
 )
 SELECT u, v, ra_score_micro, n_common
 FROM missing ORDER BY ra_score_micro DESC, u, v LIMIT 100
+"""
+
+    # Same planting (eval slice % 23, leak append % 17 == 3, first-8
+    # window), same normalization and positioned 8-grams; the three
+    # distinct-counts and the left-join zero path are restated
+    # independently over DuckDB list slices.
+    o["ngram_decontaminate"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ne AS (SELECT ((n - 1) // 23 + 1)::BIGINT AS n_eval FROM nn),
+ev AS (
+  SELECT doc_id AS eval_id, doc_id // 23 AS eval_idx, text AS eval_text
+  FROM documents WHERE doc_id % 23 = 0
+),
+w AS (
+  SELECT eval_idx,
+         array_to_string(
+           (regexp_split_to_array(trim(eval_text), '\\s+'))[1:8], ' '
+         ) AS win
+  FROM ev
+),
+train AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 17 = 3 THEN d.text || ' ' || w.win
+              ELSE d.text END AS text
+  FROM documents d
+  CROSS JOIN ne
+  LEFT JOIN w ON w.eval_idx = d.doc_id % ne.n_eval
+  WHERE d.doc_id % 23 <> 0
+),
+tb AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split({_NORM}, ' ') END AS t FROM train
+),
+eb AS (
+  SELECT eval_id, CASE WHEN trim(eval_text) = '' THEN []::VARCHAR[]
+         ELSE string_split(
+           regexp_replace(lower(trim(eval_text)), '\\s+', ' ', 'g'), ' '
+         ) END AS t FROM ev
+),
+eg AS (
+  SELECT DISTINCT eval_id AS eid, array_to_string(t[i:i+7], ' ') AS gram
+  FROM eb, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+),
+tg AS (
+  SELECT doc_id, i - 1 AS gpos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM tb, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+),
+per AS (
+  SELECT doc_id, count(DISTINCT gpos)::BIGINT AS n_hit_positions,
+         count(DISTINCT gram)::BIGINT AS n_hit_grams,
+         count(DISTINCT eid)::BIGINT AS n_eval_docs_hit
+  FROM tg JOIN eg USING (gram) GROUP BY doc_id
+)
+SELECT tb.doc_id, len(t)::BIGINT AS n_tokens,
+       greatest(len(t) - 7, 0)::BIGINT AS n_grams,
+       coalesce(per.n_hit_positions, 0)::BIGINT AS n_hit_positions,
+       coalesce(per.n_hit_grams, 0)::BIGINT AS n_hit_grams,
+       coalesce(per.n_eval_docs_hit, 0)::BIGINT AS n_eval_docs_hit,
+       per.doc_id IS NOT NULL AS contaminated
+FROM tb LEFT JOIN per USING (doc_id)
 """
 
     return o

@@ -299,6 +299,8 @@ def main() -> None:
         "tpch_q8_market_share",
         # resource-allocation link prediction (wedge join + anti-join)
         "link_prediction_ra",
+        # GPT-3-style n-gram eval-overlap decontamination
+        "ngram_decontaminate",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

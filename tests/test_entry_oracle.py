@@ -163,6 +163,7 @@ _VARIANT_TAIL = {
     "burst_windows",
     "tpch_q8_market_share",
     "link_prediction_ra",
+    "ngram_decontaminate",
 }
 
 
@@ -396,6 +397,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: wedge-join missing-edge scoring over the
         # shared link graph; graph-analytics reps in-window
         "link_prediction_ra": "pagerank_centrality",
+        # born-demoted: n-gram-overlap decontamination; the exact-
+        # match decontamination rep is in-window
+        "ngram_decontaminate": "bloom_prefilter_decontaminate",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
