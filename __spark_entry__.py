@@ -2168,6 +2168,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_decontaminate"] = _ngram_decontam
 
+    def _dsir(spark, sf):
+        """DSIR-style importance-weighted data selection
+        (functions/dsir.py): target = the English slice, pool =
+        everything else; hashed unigram+bigram bucket model trained
+        in one corpus->1024-bucket aggregate, weights embedded as a
+        constant-folded literal array, pool docs scored row-locally
+        and the top-100 (score desc, doc_id) selected. Languages have
+        genuinely different token distributions, so the score
+        separates en-like pool docs — non-degenerate at every SF."""
+        from ocr_translation_spark.functions._lsh_common import prepared
+        from ocr_translation_spark.functions.dsir import (
+            dsir_importance_select,
+        )
+
+        docs = _read_spread(spark, sf, "documents")
+
+        def _build():
+            return dsir_importance_select(
+                docs, F.col("lang") == "en", k_select=100, n_buckets=1024
+            )
+
+        # prepared() memoizes the trained-weights plan per source: the
+        # bucket-model collect is a corpus pass that repeat invocations
+        # (bench warm reps) must not re-run
+        return prepared("entry:dsir_select", (docs,), (sf,), _build)
+
+    q["dsir_select"] = _dsir
+
     def _inverted_index(spark, sf):
         """Bounded-posting inverted index (functions/index.py): rank
         doc ids per term BEFORE collecting so the hot-term group state
@@ -4573,6 +4601,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bloom_prefilter_decontaminate — the exact-match form; this
         # is the GPT-3 n-gram-overlap form)
         "ngram_decontaminate",
+        # born-demoted: deterministic data-selection family (in-window
+        # rep mixture_resample; hashed-model scoring shares
+        # hashed_classifier_score's row-local shape)
+        "dsir_select",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -8619,6 +8651,55 @@ SELECT tb.doc_id, len(t)::BIGINT AS n_tokens,
        coalesce(per.n_eval_docs_hit, 0)::BIGINT AS n_eval_docs_hit,
        per.doc_id IS NOT NULL AS contaminated
 FROM tb LEFT JOIN per USING (doc_id)
+"""
+
+    # Independent relational restatement of the hashed-bucket model:
+    # the twin joins exploded buckets to the (bucket, weight) table
+    # where Spark embeds the collected weights as a literal array —
+    # a value match proves the collect/embed path lost nothing. All
+    # arithmetic is smoothed-ppm integer division (HUGEINT // vs
+    # Python //, both floor on the all-positive numerators).
+    o["dsir_select"] = f"""
+WITH base AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         CASE WHEN trim(text) = '' THEN []::BIGINT[]
+              ELSE list_transform(string_split({_NORM}, ' '),
+                s -> (('0x' || substr(sha256(s), 1, 5))::UBIGINT)::BIGINT)
+         END AS hs
+  FROM documents
+),
+bks AS (
+  SELECT doc_id, tgt,
+         list_concat(
+           list_transform(hs, h -> h % 1024),
+           list_transform(generate_series(1, len(hs) - 1),
+                          i -> (hs[i] * 31 + hs[i + 1]) % 1024)
+         ) AS bk
+  FROM base
+),
+ex AS (SELECT tgt, unnest(bk) AS b FROM bks),
+cnt AS (
+  SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+         sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS cs
+  FROM ex GROUP BY b
+),
+tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cs)::BIGINT AS ts FROM cnt),
+w AS (
+  SELECT b,
+         (((ct + 1)::HUGEINT * 1000000) // (tt + 1024)
+          - ((cs + 1)::HUGEINT * 1000000) // (ts + 1024))::BIGINT AS wt
+  FROM cnt, tot
+),
+pool AS (SELECT doc_id, bk FROM bks WHERE NOT tgt),
+px AS (SELECT doc_id, unnest(bk) AS b FROM pool),
+ps AS (
+  SELECT doc_id, sum(w.wt)::BIGINT AS s
+  FROM px JOIN w USING (b) GROUP BY doc_id
+)
+SELECT p.doc_id, len(p.bk)::BIGINT AS n_grams,
+       coalesce(ps.s, 0)::BIGINT AS dsir_score_micro
+FROM pool p LEFT JOIN ps USING (doc_id)
+ORDER BY dsir_score_micro DESC, p.doc_id LIMIT 100
 """
 
     return o

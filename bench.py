@@ -301,6 +301,8 @@ def main() -> None:
         "link_prediction_ra",
         # GPT-3-style n-gram eval-overlap decontamination
         "ngram_decontaminate",
+        # DSIR hashed-gram importance selection (2 scans, 1 shuffle)
+        "dsir_select",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

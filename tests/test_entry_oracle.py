@@ -164,6 +164,7 @@ _VARIANT_TAIL = {
     "tpch_q8_market_share",
     "link_prediction_ra",
     "ngram_decontaminate",
+    "dsir_select",
 }
 
 
@@ -400,6 +401,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: n-gram-overlap decontamination; the exact-
         # match decontamination rep is in-window
         "ngram_decontaminate": "bloom_prefilter_decontaminate",
+        # born-demoted: importance-weighted data selection; the
+        # deterministic-selection rep is in-window
+        "dsir_select": "mixture_resample",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
