@@ -2196,6 +2196,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_select"] = _dsir
 
+    def _mmr(spark, sf):
+        """MMR diversified re-ranking (functions/mmr.py): per source,
+        the top-30 candidates by a deterministic length-prior
+        relevance are re-ranked to a diverse top-5 — greedy
+        lam=7/10 cross-multiplied integer objective against exact
+        shingle-set Jaccard ppm. The synthetic corpus has real
+        near-dup groups per source, so the diversity term genuinely
+        reorders vs plain top-5-by-relevance."""
+        from pyspark.sql.window import Window
+
+        from ocr_translation_spark.functions.dedup import shingles
+        from ocr_translation_spark.functions.mmr import mmr_rerank
+
+        docs = _read_spread(spark, sf, "documents")
+        base = docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("rel_w"),
+            shingles(F.col("text"), 3).alias("sh"),
+        )
+        w = Window.partitionBy("source").orderBy(
+            F.col("rel_w").desc(), F.col("doc_id")
+        )
+        cand = (
+            base.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 30)
+            .drop("rn")
+        )
+        return mmr_rerank(
+            cand,
+            group_col="source",
+            id_col="doc_id",
+            rel_col="rel_w",
+            shingle_col="sh",
+            k=5,
+        )
+
+    q["mmr_diverse_topk"] = _mmr
+
     def _inverted_index(spark, sf):
         """Bounded-posting inverted index (functions/index.py): rank
         doc ids per term BEFORE collecting so the hot-term group state
@@ -4605,6 +4644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rep mixture_resample; hashed-model scoring shares
         # hashed_classifier_score's row-local shape)
         "dsir_select",
+        # born-demoted: diversified re-ranking over retrieval
+        # shortlists (in-window ranked-retrieval rep bm25_topk)
+        "mmr_diverse_topk",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -8700,6 +8742,74 @@ SELECT p.doc_id, len(p.bk)::BIGINT AS n_grams,
        coalesce(ps.s, 0)::BIGINT AS dsir_score_micro
 FROM pool p LEFT JOIN ps USING (doc_id)
 ORDER BY dsir_score_micro DESC, p.doc_id LIMIT 100
+"""
+
+    # MMR greedy unrolled to k=5 steps (the pagerank-twin technique:
+    # a Python loop writes the per-step CTEs). The twin materializes
+    # the full within-group pairwise-Jaccard table and re-derives each
+    # pick as a window argmax over (7*rel - 3*max_sim, doc_id) — an
+    # independent relational restatement of the per-group greedy the
+    # Spark side runs inside applyInPandas.
+    _mmr_steps = []
+    for _i in range(1, 5):
+        _p = f"selcum{_i - 1}"
+        _mmr_steps.append(
+            f"""st{_i} AS (
+  SELECT c.source, c.doc_id, c.rel_w, max(s.sim_ppm)::BIGINT AS ms
+  FROM cand c
+  JOIN {_p} p ON p.source = c.source
+  JOIN sim s ON s.source = c.source AND s.da = c.doc_id
+            AND s.db = p.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM {_p} q
+                    WHERE q.source = c.source AND q.doc_id = c.doc_id)
+  GROUP BY 1, 2, 3
+), sel{_i} AS (
+  SELECT source, doc_id, {_i + 1} AS sel_rank,
+         (7 * rel_w - 3 * ms)::BIGINT AS mmr_score_w
+  FROM (SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY 7 * rel_w - 3 * ms DESC, doc_id) AS rn FROM st{_i})
+  WHERE rn = 1
+), selcum{_i} AS (
+  SELECT * FROM {_p} UNION ALL SELECT source, doc_id FROM sel{_i}
+)"""
+        )
+    _mmr_union = "\nUNION ALL ".join(
+        f"SELECT source, sel_rank, doc_id, mmr_score_w FROM sel{_i}"
+        for _i in range(5)
+    )
+    o["mmr_diverse_topk"] = f"""
+WITH bb AS (
+  SELECT doc_id, source, n_chars::BIGINT AS rel_w,
+         string_split({_NORM}, ' ') AS t
+  FROM documents
+), shx AS (
+  SELECT doc_id, source, rel_w,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         END AS g
+  FROM bb
+), cand AS (
+  SELECT doc_id, source, rel_w, g FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+      ORDER BY rel_w DESC, doc_id) AS rn FROM shx) WHERE rn <= 30
+), sim AS (
+  SELECT a.source, a.doc_id AS da, b.doc_id AS db,
+         CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) = 0
+              THEN 1000000::BIGINT
+              ELSE ((1000000 * len(list_intersect(a.g, b.g))::HUGEINT)
+                    // (len(a.g) + len(b.g)
+                        - len(list_intersect(a.g, b.g))))::BIGINT
+         END AS sim_ppm
+  FROM cand a JOIN cand b ON a.source = b.source AND a.doc_id <> b.doc_id
+), sel0 AS (
+  SELECT source, doc_id, 1 AS sel_rank, (7 * rel_w)::BIGINT AS mmr_score_w
+  FROM (SELECT *, row_number() OVER (PARTITION BY source
+        ORDER BY rel_w DESC, doc_id) AS rn FROM cand) WHERE rn = 1
+), selcum0 AS (SELECT source, doc_id FROM sel0),
+{",".join(_mmr_steps)}
+{_mmr_union}
 """
 
     return o

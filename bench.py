@@ -303,6 +303,8 @@ def main() -> None:
         "ngram_decontaminate",
         # DSIR hashed-gram importance selection (2 scans, 1 shuffle)
         "dsir_select",
+        # MMR diversified per-source top-5 (bounded per-group greedy)
+        "mmr_diverse_topk",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

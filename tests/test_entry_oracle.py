@@ -165,6 +165,7 @@ _VARIANT_TAIL = {
     "link_prediction_ra",
     "ngram_decontaminate",
     "dsir_select",
+    "mmr_diverse_topk",
 }
 
 
@@ -404,6 +405,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: importance-weighted data selection; the
         # deterministic-selection rep is in-window
         "dsir_select": "mixture_resample",
+        # born-demoted: diversified re-ranking over retrieval
+        # shortlists; ranked-retrieval rep bm25_topk is in-window
+        "mmr_diverse_topk": "bm25_topk",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
