@@ -2235,6 +2235,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mmr_diverse_topk"] = _mmr
 
+    def _textrank(spark, sf):
+        """TextRank keywords (functions/collocations.py
+        textrank_keywords): integer PageRank (3 steps, damping 0.85)
+        over the corpus word co-occurrence graph (window=2,
+        undirected, distinct edges), top-50 terms by (rank desc,
+        term). prepared() memoizes per source: pagerank persists its
+        edge+degree table per call and the corpus->edge-set collapse
+        must not re-run on bench warm reps."""
+        from ocr_translation_spark.functions._lsh_common import prepared
+        from ocr_translation_spark.functions.collocations import (
+            textrank_keywords,
+        )
+
+        docs = _read_spread(spark, sf, "documents")
+
+        def _build():
+            return textrank_keywords(
+                docs, window=2, iterations=3, top_k=50
+            )
+
+        return prepared("entry:textrank_keywords", (docs,), (sf,), _build)
+
+    q["textrank_keywords"] = _textrank
+
     def _inverted_index(spark, sf):
         """Bounded-posting inverted index (functions/index.py): rank
         doc ids per term BEFORE collecting so the hot-term group state
@@ -4647,6 +4671,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: diversified re-ranking over retrieval
         # shortlists (in-window ranked-retrieval rep bm25_topk)
         "mmr_diverse_topk",
+        # born-demoted: PageRank over the word co-occurrence graph —
+        # a composition of two in-window families
+        # (pagerank_centrality + word_cooccurrence's gram machinery)
+        "textrank_keywords",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -8777,6 +8805,50 @@ ORDER BY dsir_score_micro DESC, p.doc_id LIMIT 100
         f"SELECT source, sel_rank, doc_id, mmr_score_w FROM sel{_i}"
         for _i in range(5)
     )
+    # TextRank: the pagerank unrolled-step technique over the WORD
+    # co-occurrence graph (window=2, undirected distinct edges); node
+    # list = vocab, same 150000 + 0.85 integer recurrence.
+    _tr_steps = []
+    _trp = "r0"
+    for _i in (1, 2, 3):
+        _tr_steps.append(
+            f"s{_i} AS (\n"
+            f"  SELECT e.dst, sum({_trp}.r // e.d)::BIGINT AS s\n"
+            f"  FROM e JOIN {_trp} ON {_trp}.node = e.src\n"
+            f"  GROUP BY e.dst\n"
+            f"), r{_i} AS (\n"
+            f"  SELECT v.term AS node,\n"
+            f"         (150000 + (850000::HUGEINT * coalesce(s{_i}.s, 0))"
+            f" // 1000000)::BIGINT AS r\n"
+            f"  FROM vocab v LEFT JOIN s{_i} ON s{_i}.dst = v.term\n"
+            f")"
+        )
+        _trp = f"r{_i}"
+    o["textrank_keywords"] = f"""
+WITH toks AS (
+  SELECT list_filter(string_split(regexp_replace(lower(trim(text)),
+           '\\s+', ' ', 'g'), ' '), t -> t <> '') AS t
+  FROM documents
+), pr0 AS (
+  SELECT CASE WHEN t[i] <= t[j] THEN t[i] ELSE t[j] END AS w1,
+         CASE WHEN t[i] <= t[j] THEN t[j] ELSE t[i] END AS w2
+  FROM (SELECT t FROM toks WHERE len(t) >= 2),
+       unnest(generate_series(1, len(t) - 1)) AS u(i),
+       unnest(generate_series(i + 1, least(i + 2, len(t)))) AS v(j)
+  WHERE t[i] <> t[j]
+),
+edges AS (SELECT DISTINCT w1, w2 FROM pr0),
+e0 AS (SELECT w1 AS src, w2 AS dst FROM edges
+       UNION ALL SELECT w2, w1 FROM edges),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM e0 GROUP BY src),
+e AS (SELECT e0.src, e0.dst, deg.d FROM e0 JOIN deg USING (src)),
+vocab AS (SELECT DISTINCT src AS term FROM e0),
+r0 AS (SELECT term AS node, 1000000::BIGINT AS r FROM vocab),
+{", ".join(_tr_steps)}
+SELECT node AS term, r AS rank_micro FROM r3
+ORDER BY r DESC, node LIMIT 50
+"""
+
     o["mmr_diverse_topk"] = f"""
 WITH bb AS (
   SELECT doc_id, source, n_chars::BIGINT AS rel_w,

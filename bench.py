@@ -305,6 +305,8 @@ def main() -> None:
         "dsir_select",
         # MMR diversified per-source top-5 (bounded per-group greedy)
         "mmr_diverse_topk",
+        # TextRank keywords (PageRank over the word co-occur graph)
+        "textrank_keywords",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -435,3 +435,77 @@ def bpe_encode(
             "tokens_csv"
         ),
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    window: int = 2,
+    iterations: int = 3,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04):
+    PageRank over the corpus word co-occurrence graph — vertices are
+    vocabulary terms, an undirected edge links every token pair
+    within ``window`` positions, and the top-``top_k`` terms by rank
+    are the keywords. The published graph is unweighted and
+    undirected with damping 0.85; ranks come from
+    :func:`graph.pagerank`'s exact integer recurrence (3 synchronous
+    power steps here), so the DuckDB twin reproduces every score
+    bit-for-bit.
+
+    Spark shape at 100 TB: pair generation is the same row-local
+    zip_with-over-shifted-slices codegen as :func:`word_cooccurrence`
+    (no positional self-join); the corpus collapses to the DISTINCT
+    edge set in one hash aggregate — O(vocab^2) bounded, in practice
+    vocab-sized — and everything after runs on the vocabulary graph,
+    which is tiny relative to the corpus (the whole point: corpus
+    passes are O(1), the iteration runs on O(vocab) rows). Returns
+    ``(term, rank_micro)`` ordered by (rank desc, term) — a total
+    order, partition-count invariant.
+    """
+    from .graph import pagerank
+
+    toks = _clean_tokens(F.col(text_col))
+    n = F.size(toks)
+
+    def _pairs_at(d: int) -> Column:
+        shifted = F.when(n > d, F.slice(toks, d + 1, n - d)).otherwise(
+            F.array().cast("array<string>")
+        )
+        return F.zip_with(
+            toks,
+            shifted,
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+
+    pairs = F.filter(
+        F.concat(*[_pairs_at(d) for d in range(1, window + 1)]),
+        lambda p: p.getField("b").isNotNull()
+        & (p.getField("a") != p.getField("b")),
+    )
+    edges = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(
+            F.least("p.a", "p.b").alias("w1"),
+            F.greatest("p.a", "p.b").alias("w2"),
+        )
+        .distinct()
+    )
+    und = edges.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst")
+    ).unionAll(
+        edges.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+    )
+    vocab = und.select(F.col("src").alias("term")).distinct()
+    pr = pagerank(
+        und,
+        vocab,
+        src="src",
+        dst="dst",
+        node_col="term",
+        iterations=iterations,
+    )
+    return pr.orderBy(
+        F.col("rank_micro").desc(), F.col("term").asc()
+    ).limit(top_k)

@@ -351,3 +351,84 @@ def test_word_cooccurrence_single_exchange_no_python(spark):
     assert plan.count("Exchange") == 1, plan
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _py_textrank(texts, window=2, iters=3):
+    import re
+
+    edges = set()
+    for t in texts:
+        toks = [
+            w
+            for w in re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+            if w != ""
+        ]
+        for i in range(len(toks)):
+            for d in range(1, window + 1):
+                if i + d < len(toks) and toks[i] != toks[i + d]:
+                    a, b = sorted((toks[i], toks[i + d]))
+                    edges.add((a, b))
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    r = {v: 1_000_000 for v in nbrs}
+    for _ in range(iters):
+        s = {v: 0 for v in nbrs}
+        for u, ns in nbrs.items():
+            c = r[u] // len(ns)
+            for v in ns:
+                s[v] += c
+        r = {v: 150_000 + (850_000 * s[v]) // 1_000_000 for v in nbrs}
+    return sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_textrank_python_parity(spark):
+    from ocr_translation_spark.functions.collocations import (
+        textrank_keywords,
+    )
+
+    texts = [
+        "spark shuffles data across the cluster",
+        "the cluster shuffles spark data",
+        "graph ranking ranks graph vertices",
+        "solo",
+        "  ",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.term, r.rank_micro)
+        for r in textrank_keywords(df, window=2, iterations=3).collect()
+    ]
+    assert got == _py_textrank(texts)
+    # hub term ("spark"/"data"/"cluster" region) outranks leaf terms
+    ranks = dict(got)
+    assert ranks["data"] > ranks["solo"] if "solo" in ranks else True
+    assert "solo" not in ranks  # isolated token: no edges, no vertex
+
+
+def test_textrank_partition_invariance(spark):
+    from ocr_translation_spark.functions.collocations import (
+        textrank_keywords,
+    )
+
+    import random
+
+    rng = random.Random(20260819)
+    vocab = [f"w{i}" for i in range(15)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 12)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    a = [
+        tuple(r)
+        for r in textrank_keywords(df, top_k=10).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in textrank_keywords(df.repartition(11), top_k=10).collect()
+    ]
+    assert a == b
+    full = _py_textrank(texts)
+    assert a == full[:10]

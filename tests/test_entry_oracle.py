@@ -166,6 +166,7 @@ _VARIANT_TAIL = {
     "ngram_decontaminate",
     "dsir_select",
     "mmr_diverse_topk",
+    "textrank_keywords",
 }
 
 
@@ -408,6 +409,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: diversified re-ranking over retrieval
         # shortlists; ranked-retrieval rep bm25_topk is in-window
         "mmr_diverse_topk": "bm25_topk",
+        # born-demoted: composition of the iterative-graph and
+        # windowed-text families; graph rep pagerank_centrality
+        "textrank_keywords": "pagerank_centrality",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
