@@ -2259,6 +2259,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["textrank_keywords"] = _textrank
 
+    def _span_corruption(spark, sf):
+        """T5 span-corruption example generation
+        (functions/corruption.py): grid-aligned deterministic spans
+        (B=5, L=3, 1-in-4 sha selection = the 15% T5 default),
+        sequential <extra_id_k> sentinels, input/target reassembled
+        row-locally — one WholeStageCodegen map, zero shuffles."""
+        from ocr_translation_spark.functions.corruption import (
+            span_corruption,
+        )
+
+        return span_corruption(_read_spread(spark, sf, "documents"))
+
+    q["t5_span_corruption"] = _span_corruption
+
     def _inverted_index(spark, sf):
         """Bounded-posting inverted index (functions/index.py): rank
         doc ids per term BEFORE collecting so the hot-term group state
@@ -4675,6 +4689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a composition of two in-window families
         # (pagerank_centrality + word_cooccurrence's gram machinery)
         "textrank_keywords",
+        # born-demoted: training-example construction family
+        # (in-window rep document_packing; chunking/packing/corruption
+        # all reshape documents into training rows row-locally)
+        "t5_span_corruption",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -8805,6 +8823,55 @@ ORDER BY dsir_score_micro DESC, p.doc_id LIMIT 100
         f"SELECT source, sel_rank, doc_id, mmr_score_w FROM sel{_i}"
         for _i in range(5)
     )
+    # T5 span corruption: independent relational restatement — blocks
+    # as unnested rows, the sequential sentinel index as a window
+    # cumsum, reassembly as ordered string_agg (Spark does all three
+    # row-locally over named array columns).
+    o["t5_span_corruption"] = f"""
+WITH b0 AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split({_NORM}, ' ') END AS t
+  FROM documents
+),
+blk AS (
+  SELECT doc_id, t, b,
+         (5*b + 3 <= len(t) AND
+          (('0x' || substr(sha256(doc_id::VARCHAR || ':' || b::VARCHAR),
+             1, 5))::UBIGINT) % 4 = 0) AS m
+  FROM b0, unnest(generate_series(0, (len(t) + 4) // 5 - 1)) AS u(b)
+),
+cum AS (
+  SELECT *, coalesce(sum(CASE WHEN m THEN 1 ELSE 0 END) OVER (
+      PARTITION BY doc_id ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+  FROM blk
+),
+pieces AS (
+  SELECT doc_id, b, m,
+         CASE WHEN m THEN array_to_string(
+             ['<extra_id_' || k::VARCHAR || '>'] || t[5*b+4 : 5*b+5], ' ')
+         ELSE array_to_string(t[5*b+1 : 5*b+5], ' ') END AS pin,
+         CASE WHEN m THEN array_to_string(
+             ['<extra_id_' || k::VARCHAR || '>'] || t[5*b+1 : 5*b+3], ' ')
+         END AS ptgt
+  FROM cum
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(pin, ' ' ORDER BY b) AS input_text,
+         coalesce(string_agg(ptgt, ' ' ORDER BY b)
+                  FILTER (WHERE m), '') AS target_text,
+         sum(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS n_spans
+  FROM pieces GROUP BY doc_id
+)
+SELECT b0.doc_id, len(b0.t)::BIGINT AS n_tokens,
+       coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(a.n_spans * 3, 0)::BIGINT AS n_masked_tokens,
+       coalesce(a.input_text, '') AS input_text,
+       coalesce(a.target_text, '') AS target_text
+FROM b0 LEFT JOIN agg a USING (doc_id)
+"""
+
     # TextRank: the pagerank unrolled-step technique over the WORD
     # co-occurrence graph (window=2, undirected distinct edges); node
     # list = vocab, same 150000 + 0.85 integer recurrence.

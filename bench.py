@@ -307,6 +307,8 @@ def main() -> None:
         "mmr_diverse_topk",
         # TextRank keywords (PageRank over the word co-occur graph)
         "textrank_keywords",
+        # T5 span-corruption example generation (zero-shuffle map)
+        "t5_span_corruption",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -167,6 +167,7 @@ _VARIANT_TAIL = {
     "dsir_select",
     "mmr_diverse_topk",
     "textrank_keywords",
+    "t5_span_corruption",
 }
 
 
@@ -412,6 +413,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: composition of the iterative-graph and
         # windowed-text families; graph rep pagerank_centrality
         "textrank_keywords": "pagerank_centrality",
+        # born-demoted: training-example construction; rep
+        # document_packing is in-window
+        "t5_span_corruption": "document_packing",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
