@@ -2273,6 +2273,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t5_span_corruption"] = _span_corruption
 
+    def _fd(spark, sf):
+        """Approximate-FD discovery (functions/fd.py, TANE g3 error)
+        over orders: a key FD (o_orderkey -> o_orderstatus, holds), a
+        derived non-key exact FD (o_orderkey%100 -> o_orderkey%10,
+        holds by construction), and three genuinely violated
+        dependencies — so both the holds path and the plurality
+        arithmetic are non-degenerate."""
+        from ocr_translation_spark.functions.fd import fd_violations
+
+        orders = _read_spread(spark, sf, "orders").withColumn(
+            "ok_mod100", F.col("o_orderkey") % 100
+        ).withColumn("ok_mod10", F.col("o_orderkey") % 10)
+        return fd_violations(
+            orders,
+            [
+                ("o_orderkey", "o_orderstatus"),
+                ("ok_mod100", "ok_mod10"),
+                ("o_custkey", "o_orderstatus"),
+                ("o_orderpriority", "o_orderstatus"),
+                ("o_orderstatus", "o_orderpriority"),
+            ],
+        )
+
+    q["fd_violations"] = _fd
+
     def _inverted_index(spark, sf):
         """Bounded-posting inverted index (functions/index.py): rank
         doc ids per term BEFORE collecting so the hot-term group state
@@ -4693,6 +4718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (in-window rep document_packing; chunking/packing/corruption
         # all reshape documents into training rows row-locally)
         "t5_span_corruption",
+        # born-demoted: data-audit family (in-window reps
+        # table_profile + constraint_audit)
+        "fd_violations",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -8823,6 +8851,42 @@ ORDER BY dsir_score_micro DESC, p.doc_id LIMIT 100
         f"SELECT source, sel_rank, doc_id, mmr_score_w FROM sel{_i}"
         for _i in range(5)
     )
+    # FD g3 error: the twin restates each candidate as its own
+    # aggregate stack (UNION ALL, the table_profile technique) where
+    # Spark checks all candidates in one exploded pass.
+    o["fd_violations"] = """
+WITH src AS (
+  SELECT *, o_orderkey % 100 AS ok_mod100, o_orderkey % 10 AS ok_mod10
+  FROM orders
+), tri AS (
+  SELECT 'o_orderkey->o_orderstatus' AS fd,
+         o_orderkey::VARCHAR AS lhs, o_orderstatus::VARCHAR AS rhs
+  FROM src
+  UNION ALL
+  SELECT 'ok_mod100->ok_mod10', ok_mod100::VARCHAR, ok_mod10::VARCHAR
+  FROM src
+  UNION ALL
+  SELECT 'o_custkey->o_orderstatus', o_custkey::VARCHAR,
+         o_orderstatus::VARCHAR FROM src
+  UNION ALL
+  SELECT 'o_orderpriority->o_orderstatus', o_orderpriority::VARCHAR,
+         o_orderstatus::VARCHAR FROM src
+  UNION ALL
+  SELECT 'o_orderstatus->o_orderpriority', o_orderstatus::VARCHAR,
+         o_orderpriority::VARCHAR FROM src
+), pc AS (
+  SELECT fd, lhs, rhs, count(*)::BIGINT AS c FROM tri GROUP BY 1, 2, 3
+), pl AS (
+  SELECT fd, lhs, sum(c)::BIGINT AS n_l, max(c)::BIGINT AS keep_l
+  FROM pc GROUP BY 1, 2
+)
+SELECT fd, sum(n_l)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_distinct_lhs,
+       (sum(n_l) - sum(keep_l))::BIGINT AS n_violating_rows,
+       (sum(n_l) - sum(keep_l)) = 0 AS holds
+FROM pl GROUP BY fd
+"""
+
     # T5 span corruption: independent relational restatement — blocks
     # as unnested rows, the sequential sentinel index as a window
     # cumsum, reassembly as ordered string_agg (Spark does all three

@@ -309,6 +309,8 @@ def main() -> None:
         "textrank_keywords",
         # T5 span-corruption example generation (zero-shuffle map)
         "t5_span_corruption",
+        # approximate-FD discovery, all candidates in one scan
+        "fd_violations",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

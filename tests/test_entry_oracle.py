@@ -168,6 +168,7 @@ _VARIANT_TAIL = {
     "mmr_diverse_topk",
     "textrank_keywords",
     "t5_span_corruption",
+    "fd_violations",
 }
 
 
@@ -416,6 +417,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: training-example construction; rep
         # document_packing is in-window
         "t5_span_corruption": "document_packing",
+        # born-demoted: data-audit family; rep table_profile is
+        # in-window
+        "fd_violations": "table_profile",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
