@@ -2298,6 +2298,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fd_violations"] = _fd
 
+    def _matching(spark, sf):
+        """Greedy maximal matching (functions/graph.py
+        greedy_maximal_matching) over the shared ring+sha link graph:
+        hash-ranked local-minimum edge selection, 5-6 rounds at every
+        test SF (twin unrolls 10 — post-fixpoint rounds are no-ops).
+        prepared() memoizes the converged checkpoint-backed result —
+        the loop is driver-coordinated like CC."""
+        from ocr_translation_spark.functions._lsh_common import prepared
+        from ocr_translation_spark.functions.graph import (
+            greedy_maximal_matching,
+        )
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+
+        def _build():
+            edges = docs.select(
+                F.col("doc_id").alias("id_a"),
+                F.explode(
+                    F.array(
+                        (F.col("doc_id") + 1) % n_docs,
+                        (F.col("doc_id") + 2) % n_docs,
+                        _sha_target(1, n_docs),
+                        _sha_target(2, n_docs),
+                    )
+                ).alias("id_b"),
+            )
+            return greedy_maximal_matching(edges)
+
+        return prepared(
+            "entry:greedy_matching", (docs,), (n_docs,), _build
+        )
+
+    q["greedy_matching"] = _matching
+
     def _inverted_index(spark, sf):
         """Bounded-posting inverted index (functions/index.py): rank
         doc ids per term BEFORE collecting so the hot-term group state
@@ -4721,6 +4756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: data-audit family (in-window reps
         # table_profile + constraint_audit)
         "fd_violations",
+        # born-demoted: sixth iterative-graph discipline (local-min
+        # matching) over the shared link graph; in-window graph reps
+        # pagerank_centrality + dedup_clusters
+        "greedy_matching",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -8851,6 +8890,53 @@ ORDER BY dsir_score_micro DESC, p.doc_id LIMIT 100
         f"SELECT source, sel_rank, doc_id, mmr_score_w FROM sel{_i}"
         for _i in range(5)
     )
+    # Greedy maximal matching: 10 unrolled local-min rounds (the
+    # kcore/pagerank unroll technique; convergence is 5-6 rounds at
+    # every test SF and post-fixpoint rounds are no-ops). Edge rank =
+    # 60-bit sha prefix of 'u:v'; the min is taken over the struct
+    # (rk, u, v) so sha collisions cannot create conflicting matches.
+    _gm_rounds = []
+    for _r in range(1, 11):
+        _gm_rounds.append(
+            f"""mn{_r} AS MATERIALIZED (
+  SELECT z, min(k) AS mk FROM (
+    SELECT u AS z, {{'rk': rk, 'u': u, 'v': v}} AS k FROM a{_r}
+    UNION ALL SELECT v, {{'rk': rk, 'u': u, 'v': v}} FROM a{_r}
+  ) GROUP BY z
+), m{_r} AS MATERIALIZED (
+  SELECT a.u, a.v, {_r} AS match_round
+  FROM a{_r} a JOIN mn{_r} x ON x.z = a.u JOIN mn{_r} y ON y.z = a.v
+  WHERE {{'rk': a.rk, 'u': a.u, 'v': a.v}} = x.mk
+    AND {{'rk': a.rk, 'u': a.u, 'v': a.v}} = y.mk
+), mv{_r} AS (SELECT u AS z FROM m{_r} UNION SELECT v FROM m{_r}),
+a{_r + 1} AS MATERIALIZED (
+  SELECT a.* FROM a{_r} a
+  WHERE NOT EXISTS (SELECT 1 FROM mv{_r} WHERE z = a.u)
+    AND NOT EXISTS (SELECT 1 FROM mv{_r} WHERE z = a.v)
+)"""
+        )
+    _gm_union = "\nUNION ALL ".join(
+        f"SELECT u, v, match_round FROM m{_r}" for _r in range(1, 11)
+    )
+    o["greedy_matching"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tg AS (
+  SELECT doc_id, [(doc_id + 1) % n, (doc_id + 2) % n,
+                  {_pr_tgt.format(k=1)}, {_pr_tgt.format(k=2)}] AS ts
+  FROM documents, nn
+),
+e0 AS (SELECT doc_id AS s, unnest(ts) AS t FROM tg),
+a1 AS MATERIALIZED (
+  SELECT u, v,
+         (('0x' || substr(sha256(u::VARCHAR || ':' || v::VARCHAR),
+            1, 15))::UBIGINT)::BIGINT AS rk
+  FROM (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+        FROM e0 WHERE s <> t)
+),
+{",".join(_gm_rounds)}
+{_gm_union}
+"""
+
     # FD g3 error: the twin restates each candidate as its own
     # aggregate stack (UNION ALL, the table_profile technique) where
     # Spark checks all candidates in one exploded pass.

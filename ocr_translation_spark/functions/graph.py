@@ -876,3 +876,146 @@ def link_prediction_ra(
     return missing.orderBy(
         F.col("ra_score_micro").desc(), F.col("u").asc(), F.col("v").asc()
     ).limit(top_k)
+
+
+def greedy_maximal_matching(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 24,
+) -> DataFrame:
+    """Deterministic distributed greedy MAXIMAL matching:
+    ``(u, v, match_round)`` — a set of vertex-disjoint edges no
+    further edge can extend. The one-to-one assignment primitive a
+    curation pipeline needs where CC's transitive closure is too
+    coarse: pair each near-dup with ONE merge partner, pair bitext
+    segments, cap record-linkage merges at one survivor per record.
+
+    The sixth iterative-graph discipline here (after stabilize /
+    fixed-K recurrence / frontier / peeling): LOCAL-MINIMUM edge
+    selection (Israeli-Itai '86 lineage; the standard MIS-style
+    matching round). Each round an edge joins the matching iff its
+    rank is the minimum among ALL edges incident to BOTH endpoints;
+    matched vertices leave, incident edges die, repeat to fixpoint.
+    Every round's decisions depend only on the surviving edge set, so
+    the result is a pure function of the input — partition-layout
+    invariant, twin-reproducible (the DuckDB oracle unrolls more
+    rounds than convergence needs; post-fixpoint rounds are no-ops).
+
+    Ranks are sha256-derived 60-bit integers of the canonical edge
+    (u:v) — DETERMINISTIC but hash-scattered, which is what makes
+    local minima plentiful (with ordered ranks an increasing path
+    matches ONE edge per round — O(n) rounds; hash ranks remove a
+    constant fraction of edges per round in expectation, the
+    published analysis). Ties (sha-prefix collisions) break by
+    (u, v) inside the min-struct, so even colliding ranks stay
+    conflict-free.
+
+    Per round: one vertex-keyed min aggregate + one two-sided match
+    join + two anti-joins against the matched-vertex set — all
+    hash-partitioned on vertex ids, edge set only shrinks; converged
+    when no edges survive, errors loudly past ``max_rounds`` (the CC
+    convention — never a silent partial matching).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .select(
+            "u",
+            "v",
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.col("u").cast("string"),
+                            F.lit(":"),
+                            F.col("v").cast("string"),
+                        ),
+                        256,
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("rk"),
+        )
+        .persist()
+    )
+    spark = edges.sparkSession
+    schema = "u long, v long, match_round int"
+    matched_parts: list[DataFrame] = []
+    cur = e
+    try:
+        n_alive = cur.count()
+        for rnd in range(1, max_rounds + 1):
+            if n_alive == 0:
+                break
+            key = F.struct("rk", "u", "v")
+            inc = cur.select(
+                F.col("u").alias("z"), key.alias("k")
+            ).unionByName(cur.select(F.col("v").alias("z"), key.alias("k")))
+            mins = inc.groupBy("z").agg(F.min("k").alias("mk"))
+            m = (
+                cur.join(
+                    mins.select(F.col("z").alias("u"), F.col("mk").alias("mu")),
+                    "u",
+                )
+                .join(
+                    mins.select(F.col("z").alias("v"), F.col("mk").alias("mv")),
+                    "v",
+                )
+                .filter((key == F.col("mu")) & (key == F.col("mv")))
+                .select(
+                    "u", "v", F.lit(rnd).cast("int").alias("match_round")
+                )
+                # eager checkpoint: this round's matches are consumed
+                # twice (result + vertex removal) and must not replay
+                # the whole round chain later
+                .localCheckpoint(eager=True)
+            )
+            matched_parts.append(m)
+            mv = (
+                m.select(F.col("u").alias("z"))
+                .unionByName(m.select(F.col("v").alias("z")))
+                .distinct()
+            )
+            nxt = cur.join(
+                mv.select(F.col("z").alias("u")), "u", "left_anti"
+            ).join(
+                mv.select(F.col("z").alias("v")), "v", "left_anti"
+            ).persist()
+            n_next = nxt.count()
+            if cur is not e:
+                cur.unpersist()
+            cur = nxt
+            if n_next == n_alive:
+                # no local-min edge matched yet edges remain: only
+                # possible at max_rounds exhaustion below, never at a
+                # true fixpoint (a min-rank edge always exists)
+                raise RuntimeError(
+                    "greedy_maximal_matching made no progress "
+                    f"(round {rnd}, {n_alive} edges alive)"
+                )
+            n_alive = n_next
+        else:
+            raise RuntimeError(
+                f"greedy_maximal_matching not converged after "
+                f"{max_rounds} rounds ({n_alive} edges alive)"
+            )
+        if not matched_parts:
+            return spark.createDataFrame([], schema)
+        out = matched_parts[0]
+        for p in matched_parts[1:]:
+            out = out.unionByName(p)
+        return out
+    finally:
+        if cur is not e:
+            cur.unpersist()
+        e.unpersist()

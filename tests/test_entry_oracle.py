@@ -169,6 +169,7 @@ _VARIANT_TAIL = {
     "textrank_keywords",
     "t5_span_corruption",
     "fd_violations",
+    "greedy_matching",
 }
 
 
@@ -420,6 +421,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: data-audit family; rep table_profile is
         # in-window
         "fd_violations": "table_profile",
+        # born-demoted: sixth iterative-graph discipline (local-min
+        # matching); graph reps pagerank_centrality + dedup_clusters
+        "greedy_matching": "pagerank_centrality",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

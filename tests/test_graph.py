@@ -247,3 +247,123 @@ def test_link_prediction_partition_invariance(spark):
     a = link_prediction_ra(df, top_k=15).collect()
     b = link_prediction_ra(df.repartition(13), top_k=15).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def _gm_brute(edges):
+    """Pure-Python local-minimum matching mirroring the documented
+    semantics: canonical (u,v) edges ranked by the first 15 hex chars
+    of sha256('u:v'); each round an edge matches iff its (rk,u,v)
+    struct is the min over all edges incident to both endpoints."""
+    import hashlib
+
+    def rk(u, v):
+        h = hashlib.sha256(f"{u}:{v}".encode()).hexdigest()
+        return int(h[:15], 16)
+
+    alive = {
+        (min(a, b), max(a, b)) for a, b in edges if a != b
+    }
+    alive = {(u, v): rk(u, v) for u, v in alive}
+    out = []
+    rnd = 0
+    while alive:
+        rnd += 1
+        mins: dict[int, tuple] = {}
+        for (u, v), r in alive.items():
+            k = (r, u, v)
+            for z in (u, v):
+                if z not in mins or k < mins[z]:
+                    mins[z] = k
+        matched = [
+            (u, v)
+            for (u, v), r in alive.items()
+            if mins[u] == (r, u, v) and mins[v] == (r, u, v)
+        ]
+        assert matched, "a min-rank edge always matches"
+        out.extend((u, v, rnd) for u, v in matched)
+        mv = {z for u, v in matched for z in (u, v)}
+        alive = {
+            e: r for e, r in alive.items()
+            if e[0] not in mv and e[1] not in mv
+        }
+    return sorted(out)
+
+
+def _gm_run(spark, edges, **kw):
+    from ocr_translation_spark.functions.graph import (
+        greedy_maximal_matching,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return sorted(
+        (r.u, r.v, r.match_round)
+        for r in greedy_maximal_matching(df, **kw).collect()
+    )
+
+
+def test_matching_brute_force_parity_randomized(spark):
+    import random
+
+    rng = random.Random(20260819)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(120)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        got = _gm_run(spark, edges)
+        assert got == _gm_brute(edges), f"trial {trial}"
+
+
+def test_matching_vertex_disjoint_and_maximal(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(200)]
+    edges = [e for e in edges if e[0] != e[1]]
+    got = _gm_run(spark, edges)
+    mv: set[int] = set()
+    for u, v, _ in got:
+        assert u not in mv and v not in mv, "matching not vertex-disjoint"
+        mv.update((u, v))
+    # maximal: every surviving input edge touches a matched vertex
+    for a, b in edges:
+        assert a in mv or b in mv, f"edge ({a},{b}) extends the matching"
+
+
+def test_matching_partition_invariance(spark):
+    from ocr_translation_spark.functions.graph import (
+        greedy_maximal_matching,
+    )
+
+    edges = [(i, (i * 11 + 5) % 37) for i in range(37)] + [
+        (i, i + 1) for i in range(36)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = sorted(tuple(r) for r in greedy_maximal_matching(df).collect())
+    b = sorted(
+        tuple(r)
+        for r in greedy_maximal_matching(df.repartition(13)).collect()
+    )
+    assert a == b
+
+
+def test_matching_unconverged_raises_not_silent(spark):
+    from ocr_translation_spark.functions.graph import (
+        greedy_maximal_matching,
+    )
+
+    # a long path needs >1 round; max_rounds=1 must error loudly
+    df = _edges(spark, [(i, i + 1) for i in range(40)])
+    with pytest.raises(RuntimeError, match="not converged"):
+        greedy_maximal_matching(df, max_rounds=1)
+
+
+def test_matching_empty_and_selfloop_only(spark):
+    from ocr_translation_spark.functions.graph import (
+        greedy_maximal_matching,
+    )
+
+    df = _edges(spark, [(3, 3), (7, 7)])
+    assert greedy_maximal_matching(df).count() == 0
