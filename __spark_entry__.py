@@ -2333,6 +2333,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["greedy_matching"] = _matching
 
+    def _walks(spark, sf):
+        """DeepWalk training-sequence generation (functions/graph.py
+        random_walks) over the shared sha-derived link graph: 2
+        deterministic 5-node walks per non-isolated doc, each hop a
+        sha256 draw over the sorted neighbor list. Fixed-K recurrence
+        (walk_len - 1 = 4 frontier-vs-adjacency equi-joins in ONE lazy
+        plan, no driver loop); prepared() memoizes so repeat
+        invocations reuse the one persisted adjacency."""
+        from ocr_translation_spark.functions._lsh_common import prepared
+        from ocr_translation_spark.functions.graph import random_walks
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+
+        def _build():
+            edges = _sha_link_edges(docs, n_docs, src="id_a", dst="id_b")
+            return random_walks(edges, walk_len=5, walks_per_node=2)
+
+        return prepared(
+            "entry:deepwalk_walks", (docs,), (n_docs,), _build
+        )
+
+    q["deepwalk_walks"] = _walks
+
     def _inverted_index(spark, sf):
         """Bounded-posting inverted index (functions/index.py): rank
         doc ids per term BEFORE collecting so the hot-term group state
@@ -4760,6 +4784,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # matching) over the shared link graph; in-window graph reps
         # pagerank_centrality + dedup_clusters
         "greedy_matching",
+        # born-demoted: graph training-sequence generation (fixed-K
+        # walk recurrence); in-window graph rep pagerank_centrality
+        "deepwalk_walks",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -8935,6 +8962,53 @@ a1 AS MATERIALIZED (
 ),
 {",".join(_gm_rounds)}
 {_gm_union}
+"""
+
+    # DeepWalk walks: walk_len - 1 = 4 unrolled frontier-extension
+    # joins against the materialized adjacency; next hop = sorted
+    # neighbor list indexed by the 60-bit sha draw of
+    # (start, rep, step, cur) — identical hash both engines.
+    _dw_steps = []
+    for _t in range(1, 5):
+        _dw_steps.append(
+            f"""w{_t + 1} AS (
+  SELECT start_node, rep,
+         walk_path || '>' || nxt::VARCHAR AS walk_path, nxt AS cur
+  FROM (
+    SELECT w.start_node, w.rep, w.walk_path,
+           a.nbrs[(((('0x' || substr(sha256(
+               w.start_node::VARCHAR || ':' || w.rep::VARCHAR ||
+               ':{_t}:' || w.cur::VARCHAR), 1, 15))::UBIGINT)::BIGINT
+               % a.deg) + 1)::INT] AS nxt
+    FROM w{_t} w JOIN adj a ON a.node = w.cur
+  )
+)"""
+        )
+    o["deepwalk_walks"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tg AS (
+  SELECT doc_id, list_distinct(list_filter(
+    [{_pr_tgt.format(k=1)},
+     {_pr_tgt.format(k=2)},
+     {_pr_tgt.format(k=3)}], t -> t <> doc_id)) AS ts
+  FROM documents, nn
+),
+e0 AS (SELECT doc_id AS s, unnest(ts) AS t FROM tg),
+und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+        FROM e0 WHERE s <> t),
+adj AS MATERIALIZED (
+  SELECT node, list(nbr ORDER BY nbr) AS nbrs, count(*)::BIGINT AS deg
+  FROM (SELECT u AS node, v AS nbr FROM und
+        UNION ALL SELECT v, u FROM und)
+  GROUP BY node
+),
+w1 AS (
+  SELECT node AS start_node, r::INT AS rep,
+         node::VARCHAR AS walk_path, node AS cur
+  FROM adj CROSS JOIN (SELECT unnest([0, 1]) AS r)
+),
+{",".join(_dw_steps)}
+SELECT start_node, rep, walk_path FROM w5
 """
 
     # FD g3 error: the twin restates each candidate as its own

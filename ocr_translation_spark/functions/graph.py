@@ -1019,3 +1019,114 @@ def greedy_maximal_matching(
         if cur is not e:
             cur.unpersist()
         e.unpersist()
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    walk_len: int = 5,
+    walks_per_node: int = 1,
+) -> DataFrame:
+    """Deterministic DeepWalk-style random-walk generation:
+    ``(start_node, rep, walk_path)`` — ``walks_per_node`` walks of
+    ``walk_len`` nodes from every non-isolated vertex, each step
+    choosing uniformly (by hash) among the current node's neighbors.
+    The training-sequence generator for graph embeddings
+    (DeepWalk, Perozzi et al. KDD'14; node2vec's p=q=1 case): walks
+    become "sentences" fed to a skip-gram trainer, so a data pipeline
+    needs them materialized at corpus scale.
+
+    Every next-hop draw is sha256-derived from
+    ``(start, rep, step, cur)`` — a pure function of the walk
+    coordinate, NOT of partitioning or iteration order, so output is
+    deterministic, partition-layout invariant, and twin-reproducible
+    (the DuckDB oracle unrolls the same ``walk_len - 1`` joins with
+    the identical hash). Including ``cur`` in the draw decorrelates
+    revisits (a walk that returns to a node at a different step takes
+    a different exit).
+
+    Spark shape, and why it holds at 100 TB: the adjacency build is
+    ONE shuffle (distinct + groupBy on the vertex id, map-side
+    partial); each of the ``walk_len - 1`` extension steps is ONE
+    equi-join of the constant-size walk frontier
+    (``n_walks = walks_per_node * |V|`` rows) against the persisted
+    adjacency, hash-partitioned on the current node. Neighbor lists
+    ride the adjacency side once (sorted arrays, the deg is their
+    size); no explosion of the frontier ever happens — walks extend
+    in place via ``element_at``. Hot hubs skew the PER-STEP join key
+    toward high-degree nodes exactly as the stationary distribution
+    demands; AQE's skew-join split handles the residual imbalance
+    (same posture as pagerank's contribution join).
+    """
+    if walk_len < 1:
+        raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    if walks_per_node < 1:
+        raise ValueError(
+            f"walks_per_node must be >= 1, got {walks_per_node}"
+        )
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(
+            und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        .groupBy("node")
+        .agg(F.sort_array(F.collect_list("nbr")).alias("nbrs"))
+        .select("node", "nbrs", F.size("nbrs").alias("deg"))
+        .persist()
+    )
+
+    w = adj.select(
+        F.col("node").alias("start_node"),
+        F.explode(
+            F.array(*[F.lit(r) for r in range(walks_per_node)])
+        ).alias("rep"),
+    ).select(
+        "start_node",
+        "rep",
+        F.col("start_node").cast("string").alias("walk_path"),
+        F.col("start_node").alias("cur"),
+    )
+    for t in range(1, walk_len):
+        draw = (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.col("start_node").cast("string"),
+                            F.lit(":"),
+                            F.col("rep").cast("string"),
+                            F.lit(f":{t}:"),
+                            F.col("cur").cast("string"),
+                        ),
+                        256,
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("deg")
+        )
+        nxt = F.element_at(F.col("nbrs"), (draw + 1).cast("int"))
+        w = (
+            w.join(adj, w["cur"] == adj["node"])
+            .select(
+                "start_node",
+                "rep",
+                F.concat(
+                    F.col("walk_path"), F.lit(">"), nxt.cast("string")
+                ).alias("walk_path"),
+                nxt.alias("cur"),
+            )
+        )
+    return w.select("start_node", "rep", "walk_path")

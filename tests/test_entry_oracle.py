@@ -170,6 +170,7 @@ _VARIANT_TAIL = {
     "t5_span_corruption",
     "fd_violations",
     "greedy_matching",
+    "deepwalk_walks",
 }
 
 
@@ -424,6 +425,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: sixth iterative-graph discipline (local-min
         # matching); graph reps pagerank_centrality + dedup_clusters
         "greedy_matching": "pagerank_centrality",
+        # born-demoted: graph training-sequence generation (fixed-K
+        # walk recurrence over the shared link graph)
+        "deepwalk_walks": "pagerank_centrality",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

@@ -367,3 +367,110 @@ def test_matching_empty_and_selfloop_only(spark):
 
     df = _edges(spark, [(3, 3), (7, 7)])
     assert greedy_maximal_matching(df).count() == 0
+
+
+def _dw_brute(edges, walk_len, walks_per_node):
+    """Pure-Python DeepWalk mirror: sorted neighbor lists, next hop =
+    sha256(start:rep:t:cur) 60-bit prefix mod degree."""
+    import hashlib
+
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs: dict[int, set[int]] = {}
+    for u, v in es:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    sn = {k: sorted(v) for k, v in nbrs.items()}
+    out = []
+    for s in sn:
+        for rep in range(walks_per_node):
+            cur, path = s, str(s)
+            for t in range(1, walk_len):
+                h = hashlib.sha256(
+                    f"{s}:{rep}:{t}:{cur}".encode()
+                ).hexdigest()
+                cur = sn[cur][int(h[:15], 16) % len(sn[cur])]
+                path += ">" + str(cur)
+            out.append((s, rep, path))
+    return sorted(out)
+
+
+def _dw_run(spark, edges, **kw):
+    from ocr_translation_spark.functions.graph import random_walks
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return sorted(
+        (r.start_node, r.rep, r.walk_path)
+        for r in random_walks(df, **kw).collect()
+    )
+
+
+def test_walks_brute_force_parity_randomized(spark):
+    import random
+
+    rng = random.Random(20260820)
+    for trial in range(2):
+        edges = [
+            (rng.randrange(30), rng.randrange(30)) for _ in range(80)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        got = _dw_run(spark, edges, walk_len=5, walks_per_node=2)
+        want = _dw_brute(edges, 5, 2)
+        assert got == want, f"trial {trial}"
+
+
+def test_walks_every_hop_is_an_edge(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(60)]
+    edges = [e for e in edges if e[0] != e[1]]
+    es = {(min(a, b), max(a, b)) for a, b in edges}
+    for s, rep, path in _dw_run(spark, edges, walk_len=6):
+        hops = [int(x) for x in path.split(">")]
+        assert hops[0] == s and len(hops) == 6
+        for a, b in zip(hops, hops[1:]):
+            assert (min(a, b), max(a, b)) in es, f"{a}->{b} not an edge"
+
+
+def test_walks_partition_invariance_and_counts(spark):
+    edges = [(i, (i * 7 + 3) % 31) for i in range(31)] + [
+        (i, i + 1) for i in range(30)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    a = _dw_run(spark, edges, walk_len=4, walks_per_node=3)
+    from ocr_translation_spark.functions.graph import random_walks
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(9)
+    b = sorted(
+        (r.start_node, r.rep, r.walk_path)
+        for r in random_walks(df, walk_len=4, walks_per_node=3).collect()
+    )
+    assert a == b
+    nodes = {z for e in edges for z in e}
+    assert len(a) == 3 * len(nodes)
+
+
+def test_walks_length_one_and_bad_params(spark):
+    from ocr_translation_spark.functions.graph import random_walks
+
+    df = _edges(spark, [(1, 2), (2, 3)])
+    got = sorted(
+        (r.start_node, r.rep, r.walk_path)
+        for r in random_walks(df, walk_len=1).collect()
+    )
+    assert got == [(1, 0, "1"), (2, 0, "2"), (3, 0, "3")]
+    with pytest.raises(ValueError):
+        random_walks(df, walk_len=0)
+    with pytest.raises(ValueError):
+        random_walks(df, walks_per_node=0)
+
+
+def test_walks_isolated_and_selfloop_nodes_excluded(spark):
+    # self-loop-only node 9 has no usable neighbor: no walk starts there
+    from ocr_translation_spark.functions.graph import random_walks
+
+    df = _edges(spark, [(1, 2), (9, 9)])
+    starts = {
+        r.start_node for r in random_walks(df, walk_len=3).collect()
+    }
+    assert starts == {1, 2}
