@@ -2357,6 +2357,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["deepwalk_walks"] = _walks
 
+    def _pq_ann(spark, sf):
+        """Product-quantization ANN (functions/pq.py): per-subspace
+        k-medians codebooks trained on a bounded deterministic sample
+        (the 256 smallest ids), max-inner-product assignment, ADC
+        shortlist over the m-byte codes, exact rerank of the bounded
+        shortlist — the ScaNN/IVFADC+refine production shape. The
+        codebook-compression scale path of the ANN ladder (brute
+        force / LSH / IVF / PQ); encode is one narrow no-shuffle
+        projection. prepared() memoizes so the training collects run
+        once per session."""
+        from ocr_translation_spark.functions._lsh_common import prepared
+        from ocr_translation_spark.functions.pq import pq_rerank_topk
+
+        emb = _read(spark, sf, "embeddings")
+
+        def _build():
+            return pq_rerank_topk(
+                emb, emb.filter(F.col("vec_id") < 10), dim=64,
+                m=8, n_codes=16, iters=2, shortlist=100, k=5,
+                train_cap=256,
+            )
+
+        return prepared("entry:pq_ann_topk", (emb,), (), _build)
+
+    q["pq_ann_topk"] = _pq_ann
+
     def _inverted_index(spark, sf):
         """Bounded-posting inverted index (functions/index.py): rank
         doc ids per term BEFORE collecting so the hot-term group state
@@ -4787,6 +4813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: graph training-sequence generation (fixed-K
         # walk recurrence); in-window graph rep pagerank_centrality
         "deepwalk_walks",
+        # born-demoted: ANN-ladder variant (codebook compression);
+        # in-window ANN rep ivf_ann_topk
+        "pq_ann_topk",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -9009,6 +9038,106 @@ w1 AS (
 ),
 {",".join(_dw_steps)}
 SELECT start_node, rep, walk_path FROM w5
+"""
+
+    # PQ-ADC ANN (shortlist + exact rerank): per-subspace codebook
+    # training unrolled (2 k-medians iterations over the 256
+    # smallest-id training sample), max-inner-product assignment with
+    # smaller-code tie-break, ADC = 8 per-subspace lookups summed in
+    # subspace order (left-assoc in both engines — matches Spark's
+    # aggregate fold exactly), top-100 shortlist on the raw ADC, then
+    # exact-dot rerank of the shortlist.
+    _pq_sd = 8  # dim 64 / m 8
+    _pq_sub = []
+    for _s in range(8):
+        _lo, _hi = _s * _pq_sd + 1, (_s + 1) * _pq_sd
+        _iters = []
+        for _i in (1, 2):
+            _iters.append(
+                f"""a{_s}{_i} AS (
+  SELECT sv, code FROM (
+    SELECT t.v[{_lo}:{_hi}] AS sv, c.code,
+           row_number() OVER (PARTITION BY t.vec_id
+             ORDER BY list_dot_product(t.v[{_lo}:{_hi}], c.cvec) DESC,
+                      c.code ASC) AS rn
+    FROM tr t CROSS JOIN b{_s}{_i - 1} c
+  ) WHERE rn = 1
+),
+m{_s}{_i} AS (
+  SELECT code, d.dim AS dim, quantile_cont(sv[d.dim], 0.5) AS md
+  FROM a{_s}{_i}, range(1, {_pq_sd + 1}) d(dim)
+  GROUP BY code, d.dim
+),
+g{_s}{_i} AS (SELECT code, list(md ORDER BY dim) AS cvec
+           FROM m{_s}{_i} GROUP BY code),
+b{_s}{_i} AS MATERIALIZED (
+  SELECT c0.code, coalesce(g.cvec, c0.cvec) AS cvec
+  FROM b{_s}{_i - 1} c0 LEFT JOIN g{_s}{_i} g USING (code)
+)"""
+            )
+        _pq_sub.append(
+            f"""b{_s}0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS code,
+         v[{_lo}:{_hi}] AS cvec
+  FROM tr ORDER BY vec_id LIMIT 16
+),
+{",".join(_iters)},
+enc{_s} AS MATERIALIZED (
+  SELECT vec_id, code FROM (
+    SELECT e.vec_id, c.code,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v[{_lo}:{_hi}], c.cvec) DESC,
+                      c.code ASC) AS rn
+    FROM e CROSS JOIN b{_s}2 c
+  ) WHERE rn = 1
+),
+qd{_s} AS MATERIALIZED (
+  SELECT e.vec_id AS query_id, c.code,
+         list_dot_product(e.v[{_lo}:{_hi}], c.cvec) AS d
+  FROM e CROSS JOIN b{_s}2 c WHERE e.vec_id < 10
+)"""
+        )
+    _pq_encj = "\n  ".join(
+        f"JOIN enc{_s} c{_s} ON c{_s}.vec_id = n.vec_id" for _s in range(8)
+    )
+    _pq_qdj = "\n  ".join(
+        f"JOIN qd{_s} t{_s} ON t{_s}.query_id = t0.query_id "
+        f"AND t{_s}.code = c{_s}.code"
+        for _s in range(1, 8)
+    )
+    _pq_raw = " + ".join(f"t{_s}.d" for _s in range(8))
+    o["pq_ann_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+tr AS MATERIALIZED (
+  SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 256
+),
+{",".join(_pq_sub)},
+cand AS (
+  SELECT t0.query_id, n.vec_id AS neighbor_id, {_pq_raw} AS raw
+  FROM e n
+  {_pq_encj}
+  JOIN qd0 t0 ON t0.code = c0.code
+  {_pq_qdj}
+  WHERE t0.query_id <> n.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY raw DESC, neighbor_id ASC) AS srn
+    FROM cand
+  ) WHERE srn <= 100
+)
+SELECT query_id, neighbor_id, score, rank::INTEGER AS rank FROM (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(eq.v, en.v), 4) AS score,
+         row_number() OVER (PARTITION BY s.query_id
+           ORDER BY round(list_dot_product(eq.v, en.v), 4) DESC,
+                    s.neighbor_id ASC) AS rank
+  FROM short s
+  JOIN e eq ON eq.vec_id = s.query_id
+  JOIN e en ON en.vec_id = s.neighbor_id
+) WHERE rank <= 5
 """
 
     # FD g3 error: the twin restates each candidate as its own

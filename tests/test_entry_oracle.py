@@ -171,6 +171,7 @@ _VARIANT_TAIL = {
     "fd_violations",
     "greedy_matching",
     "deepwalk_walks",
+    "pq_ann_topk",
 }
 
 
@@ -428,6 +429,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: graph training-sequence generation (fixed-K
         # walk recurrence over the shared link graph)
         "deepwalk_walks": "pagerank_centrality",
+        # born-demoted: ANN-ladder codebook-compression variant
+        # (ADC shortlist + exact rerank); ANN rep ivf_ann_topk
+        "pq_ann_topk": "ivf_ann_topk",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
