@@ -311,6 +311,12 @@ def main() -> None:
         "t5_span_corruption",
         # approximate-FD discovery, all candidates in one scan
         "fd_violations",
+        # local-minimum greedy maximal matching (iterative rounds)
+        "greedy_matching",
+        # DeepWalk walk generation (4 frontier-adjacency joins)
+        "deepwalk_walks",
+        # PQ-ADC ANN: codebook train + encode + shortlist + rerank
+        "pq_ann_topk",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))
