@@ -2383,6 +2383,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_ann_topk"] = _pq_ann
 
+    def _nsp(spark, sf):
+        """BERT-style NSP pair generation (functions/nsp.py): 50/50
+        sha-coin positives (lead() window, no join) vs negatives
+        paired with a hash-drawn partner doc's first segment (one
+        sha-uniform equi-join). Deterministic training-example
+        construction — the second constructor beside T5 span
+        corruption."""
+        from ocr_translation_spark.functions.nsp import nsp_pairs
+
+        docs = _read(spark, sf, "documents")
+        return nsp_pairs(docs, n_docs=docs.count(), seg_words=32)
+
+    q["nsp_pairs"] = _nsp
+
     def _inverted_index(spark, sf):
         """Bounded-posting inverted index (functions/index.py): rank
         doc ids per term BEFORE collecting so the hot-term group state
@@ -4816,6 +4830,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: ANN-ladder variant (codebook compression);
         # in-window ANN rep ivf_ann_topk
         "pq_ann_topk",
+        # born-demoted: training-example construction; rep
+        # document_packing is in-window (same family call as
+        # t5_span_corruption)
+        "nsp_pairs",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -9138,6 +9156,70 @@ SELECT query_id, neighbor_id, score, rank::INTEGER AS rank FROM (
   JOIN e eq ON eq.vec_id = s.query_id
   JOIN e en ON en.vec_id = s.neighbor_id
 ) WHERE rank <= 5
+"""
+
+    # NSP pairs: same 32/32 window chunking as document_chunks, the
+    # sha coin and partner draw written with the engine-shared 60-bit
+    # prefix idiom; negatives inner-join the partner's first segment.
+    _nsp_h = (
+        "(('0x' || substr(sha256({expr}), 1, 15))::UBIGINT)::BIGINT"
+    )
+    _nsp_coin = _nsp_h.format(
+        expr="doc_id::VARCHAR || ':' || chunk_id::VARCHAR"
+    )
+    _nsp_praw = (
+        _nsp_h.format(
+            expr="'n:' || doc_id::VARCHAR || ':' || chunk_id::VARCHAR"
+        )
+        + " % n"
+    )
+    o["nsp_pairs"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+), meta AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 32 THEN 1
+              ELSE ceil((len(toks) - 32) / 32.0)::INTEGER + 1 END
+           AS n_chunks
+  FROM t
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM meta
+), ch AS (
+  SELECT doc_id, chunk_id::INTEGER AS chunk_id,
+         array_to_string(
+           list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 32),
+           ' ') AS chunk_text
+  FROM idx
+  WHERE len(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 32)) > 0
+), base AS (
+  SELECT * FROM (
+    SELECT doc_id, chunk_id, chunk_text,
+           lead(chunk_text) OVER (
+             PARTITION BY doc_id ORDER BY chunk_id) AS nxt
+    FROM ch
+  ) WHERE nxt IS NOT NULL
+), firsts AS (
+  SELECT doc_id AS pid, chunk_text AS ftext FROM ch WHERE chunk_id = 0
+)
+SELECT doc_id, chunk_id AS pair_id, chunk_text AS seg_a,
+       nxt AS seg_b, TRUE AS is_next
+FROM base WHERE {_nsp_coin} % 2 = 0
+UNION ALL
+SELECT b.doc_id, b.chunk_id AS pair_id, b.chunk_text AS seg_a,
+       f.ftext AS seg_b, FALSE AS is_next
+FROM (
+  SELECT doc_id, chunk_id, chunk_text,
+         CASE WHEN praw = doc_id THEN (praw + 1) % n ELSE praw END
+           AS partner
+  FROM (SELECT base.*, {_nsp_praw} AS praw, n FROM base, nn)
+  WHERE {_nsp_coin} % 2 = 1
+) b JOIN firsts f ON f.pid = b.partner
 """
 
     # FD g3 error: the twin restates each candidate as its own

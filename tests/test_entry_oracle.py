@@ -172,6 +172,7 @@ _VARIANT_TAIL = {
     "greedy_matching",
     "deepwalk_walks",
     "pq_ann_topk",
+    "nsp_pairs",
 }
 
 
@@ -432,6 +433,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: ANN-ladder codebook-compression variant
         # (ADC shortlist + exact rerank); ANN rep ivf_ann_topk
         "pq_ann_topk": "ivf_ann_topk",
+        # born-demoted: training-example construction (NSP pairs);
+        # rep document_packing is in-window
+        "nsp_pairs": "document_packing",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
