@@ -1016,8 +1016,13 @@ def greedy_maximal_matching(
             out = out.unionByName(p)
         return out
     finally:
+        # per-round matches are EAGER localCheckpoints, so the result
+        # no longer references e or any survivor frame — free both
+        # CacheManager entries (the CC convention: a bare persist
+        # would otherwise live for the session, one leak per call)
         if cur is not e:
             cur.unpersist()
+        e.unpersist()
         e.unpersist()
 
 
@@ -1058,6 +1063,13 @@ def random_walks(
     toward high-degree nodes exactly as the stationary distribution
     demands; AQE's skew-join split handles the residual imbalance
     (same posture as pagerank's contribution join).
+
+    Cache lifetime: like ``pagerank``, this function only BUILDS the
+    lazy walk plan — the adjacency persist is read by every extension
+    join when the caller executes it, so it is deliberately NOT
+    unpersisted here.  Callers that invoke repeatedly should memoize
+    via ``_lsh_common.prepared`` (the entry registration does) so one
+    adjacency cache serves all invocations.
     """
     if walk_len < 1:
         raise ValueError(f"walk_len must be >= 1, got {walk_len}")
