@@ -77,6 +77,11 @@ def pq_codebooks(
         train_sample_hex_zeros,
         train_cap,
     )
+    # the bounded sample feeds m * (1 init + iters) jobs; checkpoint
+    # it eagerly so the corpus-wide sample scan runs ONCE, not ~3m
+    # times (at 100 TB the sample rule is a full-corpus filter/top-k —
+    # the training rows themselves are tiny)
+    t = t.localCheckpoint(eager=True)
     books: list[list[tuple[int, list[float]]]] = []
     for s in range(m):
         e_s = t.select(
