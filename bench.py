@@ -317,6 +317,8 @@ def main() -> None:
         "deepwalk_walks",
         # PQ-ADC ANN: codebook train + encode + shortlist + rerank
         "pq_ann_topk",
+        # BERT NSP pair generation (lead window + partner equi-join)
+        "nsp_pairs",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))
