@@ -242,16 +242,23 @@ _KEPT_CTE = f"""
   )"""
 
 
-def _flagship_sql() -> str:
-    return f"""
-WITH {xlate_dict_values_sql()},{derivation_cte_sql()},{_KEPT_CTE}
-SELECT k.doc_id AS doc_id,
+def _flagship_sql_body() -> str:
+    """The flagship SELECT (assumes the dict/derivation/kept CTEs are
+    in scope) — shared by the flagship oracle and the span-stream
+    consumers layered on it (caption_pairs)."""
+    return """SELECT k.doc_id AS doc_id,
        (row_number() OVER (PARTITION BY k.doc_id ORDER BY k.i) - 1)::INTEGER AS ord,
        k.kind AS kind,
        CASE WHEN k.kind = 'text' THEN coalesce(d.dst, k.text)
             ELSE k.text END AS text,
        k.media_ref AS media_ref
-FROM kept k LEFT JOIN dict d ON k.kind = 'text' AND lower(k.text) = d.src
+FROM kept k LEFT JOIN dict d ON k.kind = 'text' AND lower(k.text) = d.src"""
+
+
+def _flagship_sql() -> str:
+    return f"""
+WITH {xlate_dict_values_sql()},{derivation_cte_sql()},{_KEPT_CTE}
+{_flagship_sql_body()}
 """
 
 
@@ -2396,6 +2403,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return nsp_pairs(docs, n_docs=docs.count(), seg_words=32)
 
     q["nsp_pairs"] = _nsp
+
+    def _captions(spark, sf):
+        """Image-text pair mining over the flagship pipeline's
+        interleaved span stream (functions/multimodal.py
+        caption_pairs): each media span paired with the nearest text
+        span, preferring the follower — two frame-bounded window
+        reads over ONE doc-keyed shuffle, no self-join."""
+        from ocr_translation_spark.functions.multimodal import (
+            caption_pairs,
+        )
+
+        return caption_pairs(_flagship_df(spark, sf))
+
+    q["caption_pairs"] = _captions
 
     def _inverted_index(spark, sf):
         """Bounded-posting inverted index (functions/index.py): rank
@@ -4834,6 +4855,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # document_packing is in-window (same family call as
         # t5_span_corruption)
         "nsp_pairs",
+        # born-demoted: interleaved-span multimodal pairing; the
+        # span-derivation reps extract_flagship + media_metadata are
+        # in-window
+        "caption_pairs",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -9220,6 +9245,32 @@ FROM (
   FROM (SELECT base.*, {_nsp_praw} AS praw, n FROM base, nn)
   WHERE {_nsp_coin} % 2 = 1
 ) b JOIN firsts f ON f.pid = b.partner
+"""
+
+    # Caption pairs: the flagship span stream + two frame-bounded
+    # IGNORE NULLS window reads (nearest text span before/after each
+    # media span, follower preferred).
+    o["caption_pairs"] = f"""
+WITH {xlate_dict_values_sql()},{derivation_cte_sql()},{_KEPT_CTE},
+fl AS ({_flagship_sql_body()}),
+mw AS (
+  SELECT doc_id, ord, kind, media_ref,
+         last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_t,
+         first_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY ord
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_t
+  FROM fl
+)
+SELECT doc_id, ord, media_ref,
+       coalesce(next_t, prev_t) AS caption,
+       CASE WHEN next_t IS NOT NULL THEN 'after'
+            WHEN prev_t IS NOT NULL THEN 'before'
+            ELSE 'none' END AS caption_side
+FROM mw WHERE kind = 'media'
 """
 
     # FD g3 error: the twin restates each candidate as its own

@@ -313,3 +313,52 @@ def sample_frames(media_df: DataFrame, every_n: int = 2) -> DataFrame:
     return media_df.select("media_ref", "media_bytes").mapInPandas(
         frame_sample_batches(every_n), schema=FRAME_SCHEMA
     )
+
+
+def caption_pairs(spans: DataFrame) -> DataFrame:
+    """(doc_id, ord, media_ref, caption, caption_side): image-text
+    pair mining over an interleaved span stream — each media span
+    paired with the nearest TEXT span's content, preferring the span
+    that FOLLOWS the media (captions follow figures; LAION-style
+    alt-text/caption harvesting for image-text contrastive training).
+
+    Input is the extracted span table (doc_id, ord, kind, text,
+    media_ref) — the flagship pipeline's output shape.  The pairing is
+    two frame-bounded window functions over ONE doc-keyed partition
+    (the ``first``-after and ``last``-before text span, nulls
+    ignored), so the whole operator costs a single uniform doc_id
+    shuffle at any corpus size — no self-join, no explode, no Python.
+    Media spans in text-free documents survive with ``caption NULL,
+    caption_side 'none'`` (drop accounting stays visible; the
+    downstream filter decides).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = Window.partitionBy("doc_id").orderBy("ord")
+    before = base.rowsBetween(Window.unboundedPreceding, -1)
+    after = base.rowsBetween(1, Window.unboundedFollowing)
+    text_or_null = F.when(F.col("kind") == "text", F.col("text"))
+    prev_t = F.last(text_or_null, ignorenulls=True).over(before)
+    next_t = F.first(text_or_null, ignorenulls=True).over(after)
+    return (
+        spans.select(
+            "doc_id",
+            "ord",
+            "kind",
+            "media_ref",
+            prev_t.alias("_prev"),
+            next_t.alias("_next"),
+        )
+        .filter(F.col("kind") == "media")
+        .select(
+            "doc_id",
+            "ord",
+            "media_ref",
+            F.coalesce(F.col("_next"), F.col("_prev")).alias("caption"),
+            F.when(F.col("_next").isNotNull(), F.lit("after"))
+            .when(F.col("_prev").isNotNull(), F.lit("before"))
+            .otherwise(F.lit("none"))
+            .alias("caption_side"),
+        )
+    )

@@ -173,6 +173,7 @@ _VARIANT_TAIL = {
     "deepwalk_walks",
     "pq_ann_topk",
     "nsp_pairs",
+    "caption_pairs",
 }
 
 
@@ -436,6 +437,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: training-example construction (NSP pairs);
         # rep document_packing is in-window
         "nsp_pairs": "document_packing",
+        # born-demoted: interleaved-span multimodal pairing; the
+        # span-derivation rep extract_flagship is in-window
+        "caption_pairs": "extract_flagship",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
