@@ -319,6 +319,8 @@ def main() -> None:
         "pq_ann_topk",
         # BERT NSP pair generation (lead window + partner equi-join)
         "nsp_pairs",
+        # image-text caption pairing over the flagship span stream
+        "caption_pairs",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))
