@@ -403,3 +403,41 @@ def test_py_ws_class_matches_python_isspace(spark):
     ).collect()
     for r in got:
         assert r["m"] == r["c"].isspace(), hex(ord(r["c"]))
+
+
+def test_run_curation_cli(spark, tmp_path):
+    """spark-submit-shaped CLI smoke for the curation job: drop
+    accounting is conserved and the output is duplicate-free."""
+    import json as _json
+
+    from jobs.run_curation import main
+
+    docs = spark.createDataFrame(
+        [
+            (i, "common words here to share " + ("alpha beta gamma delta "
+             * 6 if i % 4 else "alpha beta gamma delta " * 6), "s%d" % (i % 2))
+            for i in range(24)
+        ],
+        "doc_id long, text string, source string",
+    )
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "curated")
+    rep = str(tmp_path / "report")
+    assert main([
+        "--input", inp, "--output", out, "--report", rep,
+        "--per-source-cap", "5",
+    ]) == 0
+    kept = spark.read.parquet(out)
+    n_out = kept.count()
+    assert 0 < n_out <= 10  # 2 sources x cap 5
+    r = spark.read.parquet(rep).collect()[0].asDict()
+    # conservation: every drop is accounted for
+    assert r["n_input"] == 24
+    assert (
+        r["n_input"] - r["n_dropped_neardup"] - r["n_dropped_quality"]
+        - r["n_dropped_source_cap"] == r["n_output"] == n_out
+    )
+    # per-source cap honored
+    per_src = kept.groupBy("source").count().collect()
+    assert all(row["count"] <= 5 for row in per_src)
