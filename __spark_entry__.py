@@ -4380,6 +4380,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_prediction_ra"] = _link_pred
 
+    def _roc_auc(spark, sf):
+        """Exact tie-aware ROC AUC (functions/evaluation.roc_auc) of
+        a bucketed length score against a planted noisy label, per
+        language: label = 1 iff n_chars + 3 * MINSTD-noise(doc_id)
+        crosses a fixed threshold, so the score (n_chars div 16 —
+        bucketed to force the tie path through the pair statistic)
+        is predictive but imperfect; AUC lands strictly inside
+        (0.5, 1) with non-zero tie_pairs at every scale factor. The
+        noise multiplier 48271 keeps doc_id * 48271 inside BIGINT to
+        ~1.9e14 docs. The DuckDB twin uses the INDEPENDENT row-level
+        rank-sum formulation (rank() + tie-group width per raw row)
+        rather than the rollup-cumulative decomposition the Spark
+        side runs — matching values prove the identity."""
+        from ocr_translation_spark.functions.evaluation import roc_auc
+
+        base = (
+            _read(spark, sf, "documents")
+            .filter(F.col("lang").isNotNull())
+            .select(
+                "lang",
+                F.expr("n_chars div 16").alias("score"),
+                F.expr(
+                    "case when n_chars + 3 * ((doc_id * 48271 + 11) % 100)"
+                    " >= 450 then 1 else 0 end"
+                ).alias("label"),
+            )
+        )
+        return roc_auc(base, "score", "label", ("lang",))
+
+    q["roc_auc_eval"] = _roc_auc
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -4859,6 +4890,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span-derivation reps extract_flagship + media_metadata are
         # in-window
         "caption_pairs",
+        # born-demoted: classifier-acceptance evaluation over the
+        # in-window scorer families (hashed_classifier_score,
+        # gopher_quality_rules); eval reps in-window ann_recall_eval
+        # + extraction_span_f1
+        "roc_auc_eval",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -9435,6 +9471,42 @@ WITH bb AS (
 ), selcum0 AS (SELECT source, doc_id FROM sel0),
 {",".join(_mmr_steps)}
 {_mmr_union}
+"""
+
+    # Independent twin: the ROW-LEVEL Mann-Whitney rank-sum form
+    # (rank() per raw row + tie-group width), not the Spark side's
+    # distinct-score rollup-cumulative decomposition. Both reduce to
+    # 2U = sum_pos(2*rank_min + ties - 1) - P*(P+1); matching ppm
+    # values at three scale factors prove the identity.
+    o["roc_auc_eval"] = """
+WITH base AS (
+  SELECT lang, n_chars // 16 AS score,
+         CASE WHEN n_chars + 3 * ((doc_id * 48271 + 11) % 100) >= 450
+              THEN 1 ELSE 0 END AS y
+  FROM documents WHERE lang IS NOT NULL
+), ranked AS (
+  SELECT lang, y,
+         rank() OVER (PARTITION BY lang ORDER BY score) AS rmin,
+         count(*) OVER (PARTITION BY lang, score) AS t
+  FROM base
+), tp AS (
+  SELECT lang, sum(np * nn)::BIGINT AS tie_pairs FROM (
+    SELECT lang, score, sum(y)::HUGEINT AS np,
+           sum(1 - y)::HUGEINT AS nn
+    FROM base GROUP BY lang, score
+  ) GROUP BY lang
+), agg AS (
+  SELECT lang,
+         sum(CASE WHEN y = 1 THEN 2 * rmin + t - 1 ELSE 0 END)::HUGEINT
+           AS s2,
+         sum(y)::HUGEINT AS p, sum(1 - y)::HUGEINT AS n
+  FROM ranked GROUP BY lang
+)
+SELECT agg.lang, p::BIGINT AS n_pos, n::BIGINT AS n_neg, tp.tie_pairs,
+       CASE WHEN p = 0 OR n = 0 THEN NULL
+            ELSE ((s2 - p * (p + 1)) * 1000000 // (2 * p * n))::BIGINT
+       END AS auc_ppm
+FROM agg JOIN tp ON tp.lang = agg.lang
 """
 
     return o

@@ -321,6 +321,8 @@ def main() -> None:
         "nsp_pairs",
         # image-text caption pairing over the flagship span stream
         "caption_pairs",
+        # exact tie-aware ROC AUC (rollup-cumulative Mann-Whitney)
+        "roc_auc_eval",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -254,3 +254,104 @@ def mrr_eval(
             F.expr("1000000 div first_rel_rank"),
         ).otherwise(F.lit(0).cast("long")),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact tie-aware ROC AUC per group, in ppm, without a global
+    sort over the corpus.
+
+    AUC is the Mann-Whitney pair statistic: the fraction of
+    (positive, negative) pairs where the positive scores strictly
+    higher, counting ties as half. The naive formulations are both
+    scale-killers — pair counting is O(P*N), and the rank-sum form
+    needs ``rank() OVER (ORDER BY score)``, a single-partition window
+    over every row. Scalable identity: only the per-DISTINCT-score
+    class counts matter. With n_pos(s)/n_neg(s) from one hash
+    aggregate,
+
+        2U = sum_s n_pos(s) * (2 * cum_neg_below(s) + n_neg(s))
+        AUC_ppm = 1e6 * 2U div (2 * P * N)     (truncating, exact)
+
+    where cum_neg_below is the running negative count over the
+    O(distinct-scores) rollup — the corpus itself is touched by ONE
+    map-side-combined aggregate; the window runs over the rollup,
+    partitioned by group and bounded by the score domain. Callers
+    with continuous scores should quantize first (ppm/bucketed
+    scores bound the rollup at ~1e6 rows per group, a single-task
+    window over counters, not corpus rows — same contract as
+    ranknorm's distinct-value rollup). All products are
+    DECIMAL(38,0): P*N overflows BIGINT past ~3e9 rows per class.
+
+    Returns one row per group: (group_cols..., n_pos, n_neg,
+    tie_pairs, auc_ppm); auc_ppm is NULL when either class is empty
+    (AUC undefined), 500000 when every score ties.
+
+    Reference parity note: the reference evaluates nothing; this is
+    curation surface — the acceptance gate for the quality/filter
+    scorers the engine ships (hashed_classifier_score,
+    gopher_quality_rules, bigram_lm_score) against any labeled
+    sample.
+    """
+    from pyspark.sql import Window
+
+    gcols = [F.col(c) for c in group_cols]
+    base = df.select(
+        *gcols,
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+
+    rollup = base.groupBy(*group_cols, "_s").agg(
+        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("_np"),
+        F.sum(F.when(F.col("_y") == 1, 0).otherwise(1))
+        .cast("long")
+        .alias("_nn"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_neg_below = F.coalesce(
+        F.sum("_nn").over(w), F.lit(0).cast("long")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_score = rollup.select(
+        *group_cols,
+        (
+            dec(F.col("_np"))
+            * (dec(cum_neg_below) * 2 + dec(F.col("_nn")))
+        ).alias("_u2"),
+        (dec(F.col("_np")) * dec(F.col("_nn"))).alias("_tie"),
+        "_np",
+        "_nn",
+    )
+    agg = per_score.groupBy(*group_cols).agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.sum("_nn").cast("long").alias("n_neg"),
+        F.sum("_tie").cast("long").alias("tie_pairs"),
+        F.sum("_u2").alias("_u2"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        "tie_pairs",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                "cast((cast(_u2 as decimal(38,0))"
+                " * cast(1000000 as decimal(38,0)))"
+                " div (cast(2 as decimal(38,0))"
+                " * cast(n_pos as decimal(38,0))"
+                " * cast(n_neg as decimal(38,0))) as long)"
+            ),
+        ).alias("auc_ppm"),
+    )

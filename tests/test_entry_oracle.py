@@ -174,6 +174,7 @@ _VARIANT_TAIL = {
     "pq_ann_topk",
     "nsp_pairs",
     "caption_pairs",
+    "roc_auc_eval",
 }
 
 
@@ -440,6 +441,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: interleaved-span multimodal pairing; the
         # span-derivation rep extract_flagship is in-window
         "caption_pairs": "extract_flagship",
+        # born-demoted: classifier-acceptance evaluation over the
+        # in-window scorer families; eval rep ann_recall_eval
+        "roc_auc_eval": "ann_recall_eval",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

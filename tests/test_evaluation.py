@@ -126,3 +126,82 @@ def test_span_eval_one_sided_docs_zero_filled(spark):
     assert (op.n_pred, op.n_gold) == (1, 0)
     assert op.recall_micro is None and op.precision_micro == 0
     assert op.exact_seq == 0 and og.exact_seq == 0
+
+
+# --- roc_auc -----------------------------------------------------------
+
+
+def _auc_py(rows):
+    """Pure-Python pair-counting mirror: rows = [(score, label)]."""
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    if not pos or not neg:
+        return (len(pos), len(neg), 0, None)
+    gt = sum(1 for p in pos for n in neg if p > n)
+    tie = sum(1 for p in pos for n in neg if p == n)
+    return (
+        len(pos),
+        len(neg),
+        tie,
+        (2 * gt + tie) * 1000000 // (2 * len(pos) * len(neg)),
+    )
+
+
+def test_roc_auc_randomized_python_parity(spark):
+    import random
+
+    from ocr_translation_spark.functions.evaluation import roc_auc
+
+    rng = random.Random(20260819)
+    rows = [
+        (
+            "g%d" % (i % 3),
+            rng.randint(0, 12),  # narrow domain -> heavy ties
+            1 if rng.random() < 0.35 + 0.04 * (i % 9) else 0,
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, s int, y int")
+    got = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["tie_pairs"], r["auc_ppm"])
+        for r in roc_auc(df, "s", "y", ("g",)).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        want = _auc_py([(s, y) for gg, s, y in rows if gg == g])
+        assert got[g] == want, (g, got[g], want)
+
+
+def test_roc_auc_degenerate_and_all_ties(spark):
+    from ocr_translation_spark.functions.evaluation import roc_auc
+
+    # one class only -> AUC undefined (NULL), counts still reported
+    df1 = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1)], "g string, s int, y int"
+    )
+    [r1] = roc_auc(df1, "s", "y", ("g",)).collect()
+    assert (r1["n_pos"], r1["n_neg"], r1["auc_ppm"]) == (2, 0, None)
+    # every score identical -> exactly 0.5 (all pairs are ties)
+    df2 = spark.createDataFrame(
+        [("a", 5, 1), ("a", 5, 0), ("a", 5, 1), ("a", 5, 0)],
+        "g string, s int, y int",
+    )
+    [r2] = roc_auc(df2, "s", "y", ("g",)).collect()
+    assert r2["auc_ppm"] == 500000 and r2["tie_pairs"] == 4
+    # perfect separation -> exactly 1.0
+    df3 = spark.createDataFrame(
+        [("a", 9, 1), ("a", 8, 1), ("a", 1, 0), ("a", 2, 0)],
+        "g string, s int, y int",
+    )
+    [r3] = roc_auc(df3, "s", "y", ("g",)).collect()
+    assert r3["auc_ppm"] == 1000000 and r3["tie_pairs"] == 0
+
+
+def test_roc_auc_ungrouped_and_null_filtering(spark):
+    from ocr_translation_spark.functions.evaluation import roc_auc
+
+    rows = [(3, 1), (2, 0), (None, 1), (4, None), (3, 0), (5, 1)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    [r] = roc_auc(df, "s", "y").collect()
+    # kept rows: (3,1) (2,0) (3,0) (5,1)
+    want = _auc_py([(3, 1), (2, 0), (3, 0), (5, 1)])
+    assert (r["n_pos"], r["n_neg"], r["tie_pairs"], r["auc_ppm"]) == want
