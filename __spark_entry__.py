@@ -4411,6 +4411,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roc_auc_eval"] = _roc_auc
 
+    def _survival(spark, sf):
+        """Nelson-Aalen repurchase-hazard table
+        (functions/survival.py): every purchase opens a right-
+        censorable waiting spell (closed by the user's next purchase,
+        or censored at the corpus max timestamp), durations in whole
+        hours; the hazard/cumulative-hazard estimator runs in exact
+        integer ppm over the O(distinct-durations) rollup. The open
+        spells are the point — dropping them (the naive gap average)
+        biases toward short waits."""
+        from ocr_translation_spark.functions.survival import (
+            nelson_aalen,
+            recurrent_spells,
+        )
+
+        spells = recurrent_spells(
+            _read(spark, sf, "events"),
+            "user_id",
+            "ts",
+            F.col("event_type") == "purchase",
+            unit_seconds=3600,
+        )
+        return nelson_aalen(spells)
+
+    q["survival_hazard"] = _survival
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -4895,6 +4920,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gopher_quality_rules); eval reps in-window ann_recall_eval
         # + extraction_span_f1
         "roc_auc_eval",
+        # born-demoted: survival-analysis member of the events
+        # time-accounting family (reps in-window: events_hourly +
+        # user_retention_cohorts — cohorts count WHO returns, hazard
+        # measures WHEN)
+        "survival_hazard",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -9507,6 +9537,47 @@ SELECT agg.lang, p::BIGINT AS n_pos, n::BIGINT AS n_neg, tp.tie_pairs,
             ELSE ((s2 - p * (p + 1)) * 1000000 // (2 * p * n))::BIGINT
        END AS auc_ppm
 FROM agg JOIN tp ON tp.lang = agg.lang
+"""
+
+    # Twin note: DuckDB's boundary-crossing date_diff('second', ...)
+    # equals Spark's floor-of-epoch subtraction for positive
+    # differences, so the hour quantization (// 3600) is engine-exact.
+    o["survival_hazard"] = """
+WITH p AS (
+  SELECT user_id, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type = 'purchase'
+), led AS (
+  SELECT ts, lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+  FROM p
+), sp AS (
+  SELECT CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS observed,
+         (date_diff('second', ts,
+                    coalesce(nxt, (SELECT max(ts) FROM p))) // 3600
+         )::BIGINT AS duration
+  FROM led
+), r AS (
+  SELECT duration, sum(observed)::BIGINT AS n_events,
+         sum(1 - observed)::BIGINT AS n_censored
+  FROM sp GROUP BY duration
+), at_risk AS (
+  SELECT duration, n_events, n_censored,
+         (sum(n_events + n_censored) OVER ()
+          - coalesce(sum(n_events + n_censored) OVER (
+              ORDER BY duration
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         )::BIGINT AS n_at_risk
+  FROM r
+), hz AS (
+  SELECT duration, n_at_risk, n_events, n_censored,
+         ((1000000 * n_events) // n_at_risk)::BIGINT AS hazard_ppm
+  FROM at_risk
+)
+SELECT duration, n_at_risk, n_events, n_censored, hazard_ppm,
+       (sum(hazard_ppm) OVER (ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       )::BIGINT AS cum_hazard_micro
+FROM hz
 """
 
     return o

@@ -323,6 +323,8 @@ def main() -> None:
         "caption_pairs",
         # exact tie-aware ROC AUC (rollup-cumulative Mann-Whitney)
         "roc_auc_eval",
+        # Nelson-Aalen repurchase hazard (censored waiting spells)
+        "survival_hazard",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -175,6 +175,7 @@ _VARIANT_TAIL = {
     "nsp_pairs",
     "caption_pairs",
     "roc_auc_eval",
+    "survival_hazard",
 }
 
 
@@ -444,6 +445,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: classifier-acceptance evaluation over the
         # in-window scorer families; eval rep ann_recall_eval
         "roc_auc_eval": "ann_recall_eval",
+        # born-demoted: survival member of the events time-accounting
+        # family; reps events_hourly + user_retention_cohorts
+        "survival_hazard": "user_retention_cohorts",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
