@@ -4436,6 +4436,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["survival_hazard"] = _survival
 
+    def _kcenter(spark, sf):
+        """Greedy k-center coreset (functions/coreset.py) over the
+        embeddings table, k=6: Gonzalez farthest-point traversal with
+        the incremental min-distance identity (k corpus scans, no
+        shuffle beyond TakeOrdered argmax reductions). Coordinates
+        quantize by floor(x * 2^20) — exact in both engines — so the
+        selected ids, selection distances, and the k-center objective
+        (radius2) are all integer-exact. The DuckDB twin is the
+        UNROLLED 6-round CTE chain (the kcore/greedy_matching twin
+        convention for iterative operators)."""
+        from ocr_translation_spark.functions.coreset import (
+            kcenter_coreset,
+        )
+
+        return kcenter_coreset(
+            _read(spark, sf, "embeddings"), k=6
+        )
+
+    q["kcenter_coreset"] = _kcenter
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -4925,6 +4945,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # user_retention_cohorts — cohorts count WHO returns, hazard
         # measures WHEN)
         "survival_hazard",
+        # born-demoted: geometry-driven member of the data-selection
+        # family (reps in-window: mixture_resample +
+        # training_shuffle_order; the ANN/IVF centroid machinery is
+        # its bucketed cousin)
+        "kcenter_coreset",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -9579,6 +9604,63 @@ SELECT duration, n_at_risk, n_events, n_censored, hazard_ppm,
        )::BIGINT AS cum_hazard_micro
 FROM hz
 """
+
+    # Unrolled 6-round Gonzalez farthest-point twin (the iterative-
+    # operator twin convention): d{r} carries min-dist-to-selected
+    # after center r-1, c{r} is the argmax (ties to smallest id)
+    # excluding everything already chosen.
+    _kc_dist = (
+        "list_sum(list_transform(generate_series(1, len({a}.v)), "
+        "i -> ({a}.v[i] - {c}.v[i]) * ({a}.v[i] - {c}.v[i])))::BIGINT"
+    )
+    _kc_parts = [
+        "q AS MATERIALIZED (SELECT vec_id::BIGINT AS id, "
+        "list_transform(embedding, x -> "
+        "CAST(floor(x::DOUBLE * 1048576) AS BIGINT)) AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL)",
+        "c0 AS MATERIALIZED (SELECT id, v FROM q ORDER BY id LIMIT 1)",
+    ]
+    for _r in range(1, 6):
+        _prev_d = "q" if _r == 1 else f"d{_r - 1}"
+        _dist = _kc_dist.format(a="d", c="c")
+        if _r == 1:
+            _md = _dist
+        else:
+            _md = f"least(d.md, {_dist})"
+        _kc_parts.append(
+            f"d{_r} AS MATERIALIZED (SELECT d.id, d.v, {_md} AS md "
+            f"FROM {_prev_d} d, c{_r - 1} c)"
+        )
+        _excl = " UNION ALL ".join(
+            f"SELECT id FROM c{_j}" for _j in range(_r)
+        )
+        _kc_parts.append(
+            f"c{_r} AS MATERIALIZED (SELECT id, v, md FROM d{_r} "
+            f"WHERE id NOT IN ({_excl}) "
+            f"ORDER BY md DESC, id LIMIT 1)"
+        )
+    _excl_all = " UNION ALL ".join(
+        f"SELECT id FROM c{_j}" for _j in range(6)
+    )
+    _kc_parts.append(
+        "rad AS MATERIALIZED (SELECT max(least(d.md, "
+        + _kc_dist.format(a="d", c="c")
+        + f")) AS r FROM d5 d, c5 c WHERE d.id NOT IN ({_excl_all}))"
+    )
+    _kc_rows = [
+        "SELECT 0::BIGINT AS sel_rank, (SELECT id FROM c0) AS vec_id, "
+        "0::BIGINT AS sel_dist2, "
+        "(SELECT coalesce(r, 0)::BIGINT FROM rad) AS radius2"
+    ] + [
+        f"SELECT {_r}::BIGINT, (SELECT id FROM c{_r}), "
+        f"(SELECT md::BIGINT FROM c{_r}), "
+        "(SELECT coalesce(r, 0)::BIGINT FROM rad)"
+        for _r in range(1, 6)
+    ]
+    o["kcenter_coreset"] = (
+        "WITH " + ",\n".join(_kc_parts) + "\n"
+        + "\nUNION ALL ".join(_kc_rows)
+    )
 
     return o
 

@@ -325,6 +325,8 @@ def main() -> None:
         "roc_auc_eval",
         # Nelson-Aalen repurchase hazard (censored waiting spells)
         "survival_hazard",
+        # greedy k-center coreset (6 incremental-min-dist scans)
+        "kcenter_coreset",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

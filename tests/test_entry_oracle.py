@@ -176,6 +176,7 @@ _VARIANT_TAIL = {
     "caption_pairs",
     "roc_auc_eval",
     "survival_hazard",
+    "kcenter_coreset",
 }
 
 
@@ -448,6 +449,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: survival member of the events time-accounting
         # family; reps events_hourly + user_retention_cohorts
         "survival_hazard": "user_retention_cohorts",
+        # born-demoted: geometry-driven data selection; selection
+        # reps mixture_resample + training_shuffle_order in-window
+        "kcenter_coreset": "mixture_resample",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
