@@ -4456,6 +4456,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kcenter_coreset"] = _kcenter
 
+    def _weak_labels(spark, sf):
+        """Snorkel-style LF analysis (functions/weaklabel.lf_report)
+        over five deterministic labeling functions on the documents
+        table (length thresholds, keyword hits, language prior).
+        The five rules overlap and genuinely conflict (long docs
+        containing 'slow' get opposing votes), so every counter in
+        the coverage/overlap/conflict triple is non-degenerate at all
+        scale factors. One corpus scan, zero shuffles, one single-row
+        aggregate unpivoted with stack."""
+        from ocr_translation_spark.functions.weaklabel import lf_report
+
+        docs = _read(spark, sf, "documents")
+        lfs = [
+            (
+                "lf_len_pos",
+                F.when(F.col("n_chars") >= 300, 1).otherwise(0),
+            ),
+            (
+                "lf_len_neg",
+                F.when(F.col("n_chars") < 120, -1).otherwise(0),
+            ),
+            (
+                "lf_kw_data",
+                F.when(F.col("text").contains("data"), 1).otherwise(0),
+            ),
+            (
+                "lf_kw_slow",
+                F.when(F.col("text").contains("slow"), -1).otherwise(
+                    0
+                ),
+            ),
+            (
+                "lf_lang_en",
+                F.when(F.col("lang") == "en", 1).otherwise(0),
+            ),
+        ]
+        return lf_report(docs, lfs)
+
+    q["weak_label_report"] = _weak_labels
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -4950,6 +4990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training_shuffle_order; the ANN/IVF centroid machinery is
         # its bucketed cousin)
         "kcenter_coreset",
+        # born-demoted: label-MANUFACTURING side of the scorer family
+        # (reps in-window: hashed_classifier_score consumes labels,
+        # gopher_quality_rules is the rule-as-filter form)
+        "weak_label_report",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -9604,6 +9648,43 @@ SELECT duration, n_at_risk, n_events, n_censored, hazard_ppm,
        )::BIGINT AS cum_hazard_micro
 FROM hz
 """
+
+
+    # Independent twin: per-LF scalar aggregates over the shared vote
+    # CTE (no stack/unpivot), one UNION ALL branch per LF.
+    o["weak_label_report"] = """
+WITH base AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS v0,
+         CASE WHEN n_chars < 120 THEN -1 ELSE 0 END AS v1,
+         CASE WHEN contains(text, 'data') THEN 1 ELSE 0 END AS v2,
+         CASE WHEN contains(text, 'slow') THEN -1 ELSE 0 END AS v3,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS v4
+  FROM documents
+), m AS (
+  SELECT *,
+         (v0 = 1)::INT + (v2 = 1)::INT + (v4 = 1)::INT AS np,
+         (v1 = -1)::INT + (v3 = -1)::INT AS nn
+  FROM base
+)
+"""
+    _wl_branches = []
+    for _i, _nm in enumerate(
+        ("lf_len_pos", "lf_len_neg", "lf_kw_data", "lf_kw_slow",
+         "lf_lang_en")
+    ):
+        _v = f"v{_i}"
+        _op = f"(np - ({_v} = 1)::INT)"
+        _on = f"(nn - ({_v} = -1)::INT)"
+        _wl_branches.append(f"""
+SELECT '{_nm}' AS lf_name, count(*)::BIGINT AS n_rows,
+       sum(({_v} <> 0)::INT)::BIGINT AS n_labeled,
+       ((1000000 * sum(({_v} <> 0)::INT)::HUGEINT)
+        // count(*)::HUGEINT)::BIGINT AS coverage_ppm,
+       sum(({_v} <> 0 AND {_op} + {_on} > 0)::INT)::BIGINT AS n_overlap,
+       sum((({_v} = 1 AND {_on} > 0)
+            OR ({_v} = -1 AND {_op} > 0))::INT)::BIGINT AS n_conflict
+FROM m""")
+    o["weak_label_report"] += " UNION ALL ".join(_wl_branches)
 
     # Unrolled 6-round Gonzalez farthest-point twin (the iterative-
     # operator twin convention): d{r} carries min-dist-to-selected

@@ -327,6 +327,8 @@ def main() -> None:
         "survival_hazard",
         # greedy k-center coreset (6 incremental-min-dist scans)
         "kcenter_coreset",
+        # Snorkel-style LF coverage/overlap/conflict audit (one scan)
+        "weak_label_report",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -177,6 +177,7 @@ _VARIANT_TAIL = {
     "roc_auc_eval",
     "survival_hazard",
     "kcenter_coreset",
+    "weak_label_report",
 }
 
 
@@ -452,6 +453,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: geometry-driven data selection; selection
         # reps mixture_resample + training_shuffle_order in-window
         "kcenter_coreset": "mixture_resample",
+        # born-demoted: label manufacturing for the scorer family;
+        # rep hashed_classifier_score in-window
+        "weak_label_report": "hashed_classifier_score",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
