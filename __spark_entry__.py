@@ -4496,6 +4496,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weak_label_report"] = _weak_labels
 
+    def _rendezvous(spark, sf):
+        """HRW shard placement audit (functions/placement.py): assign
+        every doc_id to 8 shards by rendezvous hashing, then re-assign
+        with shard3 removed — one corpus scan computes both phases
+        row-locally and a single shard-keyed aggregate reduces them.
+        The minimal-disruption property becomes checkable arithmetic
+        in the result: shard3's n_after_drop is 0, every survivor's
+        n_after_drop >= n_assigned, totals conserved. The DuckDB twin
+        is the INDEPENDENT unnest-all-shards + row_number(ORDER BY w
+        DESC, s DESC) formulation instead of array_max over structs."""
+        from ocr_translation_spark.functions.placement import (
+            shard_report,
+        )
+
+        shards = [f"shard{i}" for i in range(8)]
+        return shard_report(
+            _read(spark, sf, "documents"), "doc_id", shards, "shard3"
+        )
+
+    q["rendezvous_shards"] = _rendezvous
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -4994,6 +5015,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (reps in-window: hashed_classifier_score consumes labels,
         # gopher_quality_rules is the rule-as-filter form)
         "weak_label_report",
+        # born-demoted: data-placement/routing member of the layout
+        # family (reps in-window: document_packing + snapshot_diff's
+        # bucketed layout; zorder_key is its tail sibling)
+        "rendezvous_shards",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -9649,6 +9674,39 @@ SELECT duration, n_at_risk, n_events, n_censored, hazard_ppm,
 FROM hz
 """
 
+
+
+    # Independent twin: unnest the key x shard cross product and rank
+    # (w DESC, s DESC) per key — vs the Spark side's row-local
+    # array_max over (weight, shard) structs.
+    o["rendezvous_shards"] = """
+WITH keys AS (
+  SELECT doc_id::VARCHAR AS k FROM documents
+), sh AS (
+  SELECT 'shard' || i::VARCHAR AS s FROM generate_series(0, 7) t(i)
+), w AS (
+  SELECT k, s, substr(sha256(k || ':' || s), 1, 16) AS w
+  FROM keys, sh
+), cur AS (
+  SELECT s FROM (
+    SELECT s, row_number() OVER (
+      PARTITION BY k ORDER BY w DESC, s DESC) AS rn FROM w
+  ) WHERE rn = 1
+), post AS (
+  SELECT s FROM (
+    SELECT s, row_number() OVER (
+      PARTITION BY k ORDER BY w DESC, s DESC) AS rn
+    FROM w WHERE s <> 'shard3'
+  ) WHERE rn = 1
+), c1 AS (SELECT s, count(*) AS n FROM cur GROUP BY s),
+c2 AS (SELECT s, count(*) AS n FROM post GROUP BY s)
+SELECT sh.s AS shard,
+       coalesce(c1.n, 0)::BIGINT AS n_assigned,
+       ((1000000 * coalesce(c1.n, 0)::HUGEINT)
+        // (SELECT count(*) FROM keys)::HUGEINT)::BIGINT AS share_ppm,
+       coalesce(c2.n, 0)::BIGINT AS n_after_drop
+FROM sh LEFT JOIN c1 ON c1.s = sh.s LEFT JOIN c2 ON c2.s = sh.s
+"""
 
     # Independent twin: per-LF scalar aggregates over the shared vote
     # CTE (no stack/unpivot), one UNION ALL branch per LF.

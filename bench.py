@@ -329,6 +329,8 @@ def main() -> None:
         "kcenter_coreset",
         # Snorkel-style LF coverage/overlap/conflict audit (one scan)
         "weak_label_report",
+        # HRW shard placement + drop-one rebalance audit (one scan)
+        "rendezvous_shards",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

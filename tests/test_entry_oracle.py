@@ -178,6 +178,7 @@ _VARIANT_TAIL = {
     "survival_hazard",
     "kcenter_coreset",
     "weak_label_report",
+    "rendezvous_shards",
 }
 
 
@@ -456,6 +457,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: label manufacturing for the scorer family;
         # rep hashed_classifier_score in-window
         "weak_label_report": "hashed_classifier_score",
+        # born-demoted: data-placement/routing audit; layout family
+        # reps document_packing + snapshot_diff in-window
+        "rendezvous_shards": "document_packing",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
