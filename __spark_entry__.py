@@ -4517,6 +4517,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rendezvous_shards"] = _rendezvous
 
+    def _calibration(spark, sf):
+        """Reliability-diagram companion to roc_auc_eval
+        (functions/evaluation.calibration_bins): same planted score
+        (n_chars div 16) and noisy label, binned 4-wide; per bin the
+        exact ppm positive rate vs the exact micro mean score. One
+        hash aggregate, no windows."""
+        from ocr_translation_spark.functions.evaluation import (
+            calibration_bins,
+        )
+
+        base = _read(spark, sf, "documents").select(
+            F.expr("n_chars div 16").alias("score"),
+            F.expr(
+                "case when n_chars + 3 * ((doc_id * 48271 + 11) % 100)"
+                " >= 450 then 1 else 0 end"
+            ).alias("label"),
+        )
+        return calibration_bins(base, "score", "label", bin_width=4)
+
+    q["calibration_bins"] = _calibration
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -9675,6 +9696,23 @@ FROM hz
 """
 
 
+
+
+    o["calibration_bins"] = """
+WITH base AS (
+  SELECT n_chars // 16 AS score,
+         CASE WHEN n_chars + 3 * ((doc_id * 48271 + 11) % 100) >= 450
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+)
+SELECT (score // 4)::BIGINT AS bin_id, count(*)::BIGINT AS n,
+       sum(y)::BIGINT AS n_pos,
+       ((1000000 * sum(y)::HUGEINT) // count(*)::HUGEINT)::BIGINT
+         AS pos_rate_ppm,
+       ((1000000 * sum(score)::HUGEINT) // count(*)::HUGEINT)::BIGINT
+         AS mean_score_micro
+FROM base GROUP BY 1
+"""
 
     # Independent twin: unnest the key x shard cross product and rank
     # (w DESC, s DESC) per key — vs the Spark side's row-local

@@ -331,6 +331,8 @@ def main() -> None:
         "weak_label_report",
         # HRW shard placement + drop-one rebalance audit (one scan)
         "rendezvous_shards",
+        # reliability-diagram calibration bins (one hash aggregate)
+        "calibration_bins",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -355,3 +355,53 @@ def roc_auc(
             ),
         ).alias("auc_ppm"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bin_width: int = 4,
+) -> DataFrame:
+    """Reliability-diagram table: bucket an integer score into
+    fixed-width bins and report, per bin, the exact empirical
+    positive rate against the exact mean score — the calibration
+    companion to ``roc_auc`` (AUC measures ranking, this measures
+    whether the score VALUE means what it claims).
+
+    One hash aggregate over the corpus, no windows:
+    (bin_id, n, n_pos, pos_rate_ppm, mean_score_micro), with
+    ``bin_id = score div bin_width`` (floored — negative scores bin
+    toward -inf consistently in both engines via floor division on
+    longs), ``pos_rate_ppm = 1e6 * n_pos div n`` and
+    ``mean_score_micro = 1e6 * sum(score) div n`` in DECIMAL(38,0)
+    (sum(score) * 1e6 overflows BIGINT on ~9e12-row bins).
+    """
+    if bin_width < 1:
+        raise ValueError("bin_width must be >= 1")
+    base = df.select(
+        F.col(score_col).cast("long").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    binned = base.groupBy(
+        F.floor(F.col("_s") / F.lit(bin_width))
+        .cast("long")
+        .alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum("_s").cast("decimal(38,0)").alias("_ssum"),
+    )
+    return binned.select(
+        "bin_id",
+        "n",
+        "n_pos",
+        F.expr("(1000000 * n_pos) div n").alias("pos_rate_ppm"),
+        F.expr(
+            "cast((cast(_ssum as decimal(38,0))"
+            " * cast(1000000 as decimal(38,0)))"
+            " div cast(n as decimal(38,0)) as long)"
+        ).alias("mean_score_micro"),
+    )

@@ -179,6 +179,7 @@ _VARIANT_TAIL = {
     "kcenter_coreset",
     "weak_label_report",
     "rendezvous_shards",
+    "calibration_bins",
 }
 
 
@@ -460,6 +461,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: data-placement/routing audit; layout family
         # reps document_packing + snapshot_diff in-window
         "rendezvous_shards": "document_packing",
+        # born-demoted: reliability-diagram sibling of roc_auc_eval;
+        # rank-statistics rep quality_decile_stats in-window
+        "calibration_bins": "quality_decile_stats",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

@@ -205,3 +205,68 @@ def test_roc_auc_ungrouped_and_null_filtering(spark):
     # kept rows: (3,1) (2,0) (3,0) (5,1)
     want = _auc_py([(3, 1), (2, 0), (3, 0), (5, 1)])
     assert (r["n_pos"], r["n_neg"], r["tie_pairs"], r["auc_ppm"]) == want
+
+
+# --- calibration_bins --------------------------------------------------
+
+
+def test_calibration_hand_computed_and_negative_floor(spark):
+    from ocr_translation_spark.functions.evaluation import (
+        calibration_bins,
+    )
+
+    rows = [(7, 1), (6, 0), (4, 1), (3, 0), (-3, 1), (-5, 0)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    got = {
+        r["bin_id"]: (
+            r["n"],
+            r["n_pos"],
+            r["pos_rate_ppm"],
+            r["mean_score_micro"],
+        )
+        for r in calibration_bins(df, "s", "y", 4).collect()
+    }
+    # floor semantics: 7,6,4 -> bin 1; 3 -> bin 0; -3,-5 -> bin -1,-2
+    assert got[1] == (3, 2, 666666, 5666666)
+    assert got[0] == (1, 0, 0, 3000000)
+    assert got[-1] == (1, 1, 1000000, -3000000)
+    assert got[-2] == (1, 0, 0, -5000000)
+
+
+def test_calibration_randomized_python_parity(spark):
+    import random
+
+    from ocr_translation_spark.functions.evaluation import (
+        calibration_bins,
+    )
+
+    rng = random.Random(20260819)
+    rows = [
+        (rng.randint(-20, 40), rng.randint(0, 1)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "s long, y int")
+    got = {
+        r["bin_id"]: (r["n"], r["n_pos"], r["pos_rate_ppm"])
+        for r in calibration_bins(df, "s", "y", 5).collect()
+    }
+    from collections import defaultdict
+
+    byb = defaultdict(list)
+    for s, y in rows:
+        byb[s // 5].append(y)  # python // floors like F.floor
+    for b, ys in byb.items():
+        n, np_ = len(ys), sum(ys)
+        assert got[b] == (n, np_, 1000000 * np_ // n), (b, got[b])
+    assert set(got) == set(byb)
+
+
+def test_calibration_validation(spark):
+    import pytest
+
+    from ocr_translation_spark.functions.evaluation import (
+        calibration_bins,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "s long, y int")
+    with pytest.raises(ValueError):
+        calibration_bins(df, "s", "y", 0)
