@@ -333,6 +333,8 @@ def main() -> None:
         "rendezvous_shards",
         # reliability-diagram calibration bins (one hash aggregate)
         "calibration_bins",
+        # post-stratified causal effect (one hash agg + rollup math)
+        "ipw_stratified_effect",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -140,3 +140,112 @@ def ab_experiment_report(
         )
         .alias("beats_control"),
     )
+
+
+def stratified_effect(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    strata_cols: tuple[str, ...],
+) -> DataFrame:
+    """Post-stratified treatment-effect table — the causal estimator
+    for OBSERVATIONAL exposure, where assignment rates differ by
+    stratum and the naive pooled difference is confounded (Simpson's
+    pattern). Within a stratum the assignment is as-good-as-random,
+    so the stratum-wise difference of means is unbiased and the
+    N_s/N-weighted sum is the ATE (identical to inverse-propensity
+    weighting when the propensity is estimated as the stratum
+    treatment share — the horvitz-thompson terms telescope).
+
+    One hash aggregate over the corpus (5 counters per stratum), then
+    exact integer arithmetic on the O(strata) rollup:
+
+      y1_mean_ppm  = 1e6 * y1_sum div n_treated     (NULL if no t)
+      y0_mean_ppm  = 1e6 * y0_sum div n_control     (NULL if no c)
+      effect_ppm   = y1_mean_ppm - y0_mean_ppm      (NULL if either)
+      weight_ppm   = 1e6 * n div N   (N via a window over the rollup)
+      contrib_micro = (effect_ppm * n) div N  — summing this column
+        IS the post-stratified ATE estimate in micro units.
+
+    Outcomes must be integer-valued (binary or counts); fractional
+    outcomes should be pre-scaled to integers by the caller — the
+    whole point is engine-exact sums. Products go through
+    DECIMAL(38,0) (effect * n overflows BIGINT past ~9e12-row
+    strata).
+    """
+    gcols = [F.col(c) for c in strata_cols]
+    base = df.select(
+        *gcols,
+        F.col(treat_col).cast("int").alias("_t"),
+        F.col(outcome_col).cast("long").alias("_y"),
+    ).filter(
+        F.col("_t").isNotNull() & F.col("_y").isNotNull()
+    )
+    roll = base.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("_t") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_treated"),
+        F.sum(F.when(F.col("_t") == 1, F.col("_y")).otherwise(0))
+        .cast("long")
+        .alias("_y1"),
+        F.sum(F.when(F.col("_t") == 1, 0).otherwise(F.col("_y")))
+        .cast("long")
+        .alias("_y0"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        roll.withColumn("_N", F.sum("n").over(w_all))
+        .withColumn("n_control", F.col("n") - F.col("n_treated"))
+        .withColumn(
+            "y1_mean_ppm",
+            F.expr(
+                "case when n_treated > 0 then"
+                " cast((cast(_y1 as decimal(38,0))"
+                " * cast(1000000 as decimal(38,0)))"
+                " div cast(n_treated as decimal(38,0)) as long) end"
+            ),
+        )
+        .withColumn(
+            "y0_mean_ppm",
+            F.expr(
+                "case when n_control > 0 then"
+                " cast((cast(_y0 as decimal(38,0))"
+                " * cast(1000000 as decimal(38,0)))"
+                " div cast(n_control as decimal(38,0)) as long) end"
+            ),
+        )
+        .withColumn(
+            "effect_ppm", F.col("y1_mean_ppm") - F.col("y0_mean_ppm")
+        )
+        .withColumn(
+            "weight_ppm",
+            F.expr(
+                "cast((cast(n as decimal(38,0))"
+                " * cast(1000000 as decimal(38,0)))"
+                " div cast(_N as decimal(38,0)) as long)"
+            ),
+        )
+        .withColumn(
+            "contrib_micro",
+            F.expr(
+                "case when effect_ppm is not null then"
+                " cast((cast(effect_ppm as decimal(38,0))"
+                " * cast(n as decimal(38,0)))"
+                " div cast(_N as decimal(38,0)) as long) end"
+            ),
+        )
+        .select(
+            *strata_cols,
+            "n",
+            "n_treated",
+            "n_control",
+            "y1_mean_ppm",
+            "y0_mean_ppm",
+            "effect_ppm",
+            "weight_ppm",
+            "contrib_micro",
+        )
+    )

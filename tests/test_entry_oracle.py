@@ -180,6 +180,7 @@ _VARIANT_TAIL = {
     "weak_label_report",
     "rendezvous_shards",
     "calibration_bins",
+    "ipw_stratified_effect",
 }
 
 
@@ -464,6 +465,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: reliability-diagram sibling of roc_auc_eval;
         # rank-statistics rep quality_decile_stats in-window
         "calibration_bins": "quality_decile_stats",
+        # born-demoted: observational-causal sibling of the
+        # experimentation family; rep ab_experiment_report in-window
+        "ipw_stratified_effect": "ab_experiment_report",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

@@ -140,3 +140,107 @@ def test_missing_control_yields_null_not_empty(spark):
     assert len(out) == 1
     assert out[0]["arm"] == 1
     assert out[0]["beats_control"] is None
+
+
+# --- stratified_effect -------------------------------------------------
+
+
+def test_stratified_effect_simpsons_reversal(spark):
+    """Planted Simpson's pattern: within each stratum treatment HELPS
+    (+), but treated units concentrate in the low-outcome stratum so
+    the pooled difference is NEGATIVE — the stratified table must
+    recover the positive per-stratum effects."""
+    from ocr_translation_spark.functions.experiment import (
+        stratified_effect,
+    )
+
+    rows = []
+    # stratum A (low base rate): 80 treated (25% y), 20 control (10% y)
+    rows += [("A", 1, 1 if i < 20 else 0) for i in range(80)]
+    rows += [("A", 0, 1 if i < 2 else 0) for i in range(20)]
+    # stratum B (high base rate): 20 treated (90% y), 80 control (75% y)
+    rows += [("B", 1, 1 if i < 18 else 0) for i in range(20)]
+    rows += [("B", 0, 1 if i < 60 else 0) for i in range(80)]
+    df = spark.createDataFrame(rows, "s string, t int, y int")
+    got = {
+        r["s"]: r for r in stratified_effect(df, "t", "y", ("s",)).collect()
+    }
+    assert got["A"]["effect_ppm"] == 250000 - 100000
+    assert got["B"]["effect_ppm"] == 900000 - 750000
+    # pooled naive difference is negative (Simpson's reversal)
+    y1 = sum(y for _, t, y in rows if t == 1)
+    n1 = sum(1 for _, t, _ in rows if t == 1)
+    y0 = sum(y for _, t, y in rows if t == 0)
+    n0 = sum(1 for _, t, _ in rows if t == 0)
+    assert y1 * n0 < y0 * n1
+    # per-stratum bookkeeping
+    assert (got["A"]["n"], got["A"]["n_treated"], got["A"]["n_control"]) == (
+        100, 80, 20,
+    )
+    assert got["A"]["weight_ppm"] == 500000
+    assert got["A"]["contrib_micro"] == (150000 * 100) // 200
+    # summing contrib_micro IS the post-stratified ATE
+    ate = sum(r["contrib_micro"] for r in got.values())
+    assert ate == (150000 * 100) // 200 + (150000 * 100) // 200
+
+
+def test_stratified_effect_one_armed_strata_null(spark):
+    from ocr_translation_spark.functions.experiment import (
+        stratified_effect,
+    )
+
+    rows = [("T", 1, 1), ("T", 1, 0), ("C", 0, 1)]
+    df = spark.createDataFrame(rows, "s string, t int, y int")
+    got = {
+        r["s"]: r for r in stratified_effect(df, "t", "y", ("s",)).collect()
+    }
+    assert got["T"]["y1_mean_ppm"] == 500000
+    assert got["T"]["y0_mean_ppm"] is None
+    assert got["T"]["effect_ppm"] is None
+    assert got["T"]["contrib_micro"] is None
+    assert got["C"]["y1_mean_ppm"] is None
+
+
+def test_stratified_effect_randomized_python_parity(spark):
+    import random
+
+    from ocr_translation_spark.functions.experiment import (
+        stratified_effect,
+    )
+
+    rng = random.Random(20260819)
+    rows = [
+        (
+            "s%d" % (i % 4),
+            rng.randint(0, 1),
+            rng.randint(0, 3),  # integer count outcome, not just 0/1
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "s string, t int, y int")
+    got = {
+        r["s"]: r for r in stratified_effect(df, "t", "y", ("s",)).collect()
+    }
+    N = len(rows)
+    for stratum in ("s0", "s1", "s2", "s3"):
+        sub = [(t, y) for s, t, y in rows if s == stratum]
+        nt = sum(1 for t, _ in sub if t == 1)
+        nc = len(sub) - nt
+        y1 = sum(y for t, y in sub if t == 1)
+        y0 = sum(y for t, y in sub if t == 0)
+        m1 = 1000000 * y1 // nt
+        m0 = 1000000 * y0 // nc
+        eff = m1 - m0
+        contrib = (
+            abs(eff) * len(sub) // N * (1 if eff >= 0 else -1)
+            if eff >= 0
+            else -((-eff) * len(sub) // N)
+        )
+        r = got[stratum]
+        assert (r["n"], r["n_treated"], r["n_control"]) == (
+            len(sub), nt, nc,
+        )
+        assert (r["y1_mean_ppm"], r["y0_mean_ppm"]) == (m1, m0)
+        assert r["effect_ppm"] == eff
+        assert r["weight_ppm"] == 1000000 * len(sub) // N
+        assert r["contrib_micro"] == contrib, (stratum, r, contrib)
