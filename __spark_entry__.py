@@ -4578,6 +4578,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ipw_stratified_effect"] = _stratified_ate
 
+    def _sssp(spark, sf):
+        """Weighted multi-seed shortest paths (functions/graph.
+        sssp_weighted) over the SAME derived sha link graph as the
+        other graph disciplines, with deterministic positive weights
+        w = (src + dst) % 9 + 1 and the BFS seed set (doc_id % 101
+        == 0); 4 Bellman-Ford relaxation rounds = min path weight
+        using <= 4 edges, engine-exact against the unrolled
+        MATERIALIZED 4-round DuckDB twin."""
+        from ocr_translation_spark.functions.graph import sssp_weighted
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+        edges = _sha_link_edges(
+            docs, n_docs, src="id_a", dst="id_b"
+        ).withColumn(
+            "w", (F.col("id_a") + F.col("id_b")) % 9 + 1
+        )
+        seeds = docs.filter(F.col("doc_id") % 101 == 0).select(
+            F.col("doc_id").alias("node")
+        )
+        return sssp_weighted(edges, seeds, max_rounds=4)
+
+    q["sssp_weighted"] = _sssp
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -9738,6 +9762,47 @@ FROM hz
 
 
 
+
+
+    # Bellman-Ford, K=4 rounds unrolled as MATERIALIZED CTEs over the
+    # shared sha link graph (weights (src+dst)%9+1, cheapest parallel
+    # edge kept): d{r} = min path weight using <= r edges.
+    _sssp_steps = []
+    for _r in range(1, 5):
+        _sssp_steps.append(
+            f"d{_r} AS MATERIALIZED (\n"
+            f"  SELECT node, min(dist)::BIGINT AS dist FROM (\n"
+            f"    SELECT node, dist FROM d{_r - 1}\n"
+            f"    UNION ALL\n"
+            f"    SELECT e.v, d.dist + e.w FROM d{_r - 1} d\n"
+            f"    JOIN und e ON d.node = e.u\n"
+            f"  ) GROUP BY node\n"
+            f")"
+        )
+    o["sssp_weighted"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tg AS (
+  SELECT doc_id, list_distinct(list_filter(
+    [{_pr_tgt.format(k=1)},
+     {_pr_tgt.format(k=2)},
+     {_pr_tgt.format(k=3)}], t -> t <> doc_id)) AS ts
+  FROM documents, nn
+),
+e0 AS (SELECT doc_id AS src, unnest(ts) AS dst FROM tg),
+und AS MATERIALIZED (
+  SELECT u, v, min(w)::BIGINT AS w FROM (
+    SELECT src AS u, dst AS v, (src + dst) % 9 + 1 AS w FROM e0
+    UNION ALL
+    SELECT dst AS u, src AS v, (src + dst) % 9 + 1 AS w FROM e0
+  ) GROUP BY u, v
+),
+d0 AS MATERIALIZED (
+  SELECT doc_id AS node, 0::BIGINT AS dist FROM documents
+  WHERE doc_id % 101 = 0
+),
+{",".join(_sssp_steps)}
+SELECT node, dist FROM d4
+"""
 
     # Twin note: DuckDB integer // truncates toward zero, matching
     # Spark's div (pinned for negative effect_ppm values).

@@ -335,6 +335,8 @@ def main() -> None:
         "calibration_bins",
         # post-stratified causal effect (one hash agg + rollup math)
         "ipw_stratified_effect",
+        # bounded Bellman-Ford weighted shortest paths (4 rounds)
+        "sssp_weighted",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

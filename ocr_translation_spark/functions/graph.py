@@ -1142,3 +1142,96 @@ def random_walks(
             )
         )
     return w.select("start_node", "rep", "walk_path")
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    weight_col: str = "w",
+    seed_col: str = "node",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Weighted single-source (multi-seed) shortest paths by
+    synchronous Bellman-Ford relaxation: (node, dist) = the minimum
+    path weight from any seed using AT MOST ``max_rounds`` edges —
+    the bounded-round semantics is the contract (exact SSSP whenever
+    the weighted diameter fits the budget; both the early-exit test
+    and the DuckDB unrolled twin observe the same recurrence, so the
+    result is engine-exact either way).
+
+    The seventh iterative-graph discipline next to frontier BFS
+    (hop counts ignore weights), CC, PageRank, HITS, k-core peeling
+    and local-min matching: VALUE relaxation, where per-round work is
+    one dist-join + one min-aggregate over uniformly-hashed vertex
+    ids — no frontier tracking because a cheaper monotone invariant
+    decides convergence: a relaxation round either discovers a node
+    (count grows) or lowers a distance (sum shrinks), so the
+    (count, sum) pair from ONE aggregate is a sound fixed-point test
+    (weights are required non-negative — enforced in-plan — which
+    also makes every intermediate dist a bounded long).
+
+    Per round: localCheckpoint(eager) truncates lineage (the HITS
+    convention — round k must not replay rounds 1..k-1); the
+    symmetrized min-weight edge relation is persisted once and
+    released in ``finally``.
+    """
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    w_ok = F.when(
+        F.col("w") < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("sssp_weighted: negative edge weight "),
+                F.col("w").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("w"))
+    und = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("u"),
+                F.col(src).alias("v"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+        )
+        .select("u", "v", w_ok.alias("w"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep cheapest
+        .persist()
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    prev_stats = None
+    try:
+        for _ in range(max_rounds):
+            cand = dist.join(und, dist["node"] == und["u"]).select(
+                F.col("v").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            new = (
+                dist.unionByName(cand)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            stats = new.agg(
+                F.count(F.lit(1)).alias("c"), F.sum("dist").alias("s")
+            ).collect()[0]
+            dist = new
+            if prev_stats == (stats["c"], stats["s"]):
+                break  # fixed point: nothing discovered, nothing lowered
+            prev_stats = (stats["c"], stats["s"])
+    finally:
+        und.unpersist()
+    return dist

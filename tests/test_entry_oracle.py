@@ -181,6 +181,7 @@ _VARIANT_TAIL = {
     "rendezvous_shards",
     "calibration_bins",
     "ipw_stratified_effect",
+    "sssp_weighted",
 }
 
 
@@ -468,6 +469,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: observational-causal sibling of the
         # experimentation family; rep ab_experiment_report in-window
         "ipw_stratified_effect": "ab_experiment_report",
+        # born-demoted: seventh iterative-graph discipline (weighted
+        # relaxation); graph reps pagerank_centrality + dedup_clusters
+        "sssp_weighted": "pagerank_centrality",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

@@ -474,3 +474,99 @@ def test_walks_isolated_and_selfloop_nodes_excluded(spark):
         r.start_node for r in random_walks(df, walk_len=3).collect()
     }
     assert starts == {1, 2}
+
+
+# --- sssp_weighted -----------------------------------------------------
+
+
+def _bf_mirror(edges, seeds, rounds):
+    """Pure-Python bounded Bellman-Ford over the symmetrized
+    min-weight edge set."""
+    und = {}
+    for u, v, w in edges:
+        for a, b in ((u, v), (v, u)):
+            und[(a, b)] = min(und.get((a, b), w), w)
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        new = dict(dist)
+        for (u, v), w in und.items():
+            if u in dist and dist[u] + w < new.get(v, float("inf")):
+                new[v] = dist[u] + w
+        dist = new
+    return dist
+
+
+def test_sssp_weights_beat_hops_and_parallel_edges(spark):
+    from ocr_translation_spark.functions.graph import sssp_weighted
+
+    # 1 -> 3 direct costs 10; 1 -> 2 -> 3 costs 2 + 3 = 5; a parallel
+    # (1,2) edge of weight 7 must lose to the weight-2 one
+    edges = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 2), (1, 2, 7), (2, 3, 3)],
+        "id_a long, id_b long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(edges, seeds, max_rounds=4).collect()
+    }
+    assert got == {1: 0, 2: 2, 3: 5}
+
+
+def test_sssp_bounded_rounds_semantics(spark):
+    from ocr_translation_spark.functions.graph import sssp_weighted
+
+    # chain 1-2-3-4 (weight 1 each): at max_rounds=2, node 4 is
+    # unreachable (needs 3 edges) — the <=K-edge contract
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "id_a long, id_b long, w long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(edges, seeds, max_rounds=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_sssp_randomized_python_parity_and_early_exit(spark):
+    import random
+
+    from ocr_translation_spark.functions.graph import sssp_weighted
+
+    rng = random.Random(20260819)
+    n = 40
+    edges = [
+        (rng.randrange(n), rng.randrange(n), rng.randint(1, 9))
+        for _ in range(90)
+    ]
+    edges = [(u, v, w) for u, v, w in edges if u != v]
+    df = spark.createDataFrame(edges, "id_a long, id_b long, w long")
+    seeds = spark.createDataFrame([(0,), (7,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(df, seeds, max_rounds=6).collect()
+    }
+    assert got == _bf_mirror(edges, [0, 7], 6)
+    # a budget far past the diameter converges to the same answer
+    # (early exit) — and equals the unbounded shortest paths
+    got2 = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(df, seeds, max_rounds=50).collect()
+    }
+    assert got2 == _bf_mirror(edges, [0, 7], 200)
+
+
+def test_sssp_negative_weight_raises_and_validation(spark):
+    import pytest
+
+    from ocr_translation_spark.functions.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, -1)], "id_a long, id_b long, w long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(Exception, match="negative edge weight"):
+        sssp_weighted(edges, seeds, max_rounds=2).collect()
+    with pytest.raises(ValueError):
+        sssp_weighted(edges, seeds, max_rounds=0)
