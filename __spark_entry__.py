@@ -4602,6 +4602,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sssp_weighted"] = _sssp
 
+    def _modularity(spark, sf):
+        """Newman modularity (functions/graph.modularity_score) of
+        the SOURCE partition over the shared sha link graph: does the
+        synthetic link structure respect source boundaries? (It is
+        hash-uniform, so every community's contribution is a small
+        exact negative/positive ppm — the metric's null behavior,
+        verified exactly.) Edges with differently-labeled endpoints
+        count in m and degrees but in no community's intra count —
+        the contract that stops a partition from gaming Q."""
+        from ocr_translation_spark.functions.graph import (
+            modularity_score,
+        )
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+        edges = _sha_link_edges(docs, n_docs, src="id_a", dst="id_b")
+        labels = docs.select(
+            F.col("doc_id").alias("node"),
+            F.col("source").alias("community"),
+        )
+        return modularity_score(edges, labels)
+
+    q["modularity_score"] = _modularity
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -9763,6 +9787,52 @@ FROM hz
 
 
 
+
+
+    o["modularity_score"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tg AS (
+  SELECT doc_id, list_distinct(list_filter(
+    [{_pr_tgt.format(k=1)},
+     {_pr_tgt.format(k=2)},
+     {_pr_tgt.format(k=3)}], t -> t <> doc_id)) AS ts
+  FROM documents, nn
+),
+e0 AS (SELECT doc_id AS src, unnest(ts) AS dst FROM tg),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e0 WHERE src <> dst
+),
+lab AS (SELECT doc_id AS nd, source AS c FROM documents),
+b AS (
+  SELECT e.u, e.v, lu.c AS cu, lv.c AS cv
+  FROM e LEFT JOIN lab lu ON lu.nd = e.u
+         LEFT JOIN lab lv ON lv.nd = e.v
+),
+mtot AS (SELECT count(*)::HUGEINT AS mv FROM b),
+intra AS (
+  SELECT cu AS community, count(*)::BIGINT AS intra_edges
+  FROM b WHERE cu IS NOT NULL AND cu = cv GROUP BY cu
+),
+deg AS (
+  SELECT c AS community, count(*)::BIGINT AS degree_sum,
+         count(DISTINCT nd2)::BIGINT AS n_nodes
+  FROM (
+    SELECT u AS nd2, cu AS c FROM b
+    UNION ALL SELECT v, cv FROM b
+  ) WHERE c IS NOT NULL GROUP BY c
+)
+SELECT deg.community, deg.n_nodes,
+       coalesce(intra.intra_edges, 0)::BIGINT AS intra_edges,
+       deg.degree_sum,
+       (((4::HUGEINT * (SELECT mv FROM mtot)
+          * coalesce(intra.intra_edges, 0)::HUGEINT)
+         - (deg.degree_sum::HUGEINT * deg.degree_sum::HUGEINT))
+        * 1000000
+        // (4::HUGEINT * (SELECT mv FROM mtot)
+            * (SELECT mv FROM mtot)))::BIGINT AS contrib_ppm
+FROM deg LEFT JOIN intra ON intra.community = deg.community
+"""
 
     # Bellman-Ford, K=4 rounds unrolled as MATERIALIZED CTEs over the
     # shared sha link graph (weights (src+dst)%9+1, cheapest parallel

@@ -337,6 +337,8 @@ def main() -> None:
         "ipw_stratified_effect",
         # bounded Bellman-Ford weighted shortest paths (4 rounds)
         "sssp_weighted",
+        # Newman modularity of the source partition (exact ppm)
+        "modularity_score",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

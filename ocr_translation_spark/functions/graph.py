@@ -1235,3 +1235,99 @@ def sssp_weighted(
     finally:
         und.unpersist()
     return dist
+
+
+def modularity_score(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a vertex partition, per community, in
+    exact cross-multiplied integers — the standard quality metric for
+    ANY community assignment (label propagation, CC dedup clusters, a
+    source/domain prior): how much denser are intra-community edges
+    than a degree-preserving random rewiring?
+
+        Q = sum_c [ e_c / m  -  (d_c / 2m)^2 ]
+
+    (e_c intra-community edges, d_c community degree sum, m total
+    undirected edges). Per community this operator emits
+
+        contrib_ppm = (4m * e_c - d_c^2) * 1e6 div (4 * m^2)
+
+    in DECIMAL(38,0) — truncating toward zero, so positive and
+    negative contributions are engine-identical and summing the
+    column is the (ppm) modularity. The contract: edges between
+    differently-labeled or UNLABELED endpoints count in m and in
+    degrees but in no community's e_c — dropping them from m would
+    overstate Q, the exact failure a quality metric must not have.
+
+    Shape: canonicalize to the undirected simple edge set (one
+    distinct), one labels equi-join per endpoint (labels is
+    O(vertices), usually the smaller side), degree aggregate + one
+    community aggregate; m via a single-row broadcast. No windows.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).alias("n"), F.col(label_col).alias("c")
+    ).distinct()
+    both = (
+        e.join(lab.withColumnRenamed("n", "u").withColumnRenamed("c", "cu"), "u", "left")
+        .join(lab.withColumnRenamed("n", "v").withColumnRenamed("c", "cv"), "v", "left")
+    )
+    # m and per-community intra-edge counts
+    m_df = both.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    intra = (
+        both.filter(
+            F.col("cu").isNotNull() & (F.col("cu") == F.col("cv"))
+        )
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    # degree sums per community (each canonical edge grants both
+    # endpoints one degree)
+    deg = (
+        both.select(F.col("u").alias("n"), F.col("cu").alias("c"))
+        .unionByName(
+            both.select(F.col("v").alias("n"), F.col("cv").alias("c"))
+        )
+        .filter(F.col("c").isNotNull())
+        .groupBy(F.col("c").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("degree_sum"),
+            F.count_distinct(F.col("n")).cast("long").alias("n_nodes"),
+        )
+    )
+    return (
+        deg.join(intra, "community", "left")
+        .join(F.broadcast(m_df))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("intra_edges"), F.lit(0))
+            .cast("long")
+            .alias("intra_edges"),
+            "degree_sum",
+            F.expr(
+                "case when m > 0 then cast("
+                "((cast(4 as decimal(38,0)) * cast(m as decimal(38,0))"
+                " * cast(coalesce(intra_edges, 0) as decimal(38,0)))"
+                " - (cast(degree_sum as decimal(38,0))"
+                "    * cast(degree_sum as decimal(38,0))))"
+                " * cast(1000000 as decimal(38,0))"
+                " div (cast(4 as decimal(38,0))"
+                " * cast(m as decimal(38,0))"
+                " * cast(m as decimal(38,0))) as long) end"
+            ).alias("contrib_ppm"),
+        )
+    )

@@ -182,6 +182,7 @@ _VARIANT_TAIL = {
     "calibration_bins",
     "ipw_stratified_effect",
     "sssp_weighted",
+    "modularity_score",
 }
 
 
@@ -472,6 +473,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: seventh iterative-graph discipline (weighted
         # relaxation); graph reps pagerank_centrality + dedup_clusters
         "sssp_weighted": "pagerank_centrality",
+        # born-demoted: partition-quality metric over the graph
+        # family; reps pagerank_centrality + dedup_clusters
+        "modularity_score": "pagerank_centrality",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

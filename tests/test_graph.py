@@ -570,3 +570,105 @@ def test_sssp_negative_weight_raises_and_validation(spark):
         sssp_weighted(edges, seeds, max_rounds=2).collect()
     with pytest.raises(ValueError):
         sssp_weighted(edges, seeds, max_rounds=0)
+
+
+# --- modularity_score --------------------------------------------------
+
+
+def test_modularity_hand_computed(spark):
+    from ocr_translation_spark.functions.graph import modularity_score
+
+    # triangle {1,2,3} in A plus pendant 4 in B; duplicate/reversed
+    # edges must collapse: m = 4, Q = -0.03125 exactly
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (2, 1)],
+        "id_a long, id_b long",
+    )
+    labels = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B")],
+        "node long, community string",
+    )
+    got = {
+        r["community"]: tuple(r)[1:]
+        for r in modularity_score(edges, labels).collect()
+    }
+    assert got["A"] == (3, 3, 7, -15625)
+    assert got["B"] == (1, 0, 1, -15625)
+    assert sum(v[3] for v in got.values()) == -31250
+
+
+def test_modularity_perfect_partition_and_unlabeled(spark):
+    from ocr_translation_spark.functions.graph import modularity_score
+
+    # two disjoint triangles, each its own community: Q = 1/2 exactly
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+        "id_a long, id_b long",
+    )
+    labels = spark.createDataFrame(
+        [(i, "A" if i <= 3 else "B") for i in range(1, 7)],
+        "node long, community string",
+    )
+    got = {
+        r["community"]: r["contrib_ppm"]
+        for r in modularity_score(edges, labels).collect()
+    }
+    assert got == {"A": 250000, "B": 250000}
+    # unlabeled endpoints: edge stays in m (denominator), vanishes
+    # from every community's intra count
+    labels2 = spark.createDataFrame(
+        [(i, "A" if i <= 3 else "B") for i in range(1, 6)],
+        "node long, community string",
+    )
+    got2 = {
+        r["community"]: tuple(r)[1:]
+        for r in modularity_score(edges, labels2).collect()
+    }
+    # B keeps nodes 4,5 with degrees 2 each but only 1 intra edge
+    assert got2["B"][:3] == (2, 1, 4)
+    assert got2["A"][:3] == (3, 3, 6)
+
+
+def test_modularity_randomized_python_parity(spark):
+    import random
+    from collections import defaultdict
+
+    from ocr_translation_spark.functions.graph import modularity_score
+
+    rng = random.Random(20260819)
+    n = 30
+    raw = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+    ]
+    lab = {i: f"c{i % 4}" for i in range(n)}
+    df = spark.createDataFrame(raw, "id_a long, id_b long")
+    ldf = spark.createDataFrame(
+        list(lab.items()), "node long, community string"
+    )
+    got = {
+        r["community"]: tuple(r)[1:]
+        for r in modularity_score(df, ldf).collect()
+    }
+    edges = {
+        (min(u, v), max(u, v)) for u, v in raw if u != v
+    }
+    m = len(edges)
+    intra = defaultdict(int)
+    degs = defaultdict(int)
+    nodes = defaultdict(set)
+    for u, v in edges:
+        if lab[u] == lab[v]:
+            intra[lab[u]] += 1
+        for x in (u, v):
+            degs[lab[x]] += 1
+            nodes[lab[x]].add(x)
+    for c in degs:
+        num = 4 * m * intra[c] - degs[c] * degs[c]
+        want_contrib = (
+            num * 1000000 // (4 * m * m)
+            if num >= 0
+            else -((-num) * 1000000 // (4 * m * m))
+        )
+        assert got[c] == (
+            len(nodes[c]), intra[c], degs[c], want_contrib,
+        ), (c, got[c])
