@@ -4626,6 +4626,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["modularity_score"] = _modularity
 
+    def _cc_inc(spark, sf):
+        """Incremental CC maintenance (functions/graph.cc_incremental)
+        over the dedup_clusters labeling: planted bridge edges
+        (doc_id % 97 == 0 links to the doc half a corpus away) arrive
+        as a delta; the relabel touches the CONTRACTED graph and a
+        broadcast old->new map — never re-running CC over the full
+        pair graph. `changed` is the audit column; the twin
+        recomputes BOTH transitive closures (pairs; pairs + bridges)
+        recursively, so incremental == full is what the value check
+        proves."""
+        from ocr_translation_spark.functions.graph import (
+            cc_incremental,
+            dedup_clusters,
+        )
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+        pairs = minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
+        labels = dedup_clusters(pairs, docs)
+        bridges = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("id_a"),
+            ((F.col("doc_id") + n_docs // 2) % n_docs).alias("id_b"),
+        )
+        return cc_incremental(
+            labels, bridges, node_col="doc_id", label_col="cluster_id"
+        )
+
+    q["cc_incremental"] = _cc_inc
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -9788,6 +9817,45 @@ FROM hz
 
 
 
+
+
+    # Incremental-CC twin: BOTH transitive closures (base pairs; base
+    # + planted bridges) recomputed recursively — value-equality IS
+    # the incremental == full theorem.
+    o["cc_incremental"] = f"""
+WITH RECURSIVE {_minhash_pairs_ctes(0.5, 32)},
+nn2 AS (SELECT count(*)::BIGINT AS n FROM documents),
+bridge AS (
+  SELECT doc_id AS id_a,
+         (doc_id + (SELECT n FROM nn2) // 2) % (SELECT n FROM nn2)
+           AS id_b
+  FROM documents WHERE doc_id % 97 = 0
+),
+und_old AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach_old(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach_old r JOIN und_old e ON r.v = e.u
+),
+old_lab AS (SELECT u AS doc_id, min(v) AS cl FROM reach_old GROUP BY u),
+und_new AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_b FROM bridge WHERE id_a <> id_b
+  UNION SELECT id_b, id_a FROM bridge WHERE id_a <> id_b
+),
+reach_new(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach_new r JOIN und_new e ON r.v = e.u
+),
+new_lab AS (SELECT u AS doc_id, min(v) AS cl FROM reach_new GROUP BY u)
+SELECT n.doc_id, n.cl AS cluster_id, (n.cl <> o.cl) AS changed
+FROM new_lab n JOIN old_lab o USING (doc_id)
+"""
 
     o["modularity_score"] = f"""
 WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),

@@ -339,6 +339,8 @@ def main() -> None:
         "sssp_weighted",
         # Newman modularity of the source partition (exact ppm)
         "modularity_score",
+        # O(delta) incremental CC relabel (contracted-graph CC)
+        "cc_incremental",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

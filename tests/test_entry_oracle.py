@@ -183,6 +183,7 @@ _VARIANT_TAIL = {
     "ipw_stratified_effect",
     "sssp_weighted",
     "modularity_score",
+    "cc_incremental",
 }
 
 
@@ -476,6 +477,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: partition-quality metric over the graph
         # family; reps pagerank_centrality + dedup_clusters
         "modularity_score": "pagerank_centrality",
+        # born-demoted: O(delta) graph-state maintenance; reps
+        # dedup_clusters (CC) + rollup_incremental (merge == full)
+        "cc_incremental": "dedup_clusters",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

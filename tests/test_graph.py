@@ -672,3 +672,92 @@ def test_modularity_randomized_python_parity(spark):
         assert got[c] == (
             len(nodes[c]), intra[c], degs[c], want_contrib,
         ), (c, got[c])
+
+
+# --- cc_incremental ----------------------------------------------------
+
+
+def test_cc_incremental_equals_full_recompute(spark):
+    from ocr_translation_spark.functions.graph import (
+        cc_incremental,
+        connected_components,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 2), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "_id long"
+    )
+    lab = connected_components(base, nodes=nodes)
+    # bridge merges two components; new chain 40-41; self-loop noise;
+    # a new node attaching to an existing singleton
+    delta = spark.createDataFrame(
+        [(2, 3), (30, 20), (40, 41), (5, 5)], "id_a long, id_b long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in cc_incremental(
+            lab, delta, label_col="cluster_id"
+        ).collect()
+    )
+    full = connected_components(
+        base.unionByName(delta.filter("id_a <> id_b")), nodes=nodes
+    )
+    want = {r["node"]: r["cluster_id"] for r in full.collect()}
+    assert {n: c for n, c, _ in got} == want
+    assert {n for n, _, ch in got if ch} == {3, 4, 30, 40, 41}
+
+
+def test_cc_incremental_randomized_vs_full(spark):
+    import random
+
+    from ocr_translation_spark.functions.graph import (
+        cc_incremental,
+        connected_components,
+    )
+
+    rng = random.Random(20260819)
+    n = 60
+    base = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+    ]
+    base = [(u, v) for u, v in base if u != v]
+    delta = [
+        (rng.randrange(n + 10), rng.randrange(n + 10))
+        for _ in range(15)
+    ]
+    delta = [(u, v) for u, v in delta if u != v]
+    bdf = spark.createDataFrame(base, "id_a long, id_b long")
+    ddf = spark.createDataFrame(delta, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "_id long")
+    lab = connected_components(bdf, nodes=nodes)
+    inc = {
+        r["node"]: r["cluster_id"]
+        for r in cc_incremental(
+            lab, ddf, label_col="cluster_id"
+        ).collect()
+    }
+    # full recompute must include delta-only nodes as vertices
+    full = connected_components(bdf.unionByName(ddf), nodes=nodes)
+    want = {r["node"]: r["cluster_id"] for r in full.collect()}
+    assert inc == want
+
+
+def test_cc_incremental_empty_delta_is_identity(spark):
+    from ocr_translation_spark.functions.graph import (
+        cc_incremental,
+        connected_components,
+    )
+
+    base = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    lab = connected_components(base)
+    out = cc_incremental(
+        lab,
+        spark.createDataFrame([], "id_a long, id_b long"),
+        label_col="cluster_id",
+    ).collect()
+    assert {(r["node"], r["cluster_id"]) for r in out} == {
+        (1, 1), (2, 1),
+    }
+    assert not any(r["changed"] for r in out)
