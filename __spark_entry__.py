@@ -4655,6 +4655,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cc_incremental"] = _cc_inc
 
+    def _kendall(spark, sf):
+        """Exact Kendall tau-a (functions/evaluation.kendall_tau)
+        between the bucketed length score and the whitespace count —
+        two cheap rankers that agree strongly but not perfectly, with
+        real ties on both axes. Spark runs the O(D^2)-on-the-rollup
+        decomposition; the DuckDB twin BRUTE-FORCES all n*(n-1)/2 row
+        pairs (row_number self-join) — a genuinely independent proof
+        of the cell identity."""
+        from ocr_translation_spark.functions.evaluation import (
+            kendall_tau,
+        )
+
+        base = _read(spark, sf, "documents").select(
+            F.expr("n_chars div 16").alias("a"),
+            F.expr(
+                "length(text) - length(replace(text, ' ', ''))"
+            ).alias("b"),
+        )
+        return kendall_tau(base, "a", "b")
+
+    q["kendall_tau_eval"] = _kendall
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -9818,6 +9840,37 @@ FROM hz
 
 
 
+
+
+    # Brute-force independent twin: enumerate ALL row pairs (rn2 >
+    # rn1) — O(n^2) is fine for an oracle at sf <= 0.1 and proves the
+    # Spark side's rollup decomposition from first principles.
+    o["kendall_tau_eval"] = """
+WITH base AS (
+  SELECT n_chars // 16 AS a,
+         (length(text) - length(replace(text, ' ', '')))::BIGINT AS b,
+         row_number() OVER () AS rn
+  FROM documents
+), pr AS (
+  SELECT
+    sum(CASE WHEN (x2.a - x1.a) * (x2.b - x1.b) > 0
+        THEN 1 ELSE 0 END)::HUGEINT AS c,
+    sum(CASE WHEN (x2.a - x1.a) * (x2.b - x1.b) < 0
+        THEN 1 ELSE 0 END)::HUGEINT AS d
+  FROM base x1 JOIN base x2 ON x2.rn > x1.rn
+), meta AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         count(DISTINCT (a, b))::BIGINT AS n_cells
+  FROM base
+)
+SELECT n_rows, n_cells, c::BIGINT AS concordant,
+       d::BIGINT AS discordant,
+       CASE WHEN n_rows >= 2 THEN
+         (((c - d) * 2000000)
+          // (n_rows::HUGEINT * (n_rows - 1)::HUGEINT))::BIGINT
+       END AS tau_a_ppm
+FROM pr, meta
+"""
 
     # Incremental-CC twin: BOTH transitive closures (base pairs; base
     # + planted bridges) recomputed recursively — value-equality IS

@@ -341,6 +341,8 @@ def main() -> None:
         "modularity_score",
         # O(delta) incremental CC relabel (contracted-graph CC)
         "cc_incremental",
+        # exact Kendall tau-a over the joint score rollup
+        "kendall_tau_eval",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -405,3 +405,82 @@ def calibration_bins(
             " div cast(n as decimal(38,0)) as long)"
         ).alias("mean_score_micro"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Exact Kendall tau-a rank association between two integer
+    scores — the agreement metric for comparing two RANKERS (does the
+    cheap quality score order documents the way the expensive one
+    does?) that, unlike Pearson/Spearman-with-ties, needs no sqrt and
+    so fits the engine's exact-integer contract.
+
+    tau_a = (concordant - discordant) / (n*(n-1)/2) over all row
+    pairs. The naive count is O(n^2); the scalable identity is the
+    same rollup decomposition as ``roc_auc``: only the joint
+    per-distinct-(a, b) cell counts matter. With cells (a_i, b_i,
+    n_i) from ONE hash aggregate,
+
+        C = sum over cell pairs with a2 > a1 AND b2 > b1 of n1*n2
+        D = sum over cell pairs with a2 > a1 AND b2 < b1 of n1*n2
+
+    (ties on either axis contribute 0 by definition of tau-a). The
+    cell-pair join is O(D^2) over the ROLLUP, not the corpus — the
+    bounded-score-domain contract (quantize continuous scores first;
+    the corpus itself is touched once). Returns one row: (n_rows,
+    n_cells, concordant, discordant, tau_a_ppm) — all DECIMAL-exact,
+    tau NULL when n < 2.
+    """
+    base = df.select(
+        F.col(a_col).cast("long").alias("_a"),
+        F.col(b_col).cast("long").alias("_b"),
+    ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    cells = base.groupBy("_a", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    c1 = cells.select(
+        F.col("_a").alias("a1"), F.col("_b").alias("b1"),
+        F.col("_n").alias("n1"),
+    )
+    c2 = cells.select(
+        F.col("_a").alias("a2"), F.col("_b").alias("b2"),
+        F.col("_n").alias("n2"),
+    )
+    dec = "decimal(38,0)"
+    pairs = c1.join(c2, F.col("a2") > F.col("a1")).select(
+        F.when(F.col("b2") > F.col("b1"),
+               F.col("n1").cast(dec) * F.col("n2").cast(dec))
+        .otherwise(F.lit(0).cast(dec))
+        .alias("_c"),
+        F.when(F.col("b2") < F.col("b1"),
+               F.col("n1").cast(dec) * F.col("n2").cast(dec))
+        .otherwise(F.lit(0).cast(dec))
+        .alias("_d"),
+    )
+    stats = base.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    ncells = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    agg = pairs.agg(
+        F.coalesce(F.sum("_c"), F.lit(0).cast(dec)).alias("_C"),
+        F.coalesce(F.sum("_d"), F.lit(0).cast(dec)).alias("_D"),
+    )
+    return (
+        agg.join(F.broadcast(stats))
+        .join(F.broadcast(ncells))
+        .select(
+            "n_rows",
+            "n_cells",
+            F.col("_C").cast("long").alias("concordant"),
+            F.col("_D").cast("long").alias("discordant"),
+            F.expr(
+                "case when n_rows >= 2 then cast("
+                "((_C - _D) * cast(2000000 as decimal(38,0)))"
+                " div (cast(n_rows as decimal(38,0))"
+                " * cast(n_rows - 1 as decimal(38,0))) as long) end"
+            ).alias("tau_a_ppm"),
+        )
+    )

@@ -184,6 +184,7 @@ _VARIANT_TAIL = {
     "sssp_weighted",
     "modularity_score",
     "cc_incremental",
+    "kendall_tau_eval",
 }
 
 
@@ -480,6 +481,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: O(delta) graph-state maintenance; reps
         # dedup_clusters (CC) + rollup_incremental (merge == full)
         "cc_incremental": "dedup_clusters",
+        # born-demoted: rank-association pair statistic; rep
+        # quality_decile_stats (rank statistics) in-window
+        "kendall_tau_eval": "quality_decile_stats",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

@@ -270,3 +270,61 @@ def test_calibration_validation(spark):
     df = spark.createDataFrame([(1, 1)], "s long, y int")
     with pytest.raises(ValueError):
         calibration_bins(df, "s", "y", 0)
+
+
+# --- kendall_tau -------------------------------------------------------
+
+
+def test_kendall_randomized_brute_force_parity(spark):
+    import itertools
+    import random
+
+    from ocr_translation_spark.functions.evaluation import kendall_tau
+
+    rng = random.Random(20260819)
+    rows = [
+        (rng.randint(0, 8), rng.randint(0, 8)) for _ in range(150)
+    ]
+    df = spark.createDataFrame(rows, "a int, b int")
+    [r] = kendall_tau(df, "a", "b").collect()
+    c = d = 0
+    for (a1, b1), (a2, b2) in itertools.combinations(rows, 2):
+        s = (a2 - a1) * (b2 - b1)
+        c += s > 0
+        d += s < 0
+    n = len(rows)
+    num, den = (c - d) * 2000000, n * (n - 1)
+    want = num // den if num >= 0 else -((-num) // den)
+    assert (
+        r["n_rows"], r["concordant"], r["discordant"], r["tau_a_ppm"]
+    ) == (n, c, d, want)
+    assert r["n_cells"] == len(set(rows))
+
+
+def test_kendall_extremes_and_degenerate(spark):
+    from ocr_translation_spark.functions.evaluation import kendall_tau
+
+    perfect = spark.createDataFrame(
+        [(i, i * 10) for i in range(12)], "a int, b int"
+    )
+    assert kendall_tau(perfect, "a", "b").collect()[0][
+        "tau_a_ppm"
+    ] == 1000000
+    reversed_ = spark.createDataFrame(
+        [(i, -i) for i in range(12)], "a int, b int"
+    )
+    assert kendall_tau(reversed_, "a", "b").collect()[0][
+        "tau_a_ppm"
+    ] == -1000000
+    # all ties on one axis: tau-a = 0 (every pair is a tie)
+    flat = spark.createDataFrame(
+        [(i, 7) for i in range(10)], "a int, b int"
+    )
+    row = kendall_tau(flat, "a", "b").collect()[0]
+    assert (row["concordant"], row["discordant"], row["tau_a_ppm"]) == (
+        0, 0, 0,
+    )
+    single = spark.createDataFrame([(1, 1)], "a int, b int")
+    assert kendall_tau(single, "a", "b").collect()[0][
+        "tau_a_ppm"
+    ] is None
