@@ -438,9 +438,13 @@ def kendall_tau(
         F.col(a_col).cast("long").alias("_a"),
         F.col(b_col).cast("long").alias("_b"),
     ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    # the rollup feeds FOUR consumers (both join sides, n_cells,
+    # n_rows = sum of cell counts — the corpus itself is scanned
+    # exactly once); materialize it eagerly — it is O(D), tiny by the
+    # bounded-domain contract
     cells = base.groupBy("_a", "_b").agg(
         F.count(F.lit(1)).cast("long").alias("_n")
-    )
+    ).localCheckpoint(eager=True)
     c1 = cells.select(
         F.col("_a").alias("a1"), F.col("_b").alias("b1"),
         F.col("_n").alias("n1"),
@@ -460,17 +464,16 @@ def kendall_tau(
         .otherwise(F.lit(0).cast(dec))
         .alias("_d"),
     )
-    stats = base.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    ncells = cells.agg(
-        F.count(F.lit(1)).cast("long").alias("n_cells")
+    meta = cells.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
     )
     agg = pairs.agg(
         F.coalesce(F.sum("_c"), F.lit(0).cast(dec)).alias("_C"),
         F.coalesce(F.sum("_d"), F.lit(0).cast(dec)).alias("_D"),
     )
     return (
-        agg.join(F.broadcast(stats))
-        .join(F.broadcast(ncells))
+        agg.join(F.broadcast(meta))
         .select(
             "n_rows",
             "n_cells",

@@ -1284,6 +1284,12 @@ def modularity_score(
     both = (
         e.join(lab.withColumnRenamed("n", "u").withColumnRenamed("c", "cu"), "u", "left")
         .join(lab.withColumnRenamed("n", "v").withColumnRenamed("c", "cv"), "v", "left")
+        # three consumers (m, intra, degree/union) — materialize the
+        # labeled edge relation ONCE; eager localCheckpoint blocks are
+        # released by the ContextCleaner when the result is dropped
+        # (the connected_components convention; a bare persist would
+        # leak a CacheManager entry per call)
+        .localCheckpoint(eager=True)
     )
     # m and per-community intra-edge counts
     m_df = both.agg(F.count(F.lit(1)).cast("long").alias("m"))
