@@ -81,15 +81,13 @@ def recurrent_spells(
         .join(F.broadcast(max_sec))
         .select(
             F.col("_e").alias(entity_col),
-            (
-                (
-                    F.coalesce(F.col("_next"), F.col("_max_sec"))
-                    - F.col("_sec")
-                )
-                / F.lit(unit_seconds)
-            )
-            .cast("long")
-            .alias("duration"),
+            # integer div, not double division + cast: at large epoch
+            # magnitudes a double quotient's ulp exceeds 1/unit and
+            # can misround across an integer boundary
+            F.expr(
+                f"(coalesce(_next, _max_sec) - _sec)"
+                f" div {int(unit_seconds)}L"
+            ).alias("duration"),
             F.col("_next").isNotNull().cast("int").alias("observed"),
         )
     )
