@@ -343,6 +343,8 @@ def main() -> None:
         "cc_incremental",
         # exact Kendall tau-a over the joint score rollup
         "kendall_tau_eval",
+        # hop-strided audio PCM windowing (zero-shuffle mapInPandas)
+        "audio_segments",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -185,6 +185,7 @@ _VARIANT_TAIL = {
     "modularity_score",
     "cc_incremental",
     "kendall_tau_eval",
+    "audio_segments",
 }
 
 
@@ -484,6 +485,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: rank-association pair statistic; rep
         # quality_decile_stats (rank statistics) in-window
         "kendall_tau_eval": "quality_decile_stats",
+        # born-demoted: audio leg of the multimodal plumbing family;
+        # rep media_metadata (image leg) in-window
+        "audio_segments": "media_metadata",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
