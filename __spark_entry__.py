@@ -4719,6 +4719,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audio_segments"] = _audio_segments
 
+    def _seq_patterns(spark, sf):
+        """GSP sequential pattern mining (functions/seqpat.
+        frequent_sequences): gapped-subsequence support over per
+        (user, day) ordered event-type sessions, levels 1-3, exact
+        cross-multiplied 1.2% threshold (splits the triples at every
+        scale factor while keeping all pairs). Spark runs the
+        level-wise Apriori discipline with a codegen containment
+        fold; the twin brute-forces the FULL alphabet cross-product
+        with an independent regex containment (',a,(.*,)?b,') — value
+        equality proves the pruning lossless. Scale shape: one
+        session shuffle + one hash agg per level; candidates are
+        bounded broadcast literals; driver state O(frequent
+        patterns)."""
+        from ocr_translation_spark.functions.seqpat import (
+            frequent_sequences,
+        )
+
+        ev = _read(spark, sf, "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        return frequent_sequences(
+            ev,
+            session_cols=["user_id", "day"],
+            order_cols=["ts", "event_id"],
+            symbol_col="event_type",
+            min_support_ppm=12_000,
+            max_len=3,
+        )
+
+    q["seq_patterns"] = _seq_patterns
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -5225,6 +5256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family (in-window rep media_metadata; video/image legs are
         # pytest-covered in multimodal.py)
         "audio_segments",
+        # born-demoted: ordered sequence mining; in-window reps
+        # assoc_rules (unordered itemsets) + markov_transitions'
+        # family (adjacent transitions) via their own slots
+        "seq_patterns",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -10250,6 +10285,43 @@ SELECT media_ref,
        substr(chain, (1 + 4 * s)::BIGINT,
               (4 * least(200, ns - s))::BIGINT) AS seg_hex
 FROM segs
+"""
+
+    # seq_patterns twin: INDEPENDENT formulation — no Apriori, no
+    # containment fold. Brute-forces the full alphabet cross-product
+    # (levels 1-3) and tests gapped-subsequence containment by regex
+    # over the comma-delimited session string: ',a,(.*,)?b,' matches
+    # iff a appears strictly before b (adjacent or gapped). Value
+    # equality therefore also proves the Spark side's level-wise
+    # pruning lossless. Threshold exact cross-multiplied ppm.
+    o["seq_patterns"] = """
+WITH ev AS (
+  SELECT user_id, date_trunc('day', ts) AS d, event_type,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type IS NOT NULL
+), seqs AS (
+  SELECT ',' || string_agg(event_type, ',' ORDER BY rn) || ',' AS s
+  FROM ev GROUP BY user_id, d
+), n AS (SELECT count(*) AS n_sessions FROM seqs),
+alpha AS (
+  SELECT DISTINCT event_type AS a FROM events
+  WHERE event_type IS NOT NULL
+), cand AS (
+  SELECT [a] AS pat FROM alpha
+  UNION ALL SELECT [x.a, y.a] FROM alpha x, alpha y
+  UNION ALL SELECT [x.a, y.a, z.a] FROM alpha x, alpha y, alpha z
+), sup AS (
+  SELECT pat, count(*) AS support
+  FROM cand, seqs
+  WHERE regexp_matches(s, ',' || array_to_string(pat, ',(.*,)?') || ',')
+  GROUP BY pat
+)
+SELECT array_to_string(pat, '>') AS pattern,
+       len(pat)::INTEGER AS length,
+       support
+FROM sup, n
+WHERE support * 1000000 >= 12000 * n_sessions
 """
 
     return o

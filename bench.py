@@ -345,6 +345,8 @@ def main() -> None:
         "kendall_tau_eval",
         # hop-strided audio PCM windowing (zero-shuffle mapInPandas)
         "audio_segments",
+        # GSP sequential patterns (1 session shuffle + 1 agg/level)
+        "seq_patterns",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -186,6 +186,7 @@ _VARIANT_TAIL = {
     "cc_incremental",
     "kendall_tau_eval",
     "audio_segments",
+    "seq_patterns",
 }
 
 
@@ -488,6 +489,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: audio leg of the multimodal plumbing family;
         # rep media_metadata (image leg) in-window
         "audio_segments": "media_metadata",
+        # born-demoted: ordered-sequence mining over the same
+        # user-ordered session windows as events_funnel
+        "seq_patterns": "events_funnel",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
