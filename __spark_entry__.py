@@ -4750,6 +4750,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["seq_patterns"] = _seq_patterns
 
+    def _skipgram(spark, sf):
+        """Skip-gram positives + frequency-proportional deterministic
+        negative sampling (functions/negsamp.skipgram_negsamp):
+        adjacent-pair positives both directions over the normalized
+        token stream, negatives drawn per (doc, position, direction,
+        slot) from the top-16 unigram CDF via 60-bit sha uniforms and
+        resolved with a BROADCAST range join (the alias-table
+        technique, exact-integer form — no count^0.75 smoothing so
+        the oracle is value-exact). The twin mirrors the CDF with a
+        window prefix sum and the same sha arithmetic. Scale shape:
+        one vocab agg, row-local pair explode, broadcast-only joins,
+        one final (center, word) agg."""
+        from ocr_translation_spark.functions.negsamp import (
+            skipgram_negsamp,
+        )
+        from ocr_translation_spark.functions.text import normalized_text
+
+        docs = _read(spark, sf, "documents")
+        toks = F.split(normalized_text(F.col("text")), " ")
+        return skipgram_negsamp(
+            docs, toks, vocab_size=16, negatives_per_pair=2
+        )
+
+    q["skipgram_negsamp"] = _skipgram
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -5260,6 +5285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assoc_rules (unordered itemsets) + markov_transitions'
         # family (adjacent transitions) via their own slots
         "seq_patterns",
+        # born-demoted: training-pair generation; in-window rep
+        # word_cooccurrence (same windowed-pair family)
+        "skipgram_negsamp",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -10322,6 +10350,61 @@ SELECT array_to_string(pat, '>') AS pattern,
        support
 FROM sup, n
 WHERE support * 1000000 >= 12000 * n_sessions
+"""
+
+    # skipgram_negsamp twin: same top-16 unigram CDF (window prefix
+    # sum over the LIMITed vocab, ties (count desc, term asc)), same
+    # 1-based pair positions over the UNfiltered token array (the
+    # normalized split has no interior empties; a len-1 [''] array
+    # yields no pairs on either engine), same 60-bit sha draw per
+    # (doc, pos, dir, slot) resolved against [lo, lo+cnt).
+    o["skipgram_negsamp"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), vocab AS (
+  SELECT term, cnt,
+         coalesce(sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+  FROM (
+    SELECT term, count(*)::BIGINT AS cnt
+    FROM (SELECT unnest(t) AS term FROM toks)
+    WHERE term <> ''
+    GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 16
+  )
+), tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+adj AS (
+  SELECT doc_id, i AS pos, t[i] AS a, t[i + 1] AS b
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - 1)) AS i
+  ) g
+), pr AS (
+  SELECT doc_id, pos, 'f' AS dir, a AS center, b AS word FROM adj
+  UNION ALL
+  SELECT doc_id, pos, 'b' AS dir, b AS center, a AS word FROM adj
+), iv AS (
+  SELECT pr.* FROM pr
+  JOIN vocab vc ON vc.term = pr.center
+  JOIN vocab vw ON vw.term = pr.word
+), positives AS (
+  SELECT center, word, 1 AS label, count(*)::BIGINT AS n_pairs
+  FROM iv GROUP BY 1, 2
+), draws AS (
+  SELECT center,
+         ('0x' || substr(sha256('neg:' || doc_id::VARCHAR || ':'
+              || pos::VARCHAR || ':' || dir || ':' || j::VARCHAR),
+              1, 15))::UBIGINT::BIGINT % total AS u
+  FROM iv CROSS JOIN tot,
+       LATERAL (SELECT unnest(generate_series(0, 1)) AS j) s
+), negatives AS (
+  SELECT d.center, v.term AS word, 0 AS label,
+         count(*)::BIGINT AS n_pairs
+  FROM draws d
+  JOIN vocab v ON d.u >= v.lo AND d.u < v.lo + v.cnt
+  GROUP BY 1, 2
+)
+SELECT center, word, label, n_pairs FROM positives
+UNION ALL
+SELECT center, word, label, n_pairs FROM negatives
 """
 
     return o

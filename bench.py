@@ -347,6 +347,8 @@ def main() -> None:
         "audio_segments",
         # GSP sequential patterns (1 session shuffle + 1 agg/level)
         "seq_patterns",
+        # SGNS pairs + CDF negative sampling (broadcast-only joins)
+        "skipgram_negsamp",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -187,6 +187,7 @@ _VARIANT_TAIL = {
     "kendall_tau_eval",
     "audio_segments",
     "seq_patterns",
+    "skipgram_negsamp",
 }
 
 
@@ -492,6 +493,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: ordered-sequence mining over the same
         # user-ordered session windows as events_funnel
         "seq_patterns": "events_funnel",
+        # born-demoted: training-pair generation over token windows;
+        # rep word_cooccurrence (same windowed-pair family)
+        "skipgram_negsamp": "word_cooccurrence",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
