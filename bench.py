@@ -349,6 +349,8 @@ def main() -> None:
         "seq_patterns",
         # SGNS pairs + CDF negative sampling (broadcast-only joins)
         "skipgram_negsamp",
+        # composite-state landmark BFS -> harmonic centrality
+        "harmonic_centrality",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -1436,3 +1436,106 @@ def cc_incremental(
         )
     )
     return relabeled.unionByName(new_nodes)
+
+
+def landmark_bfs(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    landmark_col: str = "landmark",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Per-landmark BFS hop distances: (node, landmark, dist) for
+    every (reachable node, landmark) pair within ``max_hops``
+    undirected hops — the COMPOSITE-STATE variant of frontier
+    expansion (``bfs_distances`` collapses to min-over-seeds; this
+    keeps the per-landmark distance, the input landmark/pivot
+    embeddings, closeness/harmonic centrality, and graph-sketch
+    methods need).
+
+    All K landmarks run in ONE frontier loop: state rows are keyed
+    (node, landmark), so per-round work is one equi-join of the
+    composite frontier with the edge list + one distinct + one
+    left-anti join against the visited set — K never multiplies the
+    ROUND count, only the state size, which is bounded by
+    K x reachable-set and uniformly hash-partitioned on node. Same
+    lineage discipline as bfs_distances: per-round localCheckpoint,
+    superseded caches released, early exit on an exhausted frontier.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    visited = (
+        landmarks.select(F.col(landmark_col).alias("landmark"))
+        .distinct()
+        .select(
+            F.col("landmark").alias("node"),
+            "landmark",
+            F.lit(0).alias("dist"),
+        )
+        .persist()
+    )
+    frontier = visited
+    try:
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(und, frontier["node"] == und["u"])
+                .select(F.col("v").alias("node"), "landmark")
+                .distinct()
+                .join(
+                    visited.select("node", "landmark"),
+                    ["node", "landmark"],
+                    "left_anti",
+                )
+                .withColumn("dist", F.lit(hop))
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            new_visited = visited.unionByName(nxt).persist()
+            new_visited.count()
+            visited.unpersist()
+            visited = new_visited
+            frontier = nxt
+    finally:
+        und.unpersist()
+    return visited.select(
+        "node", "landmark", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    landmark_col: str = "landmark",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Landmark-estimated harmonic centrality in exact ppm integers:
+    (node, harmonic_ppm, n_reached) with
+    ``harmonic_ppm = sum over reaching landmarks of 1e6 div dist``
+    (truncating division — engine-neutral) and the landmark's own
+    dist-0 self row excluded.  With landmarks = all nodes this IS
+    Boldi & Vigna's harmonic centrality restricted to ``max_hops``;
+    a sampled landmark set is the standard estimator at scale.  One
+    (node)-keyed aggregation over the composite BFS state."""
+    dists = landmark_bfs(
+        edges, landmarks, src, dst, landmark_col, max_hops
+    )
+    return (
+        dists.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.sum(
+                F.expr("1000000 div dist").cast("long")
+            ).alias("harmonic_ppm"),
+            F.count("*").alias("n_reached"),
+        )
+    )

@@ -188,6 +188,7 @@ _VARIANT_TAIL = {
     "audio_segments",
     "seq_patterns",
     "skipgram_negsamp",
+    "harmonic_centrality",
 }
 
 
@@ -496,6 +497,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: training-pair generation over token windows;
         # rep word_cooccurrence (same windowed-pair family)
         "skipgram_negsamp": "word_cooccurrence",
+        # born-demoted: composite-state frontier expansion; rep
+        # bfs_distances (frontier family, min-over-seeds form)
+        "harmonic_centrality": "bfs_distances",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
