@@ -498,8 +498,9 @@ def test_driver_window_covers_every_operator_family():
         # rep word_cooccurrence (same windowed-pair family)
         "skipgram_negsamp": "word_cooccurrence",
         # born-demoted: composite-state frontier expansion; rep
-        # bfs_distances (frontier family, min-over-seeds form)
-        "harmonic_centrality": "bfs_distances",
+        # pagerank_centrality (the in-window iterative-graph rep,
+        # same as bfs_distances' own mapping)
+        "harmonic_centrality": "pagerank_centrality",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
