@@ -4806,6 +4806,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["harmonic_centrality"] = _harmonic
 
+    def _trending(spark, sf):
+        """Time-decayed trending leaderboard (functions/timeseries.
+        decayed_topk): per-user decayed event count with half-life =
+        1 day, weight = 1e12 >> age_days in EXACT integer arithmetic
+        (horizon 40 days), "now" = corpus max day computed in-plan as
+        a broadcast single-row aggregate. One key-hash agg +
+        TakeOrderedAndProject; ties broken by user_id so the top-50
+        set is deterministic on both engines."""
+        from ocr_translation_spark.functions.timeseries import (
+            decayed_topk,
+        )
+
+        return decayed_topk(
+            _read(spark, sf, "events"), ["user_id"], "ts", k=50
+        )
+
+    q["trending_users"] = _trending
+
+    def _readability(spark, sf):
+        """LIX + ARI readability in exact cross-multiplied ppm
+        (functions/text.add_readability). The synthetic corpus has no
+        sentence punctuation, so the query PLANTS it deterministically
+        (the pii_scrub precedent): '. ' before every ' the ', '!'
+        after ' fast ', '?' after ' query ' — identical literal
+        replace chains on both engines — making the sentence leg
+        non-degenerate. Row-local, zero shuffles."""
+        from ocr_translation_spark.functions.text import add_readability
+
+        docs = _read(spark, sf, "documents").withColumn(
+            "text",
+            F.expr(
+                "replace(replace(replace(text, ' the ', '. the '),"
+                " ' fast ', ' fast! '), ' query ', ' query? ')"
+            ),
+        )
+        return add_readability(docs).select(
+            "doc_id", "words", "sentences", "long_words", "chars",
+            "lix_ppm", "ari_ppm",
+        )
+
+    q["readability_scores"] = _readability
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -5322,6 +5364,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: composite-state frontier expansion; in-window
         # rep bfs_distances (min-over-seeds frontier family)
         "harmonic_centrality",
+        # born-demoted: recency-weighted ranking; in-window rep
+        # events_hourly (event-time rollup family)
+        "trending_users",
+        # born-demoted: per-row quality-signal scoring; in-window rep
+        # gopher_quality_rules
+        "readability_scores",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -10474,6 +10522,52 @@ SELECT node,
        count(*)::BIGINT AS n_reached
 FROM dist WHERE d > 0
 GROUP BY node
+"""
+
+    # trending_users twin: same exact shift weights, same in-plan
+    # corpus max day, same (score desc, user_id asc) tie-break.
+    o["trending_users"] = """
+WITH nowt AS (SELECT max(ts::DATE) AS nw FROM events)
+SELECT user_id,
+       sum(CASE WHEN date_diff('day', ts::DATE, nw) <= 40
+                THEN 1000000000000::BIGINT
+                     >> date_diff('day', ts::DATE, nw)
+                ELSE 0 END)::BIGINT AS decayed_score,
+       count(*)::BIGINT AS n_events
+FROM events, nowt
+GROUP BY user_id
+ORDER BY decayed_score DESC, user_id
+LIMIT 50
+"""
+
+    # readability twin: identical planted-punctuation replace chain,
+    # identical token/sentence/char definitions, truncating // on
+    # non-negative operands == Spark div.
+    o["readability_scores"] = """
+WITH planted AS (
+  SELECT doc_id,
+         replace(replace(replace(text, ' the ', '. the '),
+                 ' fast ', ' fast! '), ' query ', ' query? ') AS text
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> x <> ''))::BIGINT AS words,
+         greatest(1, len(regexp_replace(text, '[^.!?]', '', 'g')))
+           ::BIGINT AS sentences,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 6))::BIGINT AS long_words,
+         len(regexp_replace(text, '\s', '', 'g'))::BIGINT AS chars
+  FROM planted
+)
+SELECT doc_id, words, sentences, long_words, chars,
+       CASE WHEN words > 0 THEN
+         (words * 1000000) // sentences
+         + (long_words * 100000000) // words END AS lix_ppm,
+       CASE WHEN words > 0 THEN
+         (chars * 4710000) // words
+         + (words * 500000) // sentences - 21430000 END AS ari_ppm
+FROM c
 """
 
     return o

@@ -351,6 +351,9 @@ def main() -> None:
         "skipgram_negsamp",
         # composite-state landmark BFS -> harmonic centrality
         "harmonic_centrality",
+        # decayed top-k (one agg + TakeOrdered) and row-local indices
+        "trending_users",
+        "readability_scores",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

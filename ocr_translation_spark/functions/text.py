@@ -441,3 +441,61 @@ def _token_concentration_plan(
         .otherwise(F.round(s["hapax"].cast("double") / s["types"], 6))
         .alias("hapax_frac"),
     )
+
+
+def add_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Classical readability indices in exact cross-multiplied ppm
+    integers — LIX (Bjornsson 1968) and ARI (Senter & Smith 1967) —
+    plus their component counts:
+
+    * ``words``      whitespace tokens (empty tokens dropped)
+    * ``sentences``  count of sentence-final punctuation ``[.!?]``,
+      floored at 1 so fragment documents still score
+    * ``long_words`` tokens longer than 6 characters (the LIX cut)
+    * ``chars``      non-whitespace characters (the ARI cut)
+    * ``lix_ppm``    1e6*words//sentences + 1e8*long_words//words
+    * ``ari_ppm``    4.71*chars/words + 0.5*words/sentences - 21.43,
+      cross-multiplied into ppm with truncating division
+
+    Truncating integer division on non-negative operands is
+    engine-neutral (Spark ``div`` == DuckDB ``//`` here), so both
+    indices are value-oracle-checkable — the same exactness discipline
+    as the Gopher rules and the quality scorer.  Zero-word documents
+    get NULL indices, never a division error.  Row-local, zero
+    shuffles, whole-stage codegen.
+    """
+    t = F.col(text_col)
+    toks = F.filter(
+        F.split(F.trim(t), r"\s+"), lambda x: x != F.lit("")
+    )
+    words = F.size(toks)
+    sentences = F.greatest(
+        F.lit(1), F.length(F.regexp_replace(t, r"[^.!?]", ""))
+    )
+    long_words = F.size(F.filter(toks, lambda x: F.length(x) > 6))
+    chars = F.length(F.regexp_replace(t, r"\s", ""))
+    out = (
+        df.withColumn("words", words.cast("long"))
+        .withColumn("sentences", sentences.cast("long"))
+        .withColumn("long_words", long_words.cast("long"))
+        .withColumn("chars", chars.cast("long"))
+    )
+    return out.withColumn(
+        "lix_ppm",
+        F.when(
+            F.col("words") > 0,
+            F.expr(
+                "(words * 1000000) div sentences"
+                " + (long_words * 100000000) div words"
+            ),
+        ).cast("long"),
+    ).withColumn(
+        "ari_ppm",
+        F.when(
+            F.col("words") > 0,
+            F.expr(
+                "(chars * 4710000) div words"
+                " + (words * 500000) div sentences - 21430000"
+            ),
+        ).cast("long"),
+    )

@@ -350,3 +350,53 @@ def seasonality_index(
             .alias("index_ppm"),
         )
     )
+
+
+def decayed_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    k: int = 50,
+    horizon_days: int = 40,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Trending keys by exponentially time-decayed count (half-life =
+    1 day): top-``k`` rows of
+    ``decayed_score = sum(scale >> age_days)`` per key, ties broken
+    by the key columns ascending.
+
+    The per-event weight ``scale >> age`` IS ``scale * 2^-age`` in
+    EXACT integer arithmetic (one right shift — no float pow, no libm
+    ulps), with events older than ``horizon_days`` contributing 0, so
+    the ranking is value-oracle-checkable and order-insensitive.
+    ``age`` is measured in whole days against the corpus max day,
+    computed IN-PLAN as a single-row aggregate broadcast back
+    (no driver collect), so the operator stays a pure function of the
+    input.  Scale shape: one scan + broadcast of a 1-row relation +
+    ONE key-hash aggregation (map-side partials collapse events per
+    key) + TakeOrderedAndProject for the bounded final ordering —
+    never a global sort.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0 <= horizon_days <= 62:
+        raise ValueError("horizon_days must be in [0, 62] (BIGINT shift)")
+    now = df.select(F.max(F.to_date(ts_col)).alias("_now"))
+    aged = df.crossJoin(F.broadcast(now)).withColumn(
+        "_age", F.datediff(F.col("_now"), F.to_date(ts_col))
+    )
+    w = F.when(
+        F.col("_age") <= horizon_days,
+        F.expr(f"shiftright(cast({int(scale)} as bigint), "
+               f"cast(_age as int))"),
+    ).otherwise(F.lit(0).cast("long"))
+    scored = (
+        aged.groupBy(*key_cols)
+        .agg(
+            F.sum(w).alias("decayed_score"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return scored.orderBy(
+        F.col("decayed_score").desc(), *[F.col(c) for c in key_cols]
+    ).limit(k)

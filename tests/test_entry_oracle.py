@@ -189,6 +189,8 @@ _VARIANT_TAIL = {
     "seq_patterns",
     "skipgram_negsamp",
     "harmonic_centrality",
+    "trending_users",
+    "readability_scores",
 }
 
 
@@ -501,6 +503,10 @@ def test_driver_window_covers_every_operator_family():
         # pagerank_centrality (the in-window iterative-graph rep,
         # same as bfs_distances' own mapping)
         "harmonic_centrality": "pagerank_centrality",
+        # born-demoted: recency-weighted event-time rollup
+        "trending_users": "events_hourly",
+        # born-demoted: per-row quality-signal scoring
+        "readability_scores": "gopher_quality_rules",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
