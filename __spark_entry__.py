@@ -4848,6 +4848,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["readability_scores"] = _readability
 
+    def _corr(spark, sf):
+        """Feature-correlation audit (functions/correlation.
+        pairwise_corr): exact Pearson sufficient statistics for all 6
+        pairs of 4 integer-quantized lineitem features from ONE
+        single-row corpus aggregate, pair rows unpivoted in-plan.
+        Quantization (qty units, price kilodollars, discount/tax
+        percent points) keeps every num/den within BIGINT through
+        ~100x this corpus; CAST truncation of identical double
+        expressions is engine-identical. r2 is the convenience double
+        from the exact integers (identical IEEE ops; all operands
+        < 2^53)."""
+        from ocr_translation_spark.functions.correlation import (
+            pairwise_corr,
+        )
+
+        li = _read(spark, sf, "lineitem").select(
+            F.expr("cast(l_quantity as long)").alias("qty"),
+            F.expr("cast(l_extendedprice / 1000 as long)").alias("px_k"),
+            F.expr("cast(l_discount * 100 as long)").alias("disc_pct"),
+            F.expr("cast(l_tax * 100 as long)").alias("tax_pct"),
+        )
+        out = pairwise_corr(li, ["qty", "px_k", "disc_pct", "tax_pct"])
+        return out.select(
+            "feat_x", "feat_y", "n",
+            F.col("num").cast("long").alias("num"),
+            F.col("den_x").cast("long").alias("den_x"),
+            F.col("den_y").cast("long").alias("den_y"),
+            "r_sign", "r2",
+        )
+
+    q["corr_features"] = _corr
+
+    def _kappa_q(spark, sf):
+        """Inter-annotator agreement (functions/evaluation.
+        cohens_kappa) between two deterministic synthetic annotators
+        over documents: A buckets n_chars into 4 length classes; B is
+        A with a sha-derived ~1/5 systematic flip to the next class —
+        planted imperfect agreement, so p_o, p_e and the kappa
+        numerator are all non-degenerate. Exact ppm kappa via the
+        float-free n^2 form with explicit toward-zero division."""
+        from ocr_translation_spark.functions.evaluation import (
+            cohens_kappa,
+        )
+
+        docs = _read(spark, sf, "documents").select(
+            F.expr("cast(n_chars div 128 as int) % 4").alias("rater_a"),
+            F.expr(
+                "case when cast(conv(substr(sha2(concat('rat:',"
+                " cast(doc_id as string)), 256), 1, 8), 16, 10)"
+                " as bigint) % 5 = 0"
+                " then (cast(n_chars div 128 as int) % 4 + 1) % 4"
+                " else cast(n_chars div 128 as int) % 4 end"
+            ).alias("rater_b"),
+        )
+        return cohens_kappa(docs, "rater_a", "rater_b")
+
+    q["cohens_kappa"] = _kappa_q
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -5370,6 +5428,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: per-row quality-signal scoring; in-window rep
         # gopher_quality_rules
         "readability_scores",
+        # born-demoted: numeric-pair association; in-window rep
+        # chi2_feature_scores' family rep (feature statistics)
+        "corr_features",
+        # born-demoted: agreement statistic over label pairs;
+        # in-window rep weak_label_report's family rep
+        "cohens_kappa",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -10568,6 +10632,88 @@ SELECT doc_id, words, sentences, long_words, chars,
          (chars * 4710000) // words
          + (words * 500000) // sentences - 21430000 END AS ari_ppm
 FROM c
+"""
+
+    # corr_features twin: same quantization casts, HUGEINT exact
+    # sufficient statistics, same pair enumeration, same r2 doubles
+    # from the exact integers (all < 2^53, identical IEEE ops).
+    _corr_feats = ["qty", "px_k", "disc_pct", "tax_pct"]
+    _corr_pairs = [
+        (a, b)
+        for i, a in enumerate(_corr_feats)
+        for b in _corr_feats[i + 1:]
+    ]
+    _corr_pair_sql = "\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS feat_x, '{b}' AS feat_y, n::BIGINT AS n,
+       (n * c_{a}_{b} - s_{a} * s_{b})::BIGINT AS num,
+       (n * ss_{a} - s_{a} * s_{a})::BIGINT AS den_x,
+       (n * ss_{b} - s_{b} * s_{b})::BIGINT AS den_y
+FROM agg"""
+        for a, b in _corr_pairs
+    )
+    o["corr_features"] = f"""
+WITH q AS (
+  -- floor(), not a straight cast: DuckDB's double->BIGINT cast
+  -- ROUNDS to nearest while Spark's truncates; floor == trunc on
+  -- these non-negative features
+  SELECT floor(l_quantity)::BIGINT AS qty,
+         floor(l_extendedprice / 1000)::BIGINT AS px_k,
+         floor(l_discount * 100)::BIGINT AS disc_pct,
+         floor(l_tax * 100)::BIGINT AS tax_pct
+  FROM lineitem
+), agg AS (
+  SELECT count(*)::HUGEINT AS n,
+         {", ".join(f"sum({c}::HUGEINT) AS s_{c}, "
+                    f"sum({c}::HUGEINT * {c}) AS ss_{c}"
+                    for c in _corr_feats)},
+         {", ".join(f"sum({a}::HUGEINT * {b}) AS c_{a}_{b}"
+                    for a, b in _corr_pairs)}
+  FROM q
+), pairs AS (
+{_corr_pair_sql}
+)
+SELECT feat_x, feat_y, n, num, den_x, den_y,
+       CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+            ELSE 0 END AS r_sign,
+       CASE WHEN den_x > 0 AND den_y > 0 THEN
+         round(num::DOUBLE * num::DOUBLE
+               / (den_x::DOUBLE * den_y::DOUBLE), 6) END AS r2
+FROM pairs
+"""
+
+    # cohens_kappa twin: same planted raters, same contingency-table
+    # marginals, same float-free n^2 form, same toward-zero scaling
+    # (sign * (1e6 * |num|) // den — DuckDB // floors, so the sign is
+    # factored out exactly like the Spark div).
+    o["cohens_kappa"] = """
+WITH r AS (
+  SELECT (n_chars // 128)::INTEGER % 4 AS rater_a,
+         CASE WHEN ('0x' || substr(sha256('rat:' || doc_id::VARCHAR),
+                    1, 8))::UBIGINT::BIGINT % 5 = 0
+              THEN ((n_chars // 128)::INTEGER % 4 + 1) % 4
+              ELSE (n_chars // 128)::INTEGER % 4 END AS rater_b
+  FROM documents
+), cells AS (
+  SELECT rater_a, rater_b, count(*)::BIGINT AS c FROM r
+  WHERE rater_a IS NOT NULL AND rater_b IS NOT NULL
+  GROUP BY 1, 2
+), ra AS (SELECT rater_a AS lbl, sum(c)::BIGINT AS na FROM cells GROUP BY 1),
+rb AS (SELECT rater_b AS lbl, sum(c)::BIGINT AS nb FROM cells GROUP BY 1),
+marg AS (
+  SELECT coalesce(sum(na * nb), 0)::BIGINT AS marg
+  FROM ra JOIN rb USING (lbl)
+), tot AS (
+  SELECT sum(c)::BIGINT AS n,
+         sum(CASE WHEN rater_a = rater_b THEN c ELSE 0 END)::BIGINT
+           AS n_agree
+  FROM cells
+)
+SELECT n, n_agree, marg AS marginal_prod_sum,
+       CASE WHEN (n * n - marg) > 0 THEN
+         (CASE WHEN (n * n_agree - marg) >= 0 THEN 1 ELSE -1 END)
+         * ((1000000 * abs(n * n_agree - marg)) // (n * n - marg))
+       END AS kappa_ppm
+FROM tot, marg
 """
 
     return o

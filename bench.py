@@ -354,6 +354,9 @@ def main() -> None:
         # decayed top-k (one agg + TakeOrdered) and row-local indices
         "trending_users",
         "readability_scores",
+        # exact Pearson parts (one 1-row agg) + kappa agreement
+        "corr_features",
+        "cohens_kappa",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

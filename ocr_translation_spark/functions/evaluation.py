@@ -487,3 +487,73 @@ def kendall_tau(
             ).alias("tau_a_ppm"),
         )
     )
+
+
+def cohens_kappa(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement (Cohen 1960) in exact
+    ppm integers: one row
+    ``(n, n_agree, marginal_prod_sum, kappa_ppm)`` where
+
+      kappa = (p_o - p_e) / (1 - p_e)
+            = (n * n_agree - marg) / (n * n - marg),
+      marg  = sum over categories c of  count_a(c) * count_b(c)
+
+    — the float-free form obtained by multiplying through by ``n^2``.
+    ``kappa_ppm`` is the exact rational scaled to ppm with EXPLICIT
+    toward-zero division (``sign * (1e6 * |num|) div den`` — the
+    trend_slopes discipline: Spark ``div`` truncates toward zero while
+    DuckDB ``//`` floors, and kappa is legitimately negative under
+    systematic disagreement).  Degenerate tables where chance
+    agreement is total (``n*n == marg``: both annotators constant)
+    yield NULL, never a division error.
+
+    Spark shape: one (a, b)-keyed cell aggregation over the corpus
+    (the contingency table, O(categories^2) rows), then per-annotator
+    marginals as two tiny aggregations equi-joined on the shared label
+    domain and folded into a single-row rollup — after the first agg,
+    every relation is category-bounded.  Annotator labels must be
+    non-null (filtered here, identically in the twin).  BIGINT bound:
+    ``marg <= n^2`` caps the exact path at ~3e9 labeled rows per
+    aggregation scope — far above any human-annotated set; shard the
+    audit beyond that.
+    """
+    cells = (
+        df.select(
+            F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+        )
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row_a = cells.groupBy(F.col("_a").alias("lbl")).agg(
+        F.sum("c").alias("na")
+    )
+    col_b = cells.groupBy(F.col("_b").alias("lbl")).agg(
+        F.sum("c").alias("nb")
+    )
+    marg = (
+        row_a.join(col_b, "lbl")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("marg"))
+        .select(F.coalesce("marg", F.lit(0)).alias("marg"))
+    )
+    tot = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("c"))
+              .otherwise(0)).alias("n_agree"),
+    )
+    one = tot.crossJoin(F.broadcast(marg))
+    num = F.col("n") * F.col("n_agree") - F.col("marg")
+    den = F.col("n") * F.col("n") - F.col("marg")
+    return one.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.col("marg").cast("long").alias("marginal_prod_sum"),
+        F.when(
+            den > 0,
+            (F.signum(num).cast("long")
+             * F.expr("(1000000 * abs((n * n_agree) - marg))"
+                      " div ((n * n) - marg)")),
+        ).cast("long").alias("kappa_ppm"),
+    )

@@ -191,6 +191,8 @@ _VARIANT_TAIL = {
     "harmonic_centrality",
     "trending_users",
     "readability_scores",
+    "corr_features",
+    "cohens_kappa",
 }
 
 
@@ -507,6 +509,12 @@ def test_driver_window_covers_every_operator_family():
         "trending_users": "events_hourly",
         # born-demoted: per-row quality-signal scoring
         "readability_scores": "gopher_quality_rules",
+        # born-demoted: numeric-pair association statistics; the
+        # in-window feature-statistics rep
+        "corr_features": "quality_decile_stats",
+        # born-demoted: label-agreement statistic; in-window rep of
+        # the labeling-diagnostics family
+        "cohens_kappa": "quality_decile_stats",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
