@@ -526,6 +526,12 @@ def cohens_kappa(
         .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
         .groupBy("_a", "_b")
         .agg(F.count(F.lit(1)).alias("c"))
+        # three consumers (both marginals + the totals) read the
+        # contingency table: persist so the corpus is scanned ONCE
+        # per action, not three times. No build-time unpersist — the
+        # returned relation still references the cache (the pagerank
+        # convention); the mark is O(categories^2).
+        .persist()
     )
     row_a = cells.groupBy(F.col("_a").alias("lbl")).agg(
         F.sum("c").alias("na")
