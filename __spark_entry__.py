@@ -10488,7 +10488,9 @@ alpha AS (
 ), sup AS (
   SELECT pat, count(*) AS support
   FROM cand, seqs
-  WHERE regexp_matches(s, ',' || array_to_string(pat, ',(.*,)?') || ',')
+  WHERE regexp_matches(s, ',' || array_to_string(
+            list_transform(pat, x -> regexp_escape(x)),
+            ',(.*,)?') || ',')
   GROUP BY pat
 )
 SELECT array_to_string(pat, '>') AS pattern,
@@ -10661,6 +10663,9 @@ WITH q AS (
          floor(l_discount * 100)::BIGINT AS disc_pct,
          floor(l_tax * 100)::BIGINT AS tax_pct
   FROM lineitem
+  -- complete-case filter, mirroring pairwise_corr's dropna
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
 ), agg AS (
   SELECT count(*)::HUGEINT AS n,
          {", ".join(f"sum({c}::HUGEINT) AS s_{c}, "
@@ -10711,7 +10716,8 @@ marg AS (
 SELECT n, n_agree, marg AS marginal_prod_sum,
        CASE WHEN (n * n - marg) > 0 THEN
          (CASE WHEN (n * n_agree - marg) >= 0 THEN 1 ELSE -1 END)
-         * ((1000000 * abs(n * n_agree - marg)) // (n * n - marg))
+         * ((1000000::HUGEINT * abs(n::HUGEINT * n_agree - marg))
+            // (n::HUGEINT * n - marg))::BIGINT
        END AS kappa_ppm
 FROM tot, marg
 """

@@ -85,6 +85,9 @@ def _parse_wav(b: bytes):
             i += 8 + size + (size & 1)  # chunks are word-aligned
         if rate is None or data is None:
             raise ValueError("missing fmt/data chunk")
+        if rate <= 0:
+            # declared-rate-0 corruption would make hop = 0 downstream
+            raise NotImplementedError("invalid WAV sample rate")
         if bits != 16 or channels != 1:
             raise NotImplementedError(
                 "non-PCM16-mono WAV needs an audio library"
@@ -99,7 +102,11 @@ def _parse_wav(b: bytes):
 
 def decode_audio(media_bytes: bytes):
     """(sample_rate, pcm_bytes) for SYNTHAUD and PCM16-mono WAV;
-    NotImplementedError for everything else (codec hook)."""
+    NotImplementedError for everything else (codec hook) — including
+    NULL payloads, so the executor surfaces them as null-segment rows
+    instead of dying on a TypeError."""
+    if media_bytes is None:
+        raise NotImplementedError("NULL media payload")
     b = bytes(media_bytes)
     if b.startswith(AUDIO_MAGIC):
         if len(b) < _HEADER_LEN:

@@ -43,6 +43,10 @@ def pairwise_corr(df: DataFrame, cols: list[str]) -> DataFrame:
         raise ValueError("need at least 2 feature columns")
     if len(set(cols)) != len(cols):
         raise ValueError("feature columns must be distinct")
+    # complete-case analysis: count(*) must share the sums' support,
+    # else a NULL in one feature silently corrupts every statistic
+    # that includes the other features' values for that row
+    df = df.dropna(subset=list(cols))
     aggs = [F.count(F.lit(1)).cast(_D38).alias("_n")]
     for c in cols:
         x = F.col(c).cast(_D38)

@@ -514,10 +514,12 @@ def cohens_kappa(
     marginals as two tiny aggregations equi-joined on the shared label
     domain and folded into a single-row rollup — after the first agg,
     every relation is category-bounded.  Annotator labels must be
-    non-null (filtered here, identically in the twin).  BIGINT bound:
-    ``marg <= n^2`` caps the exact path at ~3e9 labeled rows per
-    aggregation scope — far above any human-annotated set; shard the
-    audit beyond that.
+    non-null (filtered here, identically in the twin).  The kappa
+    arithmetic runs in DECIMAL(38,0) (the roc_auc/kendall_tau
+    discipline — pure BIGINT would wrap at ~4e6 rows once the 1e6 ppm
+    factor multiplies in); the emitted BIGINT ``marginal_prod_sum``
+    column caps the audit at ~3e9 labeled rows per aggregation scope —
+    far above any human-annotated set; shard beyond that.
     """
     cells = (
         df.select(
@@ -559,7 +561,10 @@ def cohens_kappa(
         F.when(
             den > 0,
             (F.signum(num).cast("long")
-             * F.expr("(1000000 * abs((n * n_agree) - marg))"
-                      " div ((n * n) - marg)")),
+             * F.expr(
+                 "cast((1000000 * abs((cast(n as decimal(38,0))"
+                 " * n_agree) - marg))"
+                 " div ((cast(n as decimal(38,0)) * n) - marg)"
+                 " as long)")),
         ).cast("long").alias("kappa_ppm"),
     )

@@ -114,3 +114,29 @@ def test_segment_audio_validates_params(spark):
         segment_audio(df, window_seconds=0)
     with pytest.raises(ValueError):
         segment_audio(df, window_seconds=2, hop_seconds=0)
+
+
+def test_null_payload_surfaces_not_crashes(spark):
+    # a NULL binary (failed fetch) must become a null-segment row,
+    # never a TypeError in the executor
+    df = spark.createDataFrame(
+        [("n", None), ("ok", encode_audio(100, _pcm(150)))],
+        "media_ref string, media_bytes binary",
+    )
+    got = {r["media_ref"]: r for r in
+           segment_audio(df, window_seconds=2, hop_seconds=1)
+           .where("seg_idx is null or media_ref = 'n'").collect()}
+    assert got["n"]["sample_rate"] is None
+    assert got["n"]["seg_idx"] is None
+
+
+def test_wav_declared_rate_zero_is_gated(spark):
+    # fmt chunk says rate 0: hop would be 0 -> must gate, not crash
+    bad = _wav(0, _pcm(50))
+    with pytest.raises(NotImplementedError):
+        decode_audio(bad)
+    df = spark.createDataFrame(
+        [("z", bad)], "media_ref string, media_bytes binary"
+    )
+    rows = segment_audio(df, window_seconds=2).collect()
+    assert len(rows) == 1 and rows[0]["seg_idx"] is None

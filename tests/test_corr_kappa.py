@@ -103,3 +103,32 @@ def test_kappa_nulls_filtered(spark):
     )
     r = cohens_kappa(df, "a", "b").collect()[0]
     assert r["n"] == 2 and r["n_agree"] == 2
+
+
+def test_corr_null_rows_dropped_complete_case(spark):
+    rows = [(1, 2), (2, 4), (None, 9), (3, None), (3, 6)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = pairwise_corr(df, ["x", "y"]).collect()[0]
+    num, dx, dy = _py_corr_parts([(1, 2), (2, 4), (3, 6)], 0, 1)
+    assert (r["n"], int(r["num"]), int(r["den_x"]), int(r["den_y"])) == (
+        3, num, dx, dy,
+    )
+    assert r["r2"] == 1.0
+
+
+def test_kappa_survives_large_n_decimal_path(spark):
+    # 8M rows would wrap pure-BIGINT ppm arithmetic (1e6 * ~1.6e13);
+    # the DECIMAL(38,0) path must stay exact
+    n_half = 4_000_000
+    df = spark.range(2 * n_half).selectExpr(
+        "case when id % 2 = 0 then 'a' else 'b' end as a",
+        "case when id % 8 = 0 then 'b' else "
+        "(case when id % 2 = 0 then 'a' else 'b' end) end as b",
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    n = 2 * n_half
+    agree = r["n_agree"]
+    marg = r["marginal_prod_sum"]
+    num, den = n * agree - marg, n * n - marg
+    assert r["kappa_ppm"] == (1_000_000 * num) // den
+    assert 0 < r["kappa_ppm"] < 1_000_000
