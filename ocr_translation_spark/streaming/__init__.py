@@ -16,3 +16,7 @@ from .kmv_stream import (  # noqa: F401
     read_kmv_output,
     stream_kmv_distinct,
 )
+from .trending_stream import (  # noqa: F401
+    read_trending_output,
+    stream_decayed_topk,
+)
