@@ -10609,7 +10609,7 @@ LIMIT 50
     # readability twin: identical planted-punctuation replace chain,
     # identical token/sentence/char definitions, truncating // on
     # non-negative operands == Spark div.
-    o["readability_scores"] = """
+    o["readability_scores"] = r"""
 WITH planted AS (
   SELECT doc_id,
          replace(replace(replace(text, ' the ', '. the '),
