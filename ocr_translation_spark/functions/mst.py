@@ -1,0 +1,209 @@
+"""Distributed minimum spanning forest via Boruvka's algorithm — the
+eighth iterative-graph discipline in the repo (alongside CC, PageRank/
+HITS, BFS/SSSP, label propagation, k-core peeling, greedy matching,
+and landmark frontier expansion in functions/graph.py).
+
+MSF is the workhorse of single-linkage-style corpus clustering (merge
+nearest groups first), network cost analysis, and hierarchical dedup;
+Boruvka is THE distributed formulation (every component picks its
+minimum outgoing edge each round, so the component count at least
+halves per round — O(log V) rounds of pure hash joins/aggregates, no
+priority queue, no sequential frontier).
+
+Exactness: edge weights are made a TOTAL order by lexicographic
+tie-break on (w, u, v) with u < v normalized, which makes the MSF
+unique (equivalent to an infinitesimal perturbation), so the result is
+value-comparable across engines.  The DuckDB oracle twin is
+INDEPENDENT — it derives the same forest from the cycle property
+("an edge is in the MSF iff its endpoints are NOT connected using only
+strictly smaller edges", a recursive-CTE reachability test), never
+running Boruvka — so value equality is a cross-proof of both
+formulations, not a mirror of one.
+
+Spark shape per round: two label joins on edge endpoints (uniform
+keys), one min_by-style struct-min aggregate per component, and a
+POINTER-JUMPING contraction over the chosen picks only — the picks
+form a functional graph whose every weak component holds exactly one
+cycle of length 2 (the group minimum is picked from both sides under
+a total order), so rooting the 2-cycles and pointer-doubling contracts
+in O(log chain) joins where min-label flooding would need O(chain)
+rounds (a chain-shaped pick graph is common: path graphs, sorted
+similarity edges).  Per-round state is one (node, comp) pair per
+vertex, checkpointed eagerly (the repo's iterative-loop lineage
+discipline).  At 10^12 edges the bound is O(log V) uniform shuffles of
+the edge list times O(log V) contraction joins over the (halving)
+component graph — no skew beyond the input's own degree skew, which
+the struct-min aggregate absorbs map-side.
+
+Reference parity note: the reference has no graph operators; this is
+part of the brief's curation extension (cluster formation over
+similarity edges), sibling to graph.connected_components (which the
+registered summary query composes downstream of the forest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """The unique minimum spanning forest of the undirected graph in
+    ``edges`` under the total order (weight, u, v) with u < v
+    normalized: one row (u, v, w) per forest edge.
+
+    Self-loops are dropped; exact duplicate rows are collapsed;
+    parallel edges of different weight survive (the heavier can never
+    be chosen).  Iterative and driver-coordinated — executes when
+    called, rounds bounded by ``max_rounds`` (Boruvka needs at most
+    log2 of the largest component's vertex count); raises RuntimeError
+    if the bound is hit.
+    """
+    e = (
+        edges.select(
+            F.least(src, dst).alias("u"),
+            F.greatest(src, dst).alias("v"),
+            F.col(weight).alias("w"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    empty = e.where(F.lit(False))
+
+    verts = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    labels = verts.select(
+        "node", F.col("node").alias("comp")
+    ).localCheckpoint(eager=True)
+
+    parts: list[DataFrame] = []
+    try:
+        for _ in range(max_rounds):
+            lu = labels.select(
+                F.col("node").alias("u"), F.col("comp").alias("cu")
+            )
+            lv = labels.select(
+                F.col("node").alias("v"), F.col("comp").alias("cv")
+            )
+            cand = (
+                e.join(lu, "u")
+                .join(lv, "v")
+                .where(F.col("cu") != F.col("cv"))
+            )
+            # every component proposes its minimum outgoing edge under
+            # the total order; struct-min orders lexicographically
+            both = cand.select(
+                F.col("cu").alias("comp"),
+                F.struct(
+                    "w", "u", "v", F.col("cv").alias("oc")
+                ).alias("pick"),
+            ).unionByName(
+                cand.select(
+                    F.col("cv").alias("comp"),
+                    F.struct(
+                        "w", "u", "v", F.col("cu").alias("oc")
+                    ).alias("pick"),
+                )
+            )
+            chosen = (
+                both.groupBy("comp")
+                .agg(F.min("pick").alias("pick"))
+                .localCheckpoint(eager=True)
+            )
+            if chosen.isEmpty():
+                out = empty
+                for p in parts:
+                    out = out.unionByName(p)
+                return out
+            # the same edge is chosen by both endpoint components
+            parts.append(
+                chosen.select(
+                    "pick.u", "pick.v", "pick.w"
+                ).distinct()
+            )
+            # contract via pointer jumping, NOT min-label flooding:
+            # the chosen picks form a functional graph (one out-edge
+            # per active component) whose every weak component holds
+            # exactly one cycle, of length 2 (the group's minimum
+            # edge is picked by both endpoints under a total order).
+            # Root each 2-cycle at its smaller component id, then
+            # pointer-double — O(log chain length) joins, where
+            # min-label flooding over a chain-shaped pick graph would
+            # need O(chain length) rounds.
+            par = chosen.select(
+                F.col("comp").alias("c"), F.col("pick.oc").alias("p")
+            )
+            par = (
+                par.alias("a")
+                .join(
+                    par.select(
+                        F.col("c").alias("p"),
+                        F.col("p").alias("pp"),
+                    ),
+                    "p",
+                )
+                .select(
+                    "c",
+                    F.when(
+                        (F.col("pp") == F.col("c"))
+                        & (F.col("c") < F.col("p")),
+                        F.col("c"),
+                    )
+                    .otherwise(F.col("p"))
+                    .alias("p"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            for _ in range(max_rounds):
+                jumped = (
+                    par.alias("x")
+                    .join(
+                        par.select(
+                            F.col("c").alias("p"),
+                            F.col("p").alias("p2"),
+                        ),
+                        "p",
+                    )
+                    .select("c", F.col("p2").alias("p"), (
+                        F.col("p") != F.col("p2")
+                    ).alias("moved"))
+                    .localCheckpoint(eager=True)
+                )
+                still = jumped.where("moved").isEmpty()
+                par = jumped.select("c", "p")
+                if still:
+                    break
+            else:
+                raise RuntimeError(
+                    "minimum_spanning_forest: pointer jumping did not "
+                    "converge (impossible for a rooted pseudo-forest; "
+                    "raise max_rounds)"
+                )
+            # a component with no outgoing edge is finished and keeps
+            # its label through the left join
+            labels = (
+                labels.join(
+                    par.withColumnRenamed("c", "comp"), "comp", "left"
+                )
+                .select(
+                    "node",
+                    F.coalesce("p", F.col("comp")).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        raise RuntimeError(
+            f"minimum_spanning_forest: not converged after "
+            f"{max_rounds} rounds (raise max_rounds; Boruvka needs "
+            "log2 of the largest component size)"
+        )
+    finally:
+        e.unpersist()
