@@ -357,6 +357,12 @@ def main() -> None:
         # exact Pearson parts (one 1-row agg) + kappa agreement
         "corr_features",
         "cohens_kappa",
+        # suffix prefix-doubling exact-substring dup spans (5 rounds)
+        "substring_dup_spans",
+        # SYNTHVID demux + hop frame sampling (zero-shuffle Arrow)
+        "video_frames",
+        # Boruvka MSF + CC rollup (iterative, pointer-jump contract)
+        "msf_summary",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

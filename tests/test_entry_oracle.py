@@ -193,6 +193,9 @@ _VARIANT_TAIL = {
     "readability_scores",
     "corr_features",
     "cohens_kappa",
+    "substring_dup_spans",
+    "video_frames",
+    "msf_summary",
 }
 
 
@@ -515,6 +518,15 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: label-agreement statistic; in-window rep of
         # the labeling-diagnostics family
         "cohens_kappa": "quality_decile_stats",
+        # born-demoted: collision-free (suffix prefix-doubling)
+        # sibling of the hashed-gram repeated-span family
+        "substring_dup_spans": "passage_dedup",
+        # born-demoted: video leg of the multimodal plumbing family
+        # (audio_segments is the tail sibling, same rep)
+        "video_frames": "media_metadata",
+        # born-demoted: 8th iterative-graph discipline (Boruvka MSF);
+        # in-window iterative-graph rep
+        "msf_summary": "pagerank_centrality",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
