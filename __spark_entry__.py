@@ -5087,6 +5087,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["msf_summary"] = _msf_summary
 
+    def _grid_dbscan(spark, sf):
+        """Grid-DBSCAN density clusters (functions/spatial.
+        grid_density_clusters): 4 planted 48x48 point blobs (events
+        with event_id % 7 < 4, sha-derived offsets) over a uniform
+        sha-scattered background in the 4096^2 plane; core threshold
+        greatest(8, 4x the mean cell density) computed IN-PLAN, so
+        the plant stays non-degenerate at every scale (blob cells are
+        ~1000x background density). Clusters = 8-adjacency connected
+        components of core cells; the noise row (cluster_id -1)
+        accounts every point outside them. Twin mirrors the synthesis
+        and derives the components with an independent recursive-CTE
+        closure over an abs()-adjacency theta-join (the formulation
+        the equi-key neighbor explode exists to avoid)."""
+        from ocr_translation_spark.functions._lsh_common import (
+            prepared,
+        )
+        from ocr_translation_spark.functions.spatial import (
+            grid_density_clusters,
+        )
+
+        ev = _read(spark, sf, "events")
+        sha = F.sha2(F.col("event_id").cast("string"), 256)
+        blob = F.col("event_id") % 7 < 4
+        cid = F.col("event_id") % 4
+        h = lambda a, n: F.conv(  # noqa: E731
+            F.substring(sha, a, n), 16, 10
+        ).cast("long")
+        pts = ev.select(
+            F.when(blob, cid * 300 + 100 + h(1, 2) % 48)
+            .otherwise(h(5, 3) % 4096)
+            .alias("x"),
+            F.when(blob, cid * 200 + 150 + h(3, 2) % 48)
+            .otherwise(h(8, 3) % 4096)
+            .alias("y"),
+        )
+        return prepared(
+            "entry:grid_dbscan",
+            (pts,),
+            (64, 8),
+            lambda: grid_density_clusters(pts),
+        )
+
+    q["grid_dbscan"] = _grid_dbscan
+
+    def _events_interp(spark, sf):
+        """Exact-rational hourly linear interpolation (functions/
+        timeseries.interpolate_hourly) over a sparsified event stream
+        (event_id % 23 == 0 — dense series would leave nothing to
+        impute at the larger scales): per event_type, missing hours
+        between the first and last observation get the integer lerp
+        of their neighbors in micro-units, truncated toward zero on
+        both engines; the src column keeps imputation auditable. One
+        key-hash shuffle end to end."""
+        from ocr_translation_spark.functions.timeseries import (
+            interpolate_hourly,
+        )
+
+        ev = (
+            _read(spark, sf, "events")
+            .where("event_id % 23 = 0")
+            .select(
+                "event_type",
+                "ts",
+                F.floor(F.col("value") * 1_000_000)
+                .cast("long")
+                .alias("v_mu"),
+            )
+        )
+        return interpolate_hourly(ev, "event_type", "ts", "v_mu")
+
+    q["events_interp_hourly"] = _events_interp
+
+    def _value_drift(spark, sf):
+        """Numeric-feature distribution drift (functions/drift.
+        histogram_drift): the event value column quantized to cents,
+        split at the stream's epoch midpoint into early/late halves,
+        16 equi-width bins over the pooled [min, max], per-bin slice
+        shares in exact ppm and the |a - b| L1 contribution (the
+        PSI workflow with the repo's no-libm statistic). One hash
+        aggregate to O(bins) cells; totals broadcast back."""
+        from ocr_translation_spark.functions.drift import (
+            histogram_drift,
+        )
+
+        ev = _read(spark, sf, "events")
+        # session tz is UTC, so the ntz->ltz cast is an identity
+        # relabel for unix_micros (the repo convention)
+        epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        mm = ev.agg(
+            F.min(epoch_us).alias("_e0"),
+            F.max(epoch_us).alias("_e1"),
+        )
+        flagged = ev.crossJoin(F.broadcast(mm)).select(
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            (
+                epoch_us
+                <= F.call_function(
+                    "div",
+                    F.col("_e0") + F.col("_e1"),
+                    F.lit(2).cast("long"),
+                )
+            ).alias("early"),
+        )
+        return histogram_drift(flagged, "cents", "early", n_bins=16)
+
+    q["events_value_drift"] = _value_drift
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -5625,6 +5732,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: 8th iterative-graph discipline; in-window
         # reps pagerank_centrality + dedup_clusters
         "msf_summary",
+        # born-demoted: density-clustering member of the grid-cell
+        # spatial family; in-window rep geo_grid_join
+        "grid_dbscan",
+        # born-demoted: imputing sibling of the spine-densification
+        # family; in-window rep events_hourly
+        "events_interp_hourly",
+        # born-demoted: numeric-feature sibling of the drift family;
+        # rep corpus_drift_terms via its own mapping
+        "events_value_drift",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -11048,6 +11164,150 @@ SELECT s.component, s.n_vertices,
        coalesce(e.n_edges, 0)::BIGINT AS n_edges,
        coalesce(e.total_weight, 0)::BIGINT AS total_weight
 FROM sizes s LEFT JOIN estat e USING (component)
+"""
+
+    # grid_dbscan twin: same synthesis; core cells from the same
+    # in-plan threshold; components via an INDEPENDENT recursive-CTE
+    # closure over an abs()-adjacency THETA-join (the formulation the
+    # Spark side's equi-key neighbor explode exists to avoid), so
+    # value equality proves the explode loses/invents no adjacency.
+    o["grid_dbscan"] = """
+WITH RECURSIVE pts AS (
+  SELECT CASE WHEN event_id % 7 < 4
+         THEN (event_id % 4) * 300 + 100
+              + (('0x' || substr(sha256(event_id::VARCHAR), 1, 2))
+                   ::BIGINT % 48)
+         ELSE ('0x' || substr(sha256(event_id::VARCHAR), 5, 3))
+                ::BIGINT % 4096 END AS x,
+         CASE WHEN event_id % 7 < 4
+         THEN (event_id % 4) * 200 + 150
+              + (('0x' || substr(sha256(event_id::VARCHAR), 3, 2))
+                   ::BIGINT % 48)
+         ELSE ('0x' || substr(sha256(event_id::VARCHAR), 8, 3))
+                ::BIGINT % 4096 END AS y
+  FROM events
+), cells AS (
+  SELECT x // 64 AS cx, y // 64 AS cy, count(*)::BIGINT AS n
+  FROM pts GROUP BY 1, 2
+), thr AS (
+  SELECT greatest(8, 4 * (SELECT count(*) FROM pts) // 4096)
+           ::BIGINT AS t
+), core AS (
+  SELECT cx, cy, n, cx * 256 + cy AS cid
+  FROM cells, thr WHERE n >= t
+), adj AS (
+  SELECT a.cid AS s, b.cid AS d
+  FROM core a JOIN core b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND a.cid <> b.cid
+), cl(node, label) AS (
+  SELECT cid, cid FROM core
+  UNION
+  SELECT adj.d, cl.label FROM cl JOIN adj ON adj.s = cl.node
+), comp AS (
+  SELECT node, min(label) AS cluster_id FROM cl GROUP BY node
+), clus AS (
+  SELECT comp.cluster_id,
+         count(*)::BIGINT AS n_cells,
+         sum(c.n)::BIGINT AS n_points,
+         min(c.cx) AS min_cx, max(c.cx) AS max_cx,
+         min(c.cy) AS min_cy, max(c.cy) AS max_cy
+  FROM comp JOIN core c ON c.cid = comp.node
+  GROUP BY comp.cluster_id
+)
+SELECT * FROM clus
+UNION ALL
+SELECT -1::BIGINT,
+       count(*)::BIGINT,
+       coalesce(sum(n), 0)::BIGINT,
+       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+FROM cells, thr WHERE n < t
+"""
+
+    # events_interp_hourly twin: same hourly micro-unit rollup, dense
+    # spine by generate_series, neighbor observations via IGNORE NULLS
+    # window frames, the same sign * (|num| // den) toward-zero lerp.
+    o["events_interp_hourly"] = """
+WITH src AS (
+  SELECT event_type, ts,
+         floor(value * 1000000)::BIGINT AS v_mu
+  FROM events WHERE event_id % 23 = 0
+), hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         sum(v_mu)::BIGINT AS v
+  FROM src GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(h) AS h0, max(h) AS h1
+  FROM hourly GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+), joined AS (
+  SELECT s.event_type, s.h, hourly.v,
+         epoch(s.h)::BIGINT // 3600 AS hn
+  FROM spine s LEFT JOIN hourly
+    ON hourly.event_type = s.event_type AND hourly.h = s.h
+), nb AS (
+  SELECT event_type, h, v, hn,
+         last_value(v IGNORE NULLS) OVER w_before AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN hn END IGNORE NULLS)
+             OVER w_before AS ph,
+         first_value(v IGNORE NULLS) OVER w_after AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN hn END IGNORE NULLS)
+             OVER w_after AS nh
+  FROM joined
+  WINDOW w_before AS (PARTITION BY event_type ORDER BY hn
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING),
+         w_after AS (PARTITION BY event_type ORDER BY hn
+                     ROWS BETWEEN 1 FOLLOWING
+                              AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE pv + (CASE WHEN (nv - pv) * (hn - ph) >= 0
+                            THEN 1 ELSE -1 END)
+                 * (abs((nv - pv) * (hn - ph)) // (nh - ph))
+       END::BIGINT AS value_mu,
+       CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+FROM nb
+"""
+
+    # events_value_drift twin: same cents quantization, same epoch
+    # midpoint split, same pooled equi-width binning and truncating
+    # ppm shares — all integer, so the comparison is exact.
+    o["events_value_drift"] = """
+WITH base AS (
+  SELECT floor(value * 100)::BIGINT AS v,
+         (epoch_us(ts) <= (SELECT (min(epoch_us(ts))
+                                   + max(epoch_us(ts))) // 2
+                           FROM events)) AS a
+  FROM events
+), mm AS (
+  SELECT min(v) AS vmin, max(v) AS vmax FROM base
+), cells AS (
+  SELECT least(15, (v - vmin) * 16 // (vmax - vmin + 1)) AS bin,
+         sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS a_n,
+         sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS b_n
+  FROM base, mm GROUP BY 1
+), dense AS (
+  SELECT s.bin, coalesce(c.a_n, 0) AS a_n, coalesce(c.b_n, 0) AS b_n
+  FROM (SELECT unnest(generate_series(0, 15))::BIGINT AS bin) s
+  LEFT JOIN cells c USING (bin)
+), tot AS (
+  SELECT sum(a_n) AS ta, sum(b_n) AS tb FROM dense
+)
+SELECT bin, a_n, b_n,
+       (CASE WHEN ta > 0 THEN a_n * 1000000 // ta ELSE 0 END)
+         ::BIGINT AS a_ppm,
+       (CASE WHEN tb > 0 THEN b_n * 1000000 // tb ELSE 0 END)
+         ::BIGINT AS b_ppm,
+       abs((CASE WHEN ta > 0 THEN a_n * 1000000 // ta ELSE 0 END)
+           - (CASE WHEN tb > 0 THEN b_n * 1000000 // tb ELSE 0 END))
+         ::BIGINT AS l1_ppm
+FROM dense, tot
 """
 
     return o

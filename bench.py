@@ -363,6 +363,12 @@ def main() -> None:
         "video_frames",
         # Boruvka MSF + CC rollup (iterative, pointer-jump contract)
         "msf_summary",
+        # grid-DBSCAN density clusters (1 agg + CC over dense cells)
+        "grid_dbscan",
+        # exact hourly lerp imputation (one key shuffle, 2 windows)
+        "events_interp_hourly",
+        # equi-width histogram drift in exact ppm (one agg to 16 cells)
+        "events_value_drift",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -115,3 +115,90 @@ def corpus_drift_terms(
         )
 
     return head("a", False).unionByName(head("b", True))
+
+
+def histogram_drift(
+    df: DataFrame,
+    value_col: str,
+    flag_col: str,
+    n_bins: int = 16,
+) -> DataFrame:
+    """Numeric-feature distribution drift between two row slices as an
+    equi-width histogram comparison in exact parts-per-million — the
+    population-stability-index workflow, with the per-bin statistic
+    kept as the L1 (total-variation) contribution |share_a - share_b|
+    instead of PSI's log term (the repo's no-libm discipline: a
+    monotone-equivalent integer statistic oracles exactly; the L1 sum
+    over bins IS 2x the total-variation distance the PSI thresholds
+    proxy for).
+
+    ``flag_col`` is a boolean column (True = slice A / "early"); bins
+    are equi-width over the GLOBAL [min, max] of ``value_col`` (both
+    slices pooled, so the binning is identical on both sides):
+
+        bin = least(n_bins - 1, (v - vmin) * n_bins div (vmax - vmin + 1))
+
+    over integer-quantized values. Output: one row per bin 0..n_bins-1
+    (dense spine — empty bins appear with zeros), with a_n, b_n,
+    a_ppm, b_ppm (share of that slice, truncating div), and
+    l1_ppm = |a_ppm - b_ppm|.
+
+    Scale shape: ONE pass — a single hash aggregate to (bin, flag)
+    cells (output O(n_bins)), a 1-row global min/max aggregate
+    broadcast back, and a literal spine; no shuffle wider than the
+    bin count.
+    """
+    v = F.col(value_col).cast("long")
+    flag = F.col(flag_col)
+    base = df.select(v.alias("v"), flag.alias("a"))
+    mm = base.agg(
+        F.min("v").alias("_vmin"), F.max("v").alias("_vmax")
+    )
+    binned = base.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(n_bins - 1).cast("long"),
+            F.call_function(
+                "div",
+                (F.col("v") - F.col("_vmin")) * F.lit(n_bins),
+                F.col("_vmax") - F.col("_vmin") + F.lit(1),
+            ),
+        ).alias("bin"),
+        "a",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0))
+        .cast("long")
+        .alias("a_n"),
+        F.sum(F.when(F.col("a"), 0).otherwise(1))
+        .cast("long")
+        .alias("b_n"),
+    )
+    spine = cells.sparkSession.range(n_bins).select(
+        F.col("id").alias("bin")
+    )
+    dense = spine.join(cells, "bin", "left").select(
+        "bin",
+        F.coalesce("a_n", F.lit(0)).alias("a_n"),
+        F.coalesce("b_n", F.lit(0)).alias("b_n"),
+    )
+    tot = dense.agg(
+        F.sum("a_n").alias("_ta"), F.sum("b_n").alias("_tb")
+    )
+    ppm = lambda n, t: F.when(  # noqa: E731 — local formula alias
+        t > 0, F.call_function("div", n * F.lit(1_000_000), t)
+    ).otherwise(F.lit(0))
+    out = dense.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "a_n",
+        "b_n",
+        ppm(F.col("a_n"), F.col("_ta")).alias("a_ppm"),
+        ppm(F.col("b_n"), F.col("_tb")).alias("b_ppm"),
+    )
+    return out.select(
+        "bin",
+        "a_n",
+        "b_n",
+        "a_ppm",
+        "b_ppm",
+        F.abs(F.col("a_ppm") - F.col("b_ppm")).alias("l1_ppm"),
+    )

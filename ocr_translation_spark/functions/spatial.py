@@ -106,3 +106,139 @@ def grid_point_in_rect_join(
         pcells.join(zcells, cond, how)
         .drop("_pcx", "_pcy", "cx", "cy")
     )
+
+
+def grid_density_clusters(
+    points: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_bits: int = 6,
+    min_pts_expr=None,
+    grid_cells: int = 4096,
+) -> DataFrame:
+    """Grid-DBSCAN: density clusters as connected components of CORE
+    grid cells (cells holding >= min_pts points), 8-adjacency.
+
+    The deterministic grid variant of DBSCAN (GriDBSCAN / the
+    cell-based preclustering every distributed DBSCAN implementation
+    uses): instead of per-point epsilon balls — a theta self-join —
+    points collapse to their (x >> cell_bits, y >> cell_bits) cell,
+    density is a per-cell count, and clusters are connected components
+    over the 8-neighborhood of core cells. Every step is an equi-key
+    operation: one groupBy for the counts, a bounded x9 neighbor-key
+    explode on the (tiny) core-cell set for adjacency, and the repo's
+    CC loop over a graph whose size is the number of DENSE cells, not
+    points — at 10^12 points the cell table is bounded by the grid,
+    so the clustering cost is independent of corpus size after the
+    first aggregate.
+
+    ``min_pts_expr``: a Column giving the core threshold (e.g. a
+    multiple of the mean density computed in-plan); defaults to
+    ``greatest(8, 4 * total_points / grid_cells)`` — four times the
+    mean cell density, floored at 8 so uniform noise at tiny scale
+    does not promote every occupied cell.
+
+    Returns one row per cluster: (cluster_id = min packed core-cell
+    id, n_cells, n_points = points in the cluster's core cells,
+    min_cx, max_cx, min_cy, max_cy) plus ONE noise-accounting row
+    (cluster_id = -1, n_cells = count of non-core occupied cells,
+    n_points = points outside all core cells, bbox NULLs) — dropped
+    rows are never silent (repo convention).
+
+    Iterative (CC loop) — executes when called; callers that re-invoke
+    on one source should memoize via _lsh_common.prepared().
+    """
+    from .graph import connected_components
+
+    # packing stride for (cx, cy) -> cell id: neighbor keys reach
+    # cy - 1 and cy + side, so the stride must exceed side + 1 or a
+    # wrapped key would alias a REAL adjacent cell ((cx, -1) ==
+    # (cx - 1, side - 1) under a stride of exactly `side`)
+    stride = F.lit((1 << cell_bits) * 4)
+    cells = (
+        points.select(
+            F.shiftright(F.col(x).cast("long"), cell_bits).alias("cx"),
+            F.shiftright(F.col(y).cast("long"), cell_bits).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_pts_expr is None:
+        total = points.select(
+            F.count(F.lit(1)).alias("_total")
+        )
+        cells = cells.crossJoin(F.broadcast(total))
+        # integer div, not a double cast: DuckDB's double->int cast
+        # ROUNDS while Spark's truncates (the corr_features lesson)
+        min_pts_expr = F.greatest(
+            F.lit(8).cast("long"),
+            F.expr(f"4 * _total div {grid_cells}"),
+        )
+    cells = cells.withColumn("_thr", min_pts_expr).localCheckpoint(
+        eager=True
+    )
+
+    core = cells.where(F.col("n") >= F.col("_thr")).select(
+        "cx",
+        "cy",
+        "n",
+        (F.col("cx") * stride + F.col("cy")).alias("cid"),
+    )
+
+    # 8-adjacency as an equi-join: each core cell claims its 9
+    # neighbor keys; an edge exists when a claimed key IS a core cell
+    neigh = core.select(
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + F.lit(dx)).alias("nx"),
+                        (F.col("cy") + F.lit(dy)).alias("ny"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                    if (dx, dy) != (0, 0)
+                ]
+            )
+        ).alias("nb"),
+    ).select(
+        "cid", (F.col("nb.nx") * stride + F.col("nb.ny")).alias("nid")
+    )
+    edges = neigh.join(
+        core.select(F.col("cid").alias("nid")), "nid"
+    ).select("cid", "nid")
+
+    cc = connected_components(
+        edges, src="cid", dst="nid", nodes=core, node_col="cid"
+    )
+    clusters = (
+        core.join(cc.withColumnRenamed("node", "cid"), "cid")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").alias("n_points"),
+            F.min("cx").alias("min_cx"),
+            F.max("cx").alias("max_cx"),
+            F.min("cy").alias("min_cy"),
+            F.max("cy").alias("max_cy"),
+        )
+    )
+    noise = cells.where(F.col("n") < F.col("_thr")).agg(
+        F.lit(-1).cast("long").alias("cluster_id"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_points"),
+        F.lit(None).cast("long").alias("min_cx"),
+        F.lit(None).cast("long").alias("max_cx"),
+        F.lit(None).cast("long").alias("min_cy"),
+        F.lit(None).cast("long").alias("max_cy"),
+    )
+    return clusters.unionByName(noise).select(
+        "cluster_id",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("n_points").cast("long").alias("n_points"),
+        "min_cx",
+        "max_cx",
+        "min_cy",
+        "max_cy",
+    )

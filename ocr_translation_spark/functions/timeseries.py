@@ -400,3 +400,106 @@ def decayed_topk(
     return scored.orderBy(
         F.col("decayed_score").desc(), *[F.col(c) for c in key_cols]
     ).limit(k)
+
+
+def interpolate_hourly(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_mu_col: str,
+) -> DataFrame:
+    """Dense hourly spine per key with LINEAR interpolation of missing
+    hours, in exact integer micro-units — the imputation step of every
+    sensor/metric feature pipeline, where the usual float lerp would
+    break a value oracle on libm/rounding differences.
+
+    Input rows are (key, ts, value_mu) observations (``value_mu``
+    already integer micro-units; pre-aggregate per hour upstream or
+    rows in the same hour are summed here). For every key the spine
+    runs from its first to its last observed hour; each missing hour
+    gets
+
+        v = v_prev + sign * (|(v_next - v_prev) * (h - h_prev)|
+                             div (h_next - h_prev))
+
+    — the exact rational lerp truncated TOWARD ZERO explicitly
+    (Spark ``div`` truncates, DuckDB ``//`` floors; a downward slope
+    would otherwise differ by one ulp between engines; the
+    trend_slopes convention). Observed hours pass through; hours
+    before the first / after the last observation cannot exist by
+    spine construction, so every emitted row is 'obs' or 'interp' —
+    the ``src`` column makes imputation auditable downstream.
+
+    Scale shape: one (key, hour) aggregate, one per-key bounds
+    aggregate + spine explode (fan-out = hours spanned, data-bounded),
+    and two frame-bounded window passes over ONE key-hash shuffle —
+    no self-join, no Python.  Interpolation products stay in BIGINT:
+    |dv| * gap < 2^63 for micro-unit metrics and month-scale gaps;
+    the multiply is guarded loudly at DECIMAL precision.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = df.groupBy(
+        F.col(key_col).alias("key"), hour.alias("h")
+    ).agg(F.sum(F.col(value_mu_col)).cast("long").alias("v"))
+
+    bounds = hourly.groupBy("key").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "key",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    joined = spine.join(hourly, ["key", "h"], "left").withColumn(
+        # integer div, not /3600.0: exact regardless of session tz
+        "hn",
+        F.call_function(
+            "div", F.unix_timestamp("h"), F.lit(3600).cast("long")
+        ),
+    )
+
+    w = Window.partitionBy("key").orderBy("hn")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    after = w.rowsBetween(1, Window.unboundedFollowing)
+    prev_v = F.last(F.col("v"), ignorenulls=True).over(before)
+    prev_h = F.last(
+        F.when(F.col("v").isNotNull(), F.col("hn")), ignorenulls=True
+    ).over(before)
+    next_v = F.first(F.col("v"), ignorenulls=True).over(after)
+    next_h = F.first(
+        F.when(F.col("v").isNotNull(), F.col("hn")), ignorenulls=True
+    ).over(after)
+
+    dec = "decimal(38,0)"
+    dv = (next_v - prev_v).cast(dec)
+    num = dv * (F.col("hn") - prev_h).cast(dec)
+    den = (next_h - prev_h).cast(dec)
+    sgn = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    lmax = F.lit(9223372036854775807).cast(dec)
+    mag = F.when(
+        F.abs(num) <= lmax,
+        F.call_function("div", F.abs(num), den).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "interpolate_hourly: lerp product exceeds BIGINT — "
+                "rescale value_mu"
+            )
+        ).cast("long")
+    )
+    lerp = prev_v + sgn * mag
+
+    return (
+        joined.select(
+            F.col("key").alias(key_col),
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .otherwise(lerp)
+            .cast("long")
+            .alias("value_mu"),
+            F.when(F.col("v").isNotNull(), F.lit("obs"))
+            .otherwise(F.lit("interp"))
+            .alias("src"),
+        )
+    )

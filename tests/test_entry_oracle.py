@@ -196,6 +196,9 @@ _VARIANT_TAIL = {
     "substring_dup_spans",
     "video_frames",
     "msf_summary",
+    "grid_dbscan",
+    "events_interp_hourly",
+    "events_value_drift",
 }
 
 
@@ -527,6 +530,15 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: 8th iterative-graph discipline (Boruvka MSF);
         # in-window iterative-graph rep
         "msf_summary": "pagerank_centrality",
+        # born-demoted: density-clustering member of the grid-cell
+        # spatial family
+        "grid_dbscan": "geo_grid_join",
+        # born-demoted: imputing sibling of the spine-densification
+        # family
+        "events_interp_hourly": "events_hourly",
+        # born-demoted: numeric-feature sibling of the drift family
+        # (corpus_drift_terms maps to the same in-window rep)
+        "events_value_drift": "pmi_collocations",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
