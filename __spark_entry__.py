@@ -5194,6 +5194,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_value_drift"] = _value_drift
 
+    def _single_linkage(spark, sf):
+        """Single-linkage dendrogram cut (functions/mst.
+        single_linkage_cut): over the SAME planted weighted graph as
+        msf_summary, remove the 8 globally heaviest MSF edges and
+        return the per-cluster size rollup — components + 8 clusters
+        exactly, the K-clusters form a thresholded CC cannot produce
+        without knowing the cut weight in advance. Cut selection is a
+        TakeOrdered head (O(K) driver bytes) + one anti-join. Twin:
+        the independent cycle-property MSF, ORDER BY ... LIMIT 8
+        anti-joined off, recursive closure over what remains."""
+        from ocr_translation_spark.functions._lsh_common import (
+            prepared,
+        )
+        from ocr_translation_spark.functions.mst import (
+            single_linkage_cut,
+        )
+
+        v = (
+            _read(spark, sf, "documents")
+            .where("doc_id % 8 = 0")
+            .select("doc_id")
+        )
+        parts = []
+        for step in (8, 24):
+            parts.append(
+                v.select(F.col("doc_id").alias("u"))
+                .join(
+                    v.select(F.col("doc_id").alias("v")),
+                    F.col("v") == F.col("u") + F.lit(step),
+                )
+                .where(F.expr(f"u div 128 = (u + {step}) div 128"))
+            )
+        ew = (
+            parts[0]
+            .unionByName(parts[1])
+            .select(
+                "u",
+                "v",
+                F.expr(
+                    "cast(conv(substr(sha2(concat('mst:', "
+                    "cast(u as string), ':', cast(v as string)), "
+                    "256), 1, 4), 16, 10) as bigint) % 997 + 1"
+                ).alias("w"),
+            )
+        )
+
+        def _build():
+            labels = single_linkage_cut(
+                ew, n_cuts=8, nodes=v, node_col="doc_id"
+            )
+            return labels.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_vertices")
+            )
+
+        return prepared(
+            "entry:single_linkage", (v,), (8, 24, 997, 8), _build
+        )
+
+    q["single_linkage_clusters"] = _single_linkage
+
+    def _benford(spark, sf):
+        """Benford first-digit audit (functions/audit.
+        benford_deviation) of order totals — the fabricated-data
+        screen every financial/count column gets. The expected shares
+        are FIXED ppm literals (no runtime libm inside a value
+        oracle); the digit comes from the integer part's first
+        character, exact on both engines. One aggregate to <= 10
+        cells."""
+        from ocr_translation_spark.functions.audit import (
+            benford_deviation,
+        )
+
+        return benford_deviation(
+            _read(spark, sf, "orders"), "o_totalprice"
+        )
+
+    q["benford_orders"] = _benford
+
+    def _ewma(spark, sf):
+        """Exact integer EWMA of daily event volumes (functions/
+        timeseries.ewma_daily, alpha = 1/4): the sequential recurrence
+        no window function can express, folded row-locally over the
+        per-key day spine with one higher-order aggregate (bounded by
+        the calendar, not the corpus); gaps decay as explicit zero
+        days; division truncates toward zero on both engines. Twin
+        mirrors the fold with DuckDB list_reduce — same recurrence,
+        independently evaluated."""
+        from ocr_translation_spark.functions.timeseries import (
+            ewma_daily,
+        )
+
+        return ewma_daily(
+            _read(spark, sf, "events"), "event_type", "ts"
+        )
+
+    q["events_ewma_daily"] = _ewma
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -5741,6 +5838,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: numeric-feature sibling of the drift family;
         # rep corpus_drift_terms via its own mapping
         "events_value_drift",
+        # born-demoted: dendrogram-cut composition over the MSF
+        # (msf_summary is the tail sibling); graph rep in-window
+        "single_linkage_clusters",
+        # born-demoted: distribution-law member of the data-audit
+        # family; in-window rep table_profile
+        "benford_orders",
+        # born-demoted: smoothing member of the event-time rollup
+        # family; in-window rep events_hourly
+        "events_ewma_daily",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -11308,6 +11414,132 @@ SELECT bin, a_n, b_n,
            - (CASE WHEN tb > 0 THEN b_n * 1000000 // tb ELSE 0 END))
          ::BIGINT AS l1_ppm
 FROM dense, tot
+"""
+
+    # single_linkage_clusters twin: the independent cycle-property
+    # MSF (as in msf_summary), then the 8 heaviest forest edges
+    # dropped by (w, u, v) DESC and an independent recursive closure
+    # over what remains; sizes per min-label cluster.
+    o["single_linkage_clusters"] = """
+WITH RECURSIVE v AS (
+  SELECT doc_id FROM documents WHERE doc_id % 8 = 0
+), e0 AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM v a JOIN v b ON b.doc_id = a.doc_id + 8
+  WHERE a.doc_id // 128 = (a.doc_id + 8) // 128
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM v a JOIN v b ON b.doc_id = a.doc_id + 24
+  WHERE a.doc_id // 128 = (a.doc_id + 24) // 128
+), edges AS (
+  SELECT u, v,
+         (('0x' || substr(sha256('mst:' || u::VARCHAR || ':'
+                                  || v::VARCHAR), 1, 4))::BIGINT
+          % 997 + 1) AS w
+  FROM e0
+), reach(eu, ev, ew, node) AS (
+  SELECT u, v, w, u FROM edges
+  UNION
+  SELECT r.eu, r.ev, r.ew,
+         CASE WHEN x.u = r.node THEN x.v ELSE x.u END
+  FROM reach r JOIN edges x ON (x.u = r.node OR x.v = r.node)
+  WHERE (x.w, x.u, x.v) < (r.ew, r.eu, r.ev)
+), msf AS (
+  SELECT e.u, e.v, e.w FROM edges e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM reach r
+    WHERE r.eu = e.u AND r.ev = e.v AND r.ew = e.w
+      AND r.node = e.v
+  )
+), cut AS (
+  SELECT u, v, w FROM msf ORDER BY w DESC, u DESC, v DESC LIMIT 8
+), kept AS (
+  SELECT m.* FROM msf m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cut c
+    WHERE c.u = m.u AND c.v = m.v AND c.w = m.w
+  )
+), und AS (
+  SELECT u AS a, v AS b FROM kept
+  UNION SELECT v, u FROM kept
+), cl(node, label) AS (
+  SELECT doc_id, doc_id FROM v
+  UNION
+  SELECT und.b, cl.label FROM cl JOIN und ON und.a = cl.node
+), comp AS (
+  SELECT node, min(label) AS cluster_id FROM cl GROUP BY node
+)
+SELECT cluster_id, count(*)::BIGINT AS n_vertices
+FROM comp GROUP BY cluster_id
+"""
+
+    # benford_orders twin: same string-wise first digit, same dense
+    # 0-9 spine with the sub-1 accounting row, same constant expected
+    # shares, same truncating ppm shares.
+    o["benford_orders"] = """
+WITH d AS (
+  SELECT CASE WHEN o_totalprice >= 1
+         THEN substr((floor(o_totalprice)::BIGINT)::VARCHAR, 1, 1)
+                ::BIGINT
+         ELSE 0 END AS digit
+  FROM orders
+), cells AS (
+  SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series(0, 9))::BIGINT AS digit
+), dense AS (
+  SELECT s.digit, coalesce(c.n, 0)::BIGINT AS n
+  FROM spine s LEFT JOIN cells c USING (digit)
+), tot AS (
+  SELECT sum(n) AS t FROM dense WHERE digit >= 1
+), expd AS (
+  SELECT unnest(generate_series(1, 9))::BIGINT AS digit,
+         unnest([301030, 176091, 124939, 96910, 79181, 66947,
+                 57992, 51153, 45757])::BIGINT AS exp_ppm
+)
+SELECT d.digit, d.n,
+       (CASE WHEN d.digit >= 1 AND t > 0
+             THEN d.n * 1000000 // t END)::BIGINT AS obs_ppm,
+       e.exp_ppm,
+       (CASE WHEN d.digit >= 1 AND t > 0
+             THEN abs(d.n * 1000000 // t - e.exp_ppm)
+        END)::BIGINT AS dev_ppm
+FROM dense d LEFT JOIN expd e USING (digit), tot
+"""
+
+    # events_ewma_daily twin: same day spine and scaled counts, the
+    # same toward-zero recurrence folded with list_reduce (first
+    # element is the accumulator seed, matching the Spark aggregate's
+    # explicit element_at(xs, 1) seed).
+    o["events_ewma_daily"] = """
+WITH daily AS (
+  SELECT event_type AS k,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT k, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY k
+), spine AS (
+  SELECT k, d0, d1, unnest(generate_series(d0, d1)) AS d
+  FROM bounds
+), dense AS (
+  SELECT s.k, s.d0, s.d1, s.d,
+         coalesce(daily.x, 0) * 1000000 AS xs
+  FROM spine s LEFT JOIN daily
+    ON daily.k = s.k AND daily.d = s.d
+), arr AS (
+  SELECT k, d0, d1, list(xs ORDER BY d) AS xs
+  FROM dense GROUP BY k, d0, d1
+)
+SELECT a.k AS event_type,
+       (a.d1 - a.d0 + 1)::BIGINT AS n_days,
+       strftime(DATE '1970-01-01' + a.d1::INT, '%Y-%m-%d')
+         AS last_day,
+       dl.x AS last_n,
+       list_reduce(a.xs, (acc, x) -> acc +
+           CASE WHEN x >= acc THEN (x - acc) // 4
+                ELSE -((acc - x) // 4) END)::BIGINT AS ewma_scaled
+FROM arr a JOIN daily dl ON dl.k = a.k AND dl.d = a.d1
 """
 
     return o

@@ -369,6 +369,12 @@ def main() -> None:
         "events_interp_hourly",
         # equi-width histogram drift in exact ppm (one agg to 16 cells)
         "events_value_drift",
+        # dendrogram K-cut clustering (MSF + TakeOrdered cut + CC)
+        "single_linkage_clusters",
+        # Benford first-digit audit (one agg to 10 cells)
+        "benford_orders",
+        # exact EWMA fold over per-key day spines (2 aggs, no window)
+        "events_ewma_daily",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

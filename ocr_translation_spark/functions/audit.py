@@ -158,3 +158,75 @@ def constraint_audit(df: DataFrame, constraints) -> DataFrame:
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+# Benford first-digit expected shares in exact ppm: round(log10(1 +
+# 1/d) * 1e6). CONSTANTS, not runtime libm — a log evaluated in-plan
+# would put libm ulps inside a value oracle (the repo's no-libm
+# discipline); the law's reference distribution is fixed, so it ships
+# as literals both engines copy verbatim.
+BENFORD_PPM = (
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+)
+
+
+def benford_deviation(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-significant-digit audit of a positive amount column
+    against Benford's law — the classic fabricated-/synthetic-data
+    screen for financial and count columns.
+
+    The digit is taken STRING-wise (first character of the integer
+    part) instead of via floor(x / 10^floor(log10 x)): both engines
+    format integers identically, so the extraction is exact where the
+    log form would round. Rows with amount < 1 are counted in a
+    digit-0 accounting row (never silently dropped), excluded from the
+    shares. Output: one row per digit 1-9 (dense spine) with n,
+    obs_ppm (truncating div), exp_ppm (the constant), dev_ppm =
+    |obs - exp|, plus the digit-0 row (NULL ppms).
+
+    Scale shape: one hash aggregate to <= 10 cells; the total rides a
+    broadcast back. Zero shuffles wider than the digit domain.
+    """
+    d = F.when(
+        F.col(amount_col) >= 1,
+        F.substring(
+            F.floor(F.col(amount_col)).cast("bigint").cast("string"),
+            1,
+            1,
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    cells = (
+        df.select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = cells.sparkSession.range(10).select(
+        F.col("id").alias("digit")
+    )
+    dense = spine.join(cells, "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    tot = dense.where("digit >= 1").agg(F.sum("n").alias("_t"))
+    exp_ppm = F.element_at(
+        F.array(*[F.lit(p).cast("long") for p in BENFORD_PPM]),
+        F.col("digit").cast("int"),
+    )
+    obs_ppm = F.when(
+        (F.col("digit") >= 1) & (F.col("_t") > 0),
+        F.call_function(
+            "div", F.col("n") * F.lit(1_000_000), F.col("_t")
+        ),
+    )
+    return (
+        dense.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            obs_ppm.alias("obs_ppm"),
+            F.when(F.col("digit") >= 1, exp_ppm).alias("exp_ppm"),
+            F.when(
+                F.col("digit") >= 1,
+                F.abs(obs_ppm - exp_ppm),
+            ).alias("dev_ppm"),
+        )
+    )

@@ -207,3 +207,52 @@ def minimum_spanning_forest(
         )
     finally:
         e.unpersist()
+
+
+def single_linkage_cut(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    n_cuts: int = 8,
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+) -> DataFrame:
+    """Single-linkage clustering by dendrogram cut: remove the
+    ``n_cuts`` globally heaviest MSF edges (total order (w, u, v)
+    DESC) and return the connected components of what remains as
+    (node, cluster_id) — the classical equivalence "single-linkage
+    dendrogram == MST": cutting the k heaviest forest edges yields
+    exactly components + k clusters, something a thresholded CC can
+    only reproduce if the cut WEIGHT is known in advance.
+
+    Scale shape: the cut set is O(n_cuts) — selected with a
+    TakeOrdered head (no global sort) and removed with one join — so
+    everything beyond the MSF itself is bounded by the parameter, not
+    the corpus. ``nodes`` optionally supplies isolated vertices
+    (returned as singleton clusters), matching the CC convention.
+    """
+    from .graph import connected_components
+
+    msf = minimum_spanning_forest(
+        edges, src=src, dst=dst, weight=weight
+    )
+    cut = msf.orderBy(
+        F.col("w").desc(), F.col("u").desc(), F.col("v").desc()
+    ).limit(n_cuts)
+    kept = msf.join(cut, ["u", "v", "w"], "left_anti")
+
+    # the forest's own vertices must survive even when all their
+    # edges were cut; merge them with caller-supplied isolated nodes
+    verts = (
+        msf.select(F.col("u").alias("_n"))
+        .unionByName(msf.select(F.col("v").alias("_n")))
+        .distinct()
+    )
+    if nodes is not None:
+        verts = verts.unionByName(
+            nodes.select(F.col(node_col).alias("_n"))
+        ).distinct()
+    return connected_components(
+        kept, src="u", dst="v", nodes=verts, node_col="_n"
+    )

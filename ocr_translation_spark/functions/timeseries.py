@@ -503,3 +503,83 @@ def interpolate_hourly(
             .alias("src"),
         )
     )
+
+
+def ewma_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    alpha_den: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average of DAILY EVENT
+    COUNTS in exact scaled integers — the smoothing step of every
+    volume-monitoring pipeline, with the recursion
+
+        s_t = s_{t-1} + (x_t * scale - s_{t-1}) / alpha_den
+
+    (alpha = 1/alpha_den) evaluated as a row-local ARRAY FOLD: the
+    day series is collected sorted per key (bounded by the calendar,
+    not the corpus — document-days, not documents) and folded with
+    one higher-order ``aggregate`` in whole-stage codegen, because a
+    sequential recurrence cannot be a window function and a
+    driver-side loop would not distribute. Division truncates TOWARD
+    ZERO explicitly (sign * (|num| div den)) — the trend_slopes
+    engine-pinning — since an upward step is positive and a downward
+    step negative.
+
+    Missing days count as x = 0 (the spine runs from the key's first
+    to last day), so the decay sees real gaps. Output: one row per
+    key with n_days (spine length), last_day, last_n (final day's
+    raw count), ewma_scaled (the fold result, in ``scale`` units).
+
+    Scale shape: one (key, day) aggregate + one key aggregate; the
+    fold is O(spine length) integer ops per key, no Python, no extra
+    shuffle. Keys whose spine would exceed ~100k days belong in a
+    windowed variant; this one targets the monitoring horizon.
+    """
+    day = F.datediff(
+        F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), day.alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+
+    per_key = daily.groupBy("key").agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("d", "x")))
+        ).alias("m"),
+    )
+    # dense spine as an array of scaled counts (0 for missing days)
+    xs = F.transform(
+        F.sequence(F.col("d0"), F.col("d1")),
+        lambda dd: F.coalesce(
+            F.element_at(F.col("m"), dd), F.lit(0).cast("long")
+        )
+        * F.lit(scale).cast("long"),
+    )
+    den = F.lit(alpha_den).cast("long")
+    step = lambda acc, x: acc + F.when(  # noqa: E731
+        x >= acc,
+        F.call_function("div", x - acc, den),
+    ).otherwise(-F.call_function("div", acc - x, den))
+    # slice length must stay a real array bound: start + INT_MAX
+    # overflows the int32 slice arithmetic and yields an EMPTY slice
+    folded = F.aggregate(
+        F.slice(xs, F.lit(2), F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        step,
+    )
+    return per_key.select(
+        F.col("key").alias(key_col),
+        (F.col("d1") - F.col("d0") + 1).cast("long").alias("n_days"),
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"),
+                       F.col("d1").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("last_day"),
+        F.element_at(F.col("m"), F.col("d1")).alias("last_n"),
+        folded.alias("ewma_scaled"),
+    )

@@ -199,6 +199,9 @@ _VARIANT_TAIL = {
     "grid_dbscan",
     "events_interp_hourly",
     "events_value_drift",
+    "single_linkage_clusters",
+    "benford_orders",
+    "events_ewma_daily",
 }
 
 
@@ -539,6 +542,15 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: numeric-feature sibling of the drift family
         # (corpus_drift_terms maps to the same in-window rep)
         "events_value_drift": "pmi_collocations",
+        # born-demoted: dendrogram-cut composition over the MSF
+        # (msf_summary is the tail sibling, same in-window rep)
+        "single_linkage_clusters": "pagerank_centrality",
+        # born-demoted: distribution-law member of the data-audit
+        # family (constraint_audit maps to the same rep)
+        "benford_orders": "table_profile",
+        # born-demoted: smoothing member of the event-time rollup
+        # family
+        "events_ewma_daily": "events_hourly",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
