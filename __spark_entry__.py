@@ -54,6 +54,46 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _planted_mst_graph(spark: SparkSession, sf: str):
+    """The shared planted weighted graph msf_summary AND
+    single_linkage_clusters run on (their twins re-derive it in SQL):
+    vertices = every 8th document; chain (u, u+8) and chord (u, u+24)
+    edges inside 16-vertex groups (doc_id div 128), so cycles exist
+    and the forest genuinely excludes edges; sha-derived weights in
+    [1, 997], ties broken by the (w, u, v) total order downstream.
+    Returns (vertices, weighted_edges). ONE construction site — the
+    two queries and the two twins must describe the same graph."""
+    v = (
+        _read(spark, sf, "documents")
+        .where("doc_id % 8 = 0")
+        .select("doc_id")
+    )
+    parts = []
+    for step in (8, 24):
+        parts.append(
+            v.select(F.col("doc_id").alias("u"))
+            .join(
+                v.select(F.col("doc_id").alias("v")),
+                F.col("v") == F.col("u") + F.lit(step),
+            )
+            .where(F.expr(f"u div 128 = (u + {step}) div 128"))
+        )
+    ew = (
+        parts[0]
+        .unionByName(parts[1])
+        .select(
+            "u",
+            "v",
+            F.expr(
+                "cast(conv(substr(sha2(concat('mst:', "
+                "cast(u as string), ':', cast(v as string)), "
+                "256), 1, 4), 16, 10) as bigint) % 997 + 1"
+            ).alias("w"),
+        )
+    )
+    return v, ew
+
+
 # Planted suffixes for canonical_fingerprint, keyed on doc_id % 4: the
 # driver corpus is pure ASCII, so the Unicode-canonicalization oracle
 # would be degenerate without NFD-decomposed accents (U+0301/U+0308
@@ -5018,36 +5058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             minimum_spanning_forest,
         )
 
-        v = (
-            _read(spark, sf, "documents")
-            .where("doc_id % 8 = 0")
-            .select("doc_id")
-        )
-        parts = []
-        for step in (8, 24):
-            parts.append(
-                v.select(F.col("doc_id").alias("u"))
-                .join(
-                    v.select(F.col("doc_id").alias("v")),
-                    F.col("v") == F.col("u") + F.lit(step),
-                )
-                .where(
-                    F.expr(f"u div 128 = (u + {step}) div 128")
-                )
-            )
-        ew = (
-            parts[0]
-            .unionByName(parts[1])
-            .select(
-                "u",
-                "v",
-                F.expr(
-                    "cast(conv(substr(sha2(concat('mst:', "
-                    "cast(u as string), ':', cast(v as string)), "
-                    "256), 1, 4), 16, 10) as bigint) % 997 + 1"
-                ).alias("w"),
-            )
-        )
+        v, ew = _planted_mst_graph(spark, sf)
+
         def _build():
             msf = minimum_spanning_forest(
                 ew, src="u", dst="v", weight="w"
@@ -5211,34 +5223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             single_linkage_cut,
         )
 
-        v = (
-            _read(spark, sf, "documents")
-            .where("doc_id % 8 = 0")
-            .select("doc_id")
-        )
-        parts = []
-        for step in (8, 24):
-            parts.append(
-                v.select(F.col("doc_id").alias("u"))
-                .join(
-                    v.select(F.col("doc_id").alias("v")),
-                    F.col("v") == F.col("u") + F.lit(step),
-                )
-                .where(F.expr(f"u div 128 = (u + {step}) div 128"))
-            )
-        ew = (
-            parts[0]
-            .unionByName(parts[1])
-            .select(
-                "u",
-                "v",
-                F.expr(
-                    "cast(conv(substr(sha2(concat('mst:', "
-                    "cast(u as string), ':', cast(v as string)), "
-                    "256), 1, 4), 16, 10) as bigint) % 997 + 1"
-                ).alias("w"),
-            )
-        )
+        v, ew = _planted_mst_graph(spark, sf)
 
         def _build():
             labels = single_linkage_cut(
@@ -11383,7 +11368,9 @@ FROM nb
 
     # events_value_drift twin: same cents quantization, same epoch
     # midpoint split, same pooled equi-width binning and truncating
-    # ppm shares — all integer, so the comparison is exact.
+    # ppm shares — all integer, so the comparison is exact. The
+    # bin = -1 accounting row mirrors the operator's NULL contract
+    # (zero here: events carry no NULL value/ts).
     o["events_value_drift"] = """
 WITH base AS (
   SELECT floor(value * 100)::BIGINT AS v,
@@ -11391,13 +11378,15 @@ WITH base AS (
                                    + max(epoch_us(ts))) // 2
                            FROM events)) AS a
   FROM events
+), valid AS (
+  SELECT * FROM base WHERE v IS NOT NULL AND a IS NOT NULL
 ), mm AS (
-  SELECT min(v) AS vmin, max(v) AS vmax FROM base
+  SELECT min(v) AS vmin, max(v) AS vmax FROM valid
 ), cells AS (
   SELECT least(15, (v - vmin) * 16 // (vmax - vmin + 1)) AS bin,
          sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS a_n,
          sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS b_n
-  FROM base, mm GROUP BY 1
+  FROM valid, mm GROUP BY 1
 ), dense AS (
   SELECT s.bin, coalesce(c.a_n, 0) AS a_n, coalesce(c.b_n, 0) AS b_n
   FROM (SELECT unnest(generate_series(0, 15))::BIGINT AS bin) s
@@ -11414,6 +11403,14 @@ SELECT bin, a_n, b_n,
            - (CASE WHEN tb > 0 THEN b_n * 1000000 // tb ELSE 0 END))
          ::BIGINT AS l1_ppm
 FROM dense, tot
+UNION ALL
+SELECT -1::BIGINT,
+       coalesce(sum(CASE WHEN a IS TRUE THEN 1 ELSE 0 END), 0)
+         ::BIGINT,
+       coalesce(sum(CASE WHEN a IS TRUE THEN 0 ELSE 1 END), 0)
+         ::BIGINT,
+       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+FROM base WHERE v IS NULL OR a IS NULL
 """
 
     # single_linkage_clusters twin: the independent cycle-property

@@ -143,6 +143,12 @@ def histogram_drift(
     a_ppm, b_ppm (share of that slice, truncating div), and
     l1_ppm = |a_ppm - b_ppm|.
 
+    Rows with a NULL value or a NULL flag cannot be binned or
+    attributed; they are counted in a ``bin = -1`` accounting row
+    (a_n = excluded rows flagged TRUE, b_n = every other excluded
+    row — FALSE or NULL flag; ppm/l1 NULL), excluded from the shares
+    — never silently dropped (repo convention).
+
     Scale shape: ONE pass — a single hash aggregate to (bin, flag)
     cells (output O(n_bins)), a 1-row global min/max aggregate
     broadcast back, and a literal spine; no shuffle wider than the
@@ -151,10 +157,30 @@ def histogram_drift(
     v = F.col(value_col).cast("long")
     flag = F.col(flag_col)
     base = df.select(v.alias("v"), flag.alias("a"))
-    mm = base.agg(
+    valid = base.where(
+        F.col("v").isNotNull() & F.col("a").isNotNull()
+    )
+    excluded = base.where(
+        F.col("v").isNull() | F.col("a").isNull()
+    ).agg(
+        F.lit(-1).cast("long").alias("bin"),
+        F.coalesce(
+            F.sum(F.when(F.col("a").eqNullSafe(True), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("a_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("a").eqNullSafe(True), 0).otherwise(1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("b_n"),
+    )
+    mm = valid.agg(
         F.min("v").alias("_vmin"), F.max("v").alias("_vmax")
     )
-    binned = base.crossJoin(F.broadcast(mm)).select(
+    binned = valid.crossJoin(F.broadcast(mm)).select(
         F.least(
             F.lit(n_bins - 1).cast("long"),
             F.call_function(
@@ -194,11 +220,21 @@ def histogram_drift(
         ppm(F.col("a_n"), F.col("_ta")).alias("a_ppm"),
         ppm(F.col("b_n"), F.col("_tb")).alias("b_ppm"),
     )
-    return out.select(
+    binned_rows = out.select(
         "bin",
         "a_n",
         "b_n",
         "a_ppm",
         "b_ppm",
         F.abs(F.col("a_ppm") - F.col("b_ppm")).alias("l1_ppm"),
+    )
+    return binned_rows.unionByName(
+        excluded.select(
+            "bin",
+            "a_n",
+            "b_n",
+            F.lit(None).cast("long").alias("a_ppm"),
+            F.lit(None).cast("long").alias("b_ppm"),
+            F.lit(None).cast("long").alias("l1_ppm"),
+        )
     )

@@ -151,13 +151,37 @@ def grid_density_clusters(
     from .graph import connected_components
 
     # packing stride for (cx, cy) -> cell id: neighbor keys reach
-    # cy - 1 and cy + side, so the stride must exceed side + 1 or a
-    # wrapped key would alias a REAL adjacent cell ((cx, -1) ==
-    # (cx - 1, side - 1) under a stride of exactly `side`)
-    stride = F.lit((1 << cell_bits) * 4)
+    # cy - 1 and cy + 1, so the stride must exceed the cy domain by
+    # > 1 on each side or a wrapped key would alias a REAL adjacent
+    # cell ((cx, -1) == (cx - 1, stride - 1)). The domain itself is
+    # guarded IN-PLAN (the suffix_classes packing convention): points
+    # must be non-negative with cy < stride - 1, i.e. coordinates in
+    # [0, (stride - 2) << cell_bits] — out-of-domain input raises
+    # loudly instead of silently merging far-apart cells.
+    side = 1 << cell_bits
+    stride = F.lit(side * 4)
+    cy_max = side * 4 - 2
+    bad = (
+        (F.col(x) < 0)
+        | (F.col(y) < 0)
+        | (F.shiftright(F.col(y).cast("long"), cell_bits) > cy_max)
+    )
     cells = (
         points.select(
-            F.shiftright(F.col(x).cast("long"), cell_bits).alias("cx"),
+            F.when(
+                bad,
+                F.raise_error(
+                    F.lit(
+                        "grid_density_clusters: point outside the "
+                        "packable domain (negative, or y cell > "
+                        f"{cy_max}); raise cell_bits"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(
+                F.shiftright(F.col(x).cast("long"), cell_bits)
+            )
+            .alias("cx"),
             F.shiftright(F.col(y).cast("long"), cell_bits).alias("cy"),
         )
         .groupBy("cx", "cy")

@@ -83,12 +83,22 @@ def suffix_classes(
     must be a power of two.
 
     Iterative (log2(max_k) rounds, each executed when called — same
-    driver-coordinated discipline as graph.connected_components); the
-    result is returned as an eager localCheckpoint and every
-    intermediate cache is released before returning.
+    driver-coordinated discipline as graph.connected_components).
+    Intermediates are eager localCheckpoints: the previous round's
+    blocks are reclaimed by the ContextCleaner as its reference drops,
+    but size executor storage for up to two concurrent copies of the
+    (pid, cls) table while a round materializes.
     """
     if max_k < 1 or max_k & (max_k - 1):
         raise ValueError(f"max_k must be a power of two, got {max_k}")
+    # pid +- k must stay inside one document's packed range: the
+    # length guard below reserves `margin` slots past every document
+    # end, so any k <= margin/2 can neither cross into the next doc's
+    # positions nor underflow into the previous doc's (an underflow
+    # lands at pos >= _POS_SPACE - margin, above any guarded length)
+    margin = max(64, 2 * max_k)
+    if margin >= _POS_SPACE // 2:
+        raise ValueError(f"max_k {max_k} too large for _POS_SPACE")
 
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -100,7 +110,7 @@ def suffix_classes(
     guarded = base.withColumn(
         "t",
         F.when(
-            F.length("t") > F.lit(_POS_SPACE - 64),
+            F.length("t") > F.lit(_POS_SPACE - margin),
             F.raise_error(
                 F.concat(
                     F.lit("suffix_classes: document "),
@@ -129,41 +139,34 @@ def suffix_classes(
         "pos",
         (F.col("doc_id") * F.lit(_POS_SPACE) + F.col("pos")).alias("pid"),
         F.ascii("ch").cast("long").alias("cls"),
-    )
+    ).localCheckpoint(eager=True)
 
-    cur = pos_df.localCheckpoint(eager=True)
-    try:
-        k = 1
-        while k < max_k:
-            succ = cur.select(
-                (F.col("pid") - F.lit(k)).alias("pid"),
-                F.col("cls").alias("c2"),
-            )
-            paired = (
-                cur.join(succ, "pid", "left")
-                .select(
-                    "doc_id",
-                    "n_chars",
-                    "pos",
-                    "pid",
-                    F.col("cls").alias("c1"),
-                    F.coalesce("c2", F.lit(-1)).alias("c2"),
-                )
-            )
-            w = Window.partitionBy("c1", "c2")
-            nxt = paired.select(
-                "doc_id",
-                "n_chars",
-                "pos",
-                "pid",
-                F.min("pid").over(w).alias("cls"),
-            ).localCheckpoint(eager=True)
-            cur = nxt
-            k *= 2
-    finally:
-        pass  # eager localCheckpoints are freed by the ContextCleaner
+    # the loop state is EXACTLY (pid, cls) — 2 longs — so every
+    # round's two shuffles move the minimum; doc_id/pos/n_chars are
+    # re-attached afterwards from the round-0 checkpoint (doc_id and
+    # pos are also pure functions of pid, but the checkpoint is
+    # already materialized and carries n_chars)
+    cur = pos_df.select("pid", "cls")
+    k = 1
+    while k < max_k:
+        succ = cur.select(
+            (F.col("pid") - F.lit(k)).alias("pid"),
+            F.col("cls").alias("c2"),
+        )
+        paired = cur.join(succ, "pid", "left").select(
+            "pid",
+            F.col("cls").alias("c1"),
+            F.coalesce("c2", F.lit(-1)).alias("c2"),
+        )
+        w = Window.partitionBy("c1", "c2")
+        cur = paired.select(
+            "pid", F.min("pid").over(w).alias("cls")
+        ).localCheckpoint(eager=True)
+        k *= 2
 
-    return cur.select("doc_id", "pos", "n_chars", "cls")
+    return pos_df.select("doc_id", "pos", "n_chars", "pid").join(
+        cur, "pid"
+    ).select("doc_id", "pos", "n_chars", "cls")
 
 
 def substring_dup_spans(

@@ -104,6 +104,25 @@ def test_diagonal_adjacency_merges(spark):
     assert len(clusters) == 1 and clusters[0][1] == 2  # one, 2 cells
 
 
+def test_out_of_domain_points_raise(spark):
+    # (cx, -1) would alias the REAL cell (cx-1, stride-1) under the
+    # packed id; the domain guard raises instead of silently merging
+    import pytest
+    from pyspark.sql import functions as SF
+    from pyspark.sql.utils import CapturedException
+
+    df = spark.createDataFrame([(5, -3)] * 10, "x long, y long")
+    with pytest.raises(CapturedException):
+        grid_density_clusters(
+            df, min_pts_expr=SF.lit(1).cast("long")
+        ).collect()
+    big = spark.createDataFrame([(5, 1 << 20)] * 10, "x long, y long")
+    with pytest.raises(CapturedException):
+        grid_density_clusters(
+            big, min_pts_expr=SF.lit(1).cast("long")
+        ).collect()
+
+
 def test_all_noise(spark):
     pts = [(i * 97 % 4096, i * 53 % 4096) for i in range(30)]
     got = _spark_clusters(spark, pts, 8)
@@ -203,20 +222,24 @@ def test_interp_same_hour_rows_sum(spark):
 
 
 def _mirror_drift(vals, n_bins=16):
-    vmin, vmax = min(v for v, _ in vals), max(v for v, _ in vals)
+    valid = [(v, a) for v, a in vals if v is not None and a is not None]
+    excl = [(v, a) for v, a in vals if v is None or a is None]
+    vmin, vmax = min(v for v, _ in valid), max(v for v, _ in valid)
     width = vmax - vmin + 1
     cells = {}
-    for v, a in vals:
+    for v, a in valid:
         b = min(n_bins - 1, (v - vmin) * n_bins // width)
         cells.setdefault(b, [0, 0])[0 if a else 1] += 1
-    ta = sum(1 for _, a in vals if a)
-    tb = len(vals) - ta
+    ta = sum(1 for _, a in valid if a)
+    tb = len(valid) - ta
     out = []
     for b in range(n_bins):
         an, bn = cells.get(b, (0, 0))
         ap = an * 1_000_000 // ta if ta else 0
         bp = bn * 1_000_000 // tb if tb else 0
         out.append((b, an, bn, ap, bp, abs(ap - bp)))
+    ea = sum(1 for _, a in excl if a is True)
+    out.insert(0, (-1, ea, len(excl) - ea, None, None, None))
     return out
 
 
@@ -229,6 +252,21 @@ def test_histogram_drift_matches_mirror(spark):
         tuple(r) for r in histogram_drift(df, "v", "early").collect()
     )
     assert got == _mirror_drift(vals)
+
+
+def test_histogram_drift_null_accounting_row(spark):
+    # NULL value / NULL flag rows land in the bin=-1 accounting row
+    # (never silently dropped), excluded from the shares
+    vals = [(10, True), (20, False), (None, True), (30, None),
+            (None, None)]
+    df = spark.createDataFrame(vals, "v long, early boolean")
+    got = sorted(
+        (tuple(r) for r in histogram_drift(df, "v", "early").collect()),
+        key=lambda t: t[0],
+    )
+    assert got == _mirror_drift(vals)
+    assert got[0] == (-1, 1, 2, None, None, None)
+    assert sum(r[1] + r[2] for r in got) == len(vals)
 
 
 def test_histogram_drift_single_value_domain(spark):

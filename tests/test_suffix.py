@@ -159,3 +159,27 @@ def test_max_k_must_be_power_of_two(spark):
     df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError):
         suffix_classes(df, max_k=12)
+
+
+def test_large_max_k_widens_the_pid_margin(spark):
+    # the doubling step reaches max_k/2; the packed-space margin must
+    # scale with it or pid+k crosses into the next document's range —
+    # verify a 256-threshold run stays exact on adjacent doc_ids
+    texts = {
+        0: "A" * 300,
+        1: "A" * 300,  # duplicated 256-window across adjacent ids
+        # all-distinct characters: no window repeats anywhere
+        2: "".join(chr(33 + i) for i in range(300)),
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["dup_windows"], r["n_windows"])
+        for r in substring_dup_spans(df, min_len=256).collect()
+    }
+    assert got[0] == (45, 45) and got[1] == (45, 45)
+    assert got[2] == (0, 45)
+    # and the guard itself refuses a max_k the pid space cannot host
+    with pytest.raises(ValueError):
+        suffix_classes(df, max_k=1 << 21)
