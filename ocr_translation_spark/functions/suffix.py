@@ -76,11 +76,11 @@ def suffix_classes(
     text_col: str = "text",
     max_k: int = 32,
 ) -> DataFrame:
-    """(doc_id, pos, n_chars, cls): ``cls`` identifies the equivalence
-    class of the first ``max_k`` characters of the suffix starting at
-    0-based ``pos`` (sentinel-padded past the document end): two rows
-    share ``cls`` iff those prefixes are identical strings.  ``max_k``
-    must be a power of two.
+    """(doc_id, pos, cls): ``cls`` identifies the equivalence class of
+    the first ``max_k`` characters of the suffix starting at 0-based
+    ``pos`` (sentinel-padded past the document end): two rows share
+    ``cls`` iff those prefixes are identical strings.  ``max_k`` must
+    be a power of two.
 
     Iterative (log2(max_k) rounds, each executed when called — same
     driver-coordinated discipline as graph.connected_components).
@@ -128,25 +128,21 @@ def suffix_classes(
     )
 
     # one row per character position; posexplode over the char array
-    # so the document string itself never rides along the explode
-    pos_df = guarded.select(
+    # so the document string itself never rides along the explode.
+    # The loop state is EXACTLY (pid, cls) — 2 longs — so every
+    # round's two shuffles move the minimum; doc_id and pos are pure
+    # functions of pid (div/mod _POS_SPACE), recovered arithmetically
+    # at the end instead of carried through 2*log2(L) shuffles.
+    cur = guarded.select(
         "doc_id",
-        F.length("t").alias("n_chars"),
         F.posexplode(F.split(F.col("t"), "")).alias("pos", "ch"),
     ).select(
-        "doc_id",
-        "n_chars",
-        "pos",
-        (F.col("doc_id") * F.lit(_POS_SPACE) + F.col("pos")).alias("pid"),
+        (F.col("doc_id") * F.lit(_POS_SPACE) + F.col("pos")).alias(
+            "pid"
+        ),
         F.ascii("ch").cast("long").alias("cls"),
     ).localCheckpoint(eager=True)
 
-    # the loop state is EXACTLY (pid, cls) — 2 longs — so every
-    # round's two shuffles move the minimum; doc_id/pos/n_chars are
-    # re-attached afterwards from the round-0 checkpoint (doc_id and
-    # pos are also pure functions of pid, but the checkpoint is
-    # already materialized and carries n_chars)
-    cur = pos_df.select("pid", "cls")
     k = 1
     while k < max_k:
         succ = cur.select(
@@ -164,9 +160,12 @@ def suffix_classes(
         ).localCheckpoint(eager=True)
         k *= 2
 
-    return pos_df.select("doc_id", "pos", "n_chars", "pid").join(
-        cur, "pid"
-    ).select("doc_id", "pos", "n_chars", "cls")
+    space = F.lit(_POS_SPACE)
+    return cur.select(
+        F.call_function("div", F.col("pid"), space).alias("doc_id"),
+        (F.col("pid") % space).alias("pos"),
+        "cls",
+    )
 
 
 def substring_dup_spans(
@@ -199,8 +198,16 @@ def substring_dup_spans(
 
     # windows fully inside the document; class size counted among
     # eligible rows only (short suffixes can never match a full
-    # window's class anyway — the sentinel is not a character)
-    elig = cls.where(F.col("pos") <= F.col("n_chars") - lit_l)
+    # window's class anyway — the sentinel is not a character).
+    # Lengths come from the doc-dim join on doc_id — the same key the
+    # island window below partitions by, so the shuffle is shared.
+    lengths = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+    )
+    elig = cls.join(lengths, "doc_id").where(
+        F.col("pos") <= F.col("n_chars") - lit_l
+    )
     marked = (
         elig.withColumn(
             "class_n", F.count(F.lit(1)).over(Window.partitionBy("cls"))
