@@ -375,6 +375,12 @@ def main() -> None:
         "benford_orders",
         # exact EWMA fold over per-key day spines (2 aggs, no window)
         "events_ewma_daily",
+        # packed-BIGINT cooldown suppression fold (1 agg, no window)
+        "alert_throttle",
+        # DAG longest-path layering (iterative max-relaxation)
+        "dag_layers",
+        # exact tied-average-rank Spearman (rollup cumulatives + 1-row agg)
+        "spearman_activity",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

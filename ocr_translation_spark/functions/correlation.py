@@ -96,3 +96,64 @@ def pairwise_corr(df: DataFrame, cols: list[str]) -> DataFrame:
             F.round(num_d * num_d / den_prod, 6),
         ).alias("r2"),
     )
+
+
+def spearman_rank_corr(
+    df: DataFrame, x_col: str, y_col: str, num_ranges: int = 32
+) -> DataFrame:
+    """Exact Spearman rank correlation of two numeric columns:
+    Pearson on tied-AVERAGE ranks, with every statistic integer-exact.
+
+    Average ranks are half-integers (rank = n_smaller + (ties+1)/2),
+    so both columns are ranked in 2-SCALED integers ``r2 = 2*n_smaller
+    + ties + 1`` — the scale cancels in the correlation — computed
+    with ranknorm.value_n_smaller (range-partitioned per-value
+    cumulatives over the O(distinct) rollup; no single-task global
+    sort) and mapped back through one value-keyed equi-join per
+    column. The sufficient statistics then come from
+    :func:`pairwise_corr` (one single-row DECIMAL(38,0) aggregate).
+
+    Output adds ``rho2_signed_ppm``: sign(num) * num^2 * 1e6 /
+    (den_x * den_y) evaluated in the MIRRORED truncating order
+      a = (|num| * 1e6) div den_x;  out = sign * ((a * |num|) div den_y)
+    — exact and engine-identical (DuckDB HUGEINT ``//`` floors, but
+    every operand here is non-negative, so floor == truncate). With
+    2-scaled ranks <= 2n the pieces stay inside DECIMAL(38,0) to
+    n ~ 2e9 rows per scope; shard beyond that."""
+    from ocr_translation_spark.functions.ranknorm import value_n_smaller
+
+    base = df.select(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).dropna()
+
+    ranked = base
+    for side in ("_x", "_y"):
+        rollup = base.groupBy(F.col(side).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        nsm, _n = value_n_smaller(rollup, num_ranges)
+        r2 = (
+            2 * F.col("_nsm") + F.col("_cnt") + 1
+        ).cast("long").alias(f"_r2{side}")
+        mapping = nsm.select(F.col("_v").alias(side), r2)
+        ranked = ranked.join(mapping, side)
+
+    stats = pairwise_corr(ranked, ["_r2_x", "_r2_y"])
+    a = F.call_function(
+        "div",
+        F.abs(F.col("num")) * F.lit(1000000).cast(_D38),
+        F.col("den_x"),
+    )
+    rho2 = F.call_function(
+        "div", (a * F.abs(F.col("num"))).cast(_D38), F.col("den_y")
+    )
+    return stats.select(
+        F.lit(x_col).alias("feat_x"),
+        F.lit(y_col).alias("feat_y"),
+        "n", "num", "den_x", "den_y", "r_sign",
+        F.when(
+            (F.col("den_x") > 0) & (F.col("den_y") > 0),
+            (F.signum(F.col("num").cast("double")).cast("long")
+             * rho2.cast("long")),
+        ).alias("rho2_signed_ppm"),
+    )

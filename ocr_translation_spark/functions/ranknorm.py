@@ -41,26 +41,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def rank_normalize(
-    df: DataFrame,
-    value_col: str,
-    id_cols: tuple[str, ...] = ("doc_id",),
-    out_col: str = "pct_rank_ppm",
-    num_ranges: int = 32,
-) -> DataFrame:
-    """(id_cols..., value, pct_rank_ppm) per non-null row: the exact
-    SQL percent_rank of ``value_col`` in ppm (truncating), computed
-    with range-partitioned per-value cumulatives instead of a
-    single-task global sort. A single-row corpus (n == 1) maps to 0
-    by the SQL convention."""
+def value_n_smaller(
+    rollup: DataFrame, num_ranges: int = 32
+) -> tuple[DataFrame, int]:
+    """The reusable core: given an O(distinct) ``(_v, _cnt)`` rollup,
+    return ``(mapping, n)`` where mapping is ``(_v, _cnt, _nsm)`` —
+    ``_nsm`` = exact count of rows with a STRICTLY SMALLER value —
+    and ``n`` is the total row count. Range-partitioned per-value
+    cumulatives + O(partitions) driver-side offsets; no task ever
+    sees more than its range slice. Shared by rank_normalize (pct =
+    _nsm ppm) and correlation.spearman_rank_corr (2-scaled average
+    rank = 2*_nsm + _cnt + 1)."""
     if num_ranges < 1:
         raise ValueError("num_ranges must be >= 1")
-    base = df.select(
-        *[F.col(c) for c in id_cols],
-        F.col(value_col).alias("_v"),
-    ).filter(F.col("_v").isNotNull())
-
-    rollup = base.groupBy("_v").agg(F.count(F.lit(1)).alias("_cnt"))
     ranged = rollup.repartitionByRange(num_ranges, F.col("_v"))
     # pin: spark_partition_id() must not be re-derived under a
     # different physical plan between the counts collect and the
@@ -79,6 +72,8 @@ def rank_normalize(
         offsets[r["_pid"]] = acc
         acc += r["c"]
     n = acc
+    if n == 0:
+        return pid.select("_v", "_cnt", F.lit(0).alias("_nsm")), 0
     off = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
@@ -91,17 +86,39 @@ def rank_normalize(
     n_smaller = (
         off[F.col("_pid")] + F.sum("_cnt").over(w) - F.col("_cnt")
     )
+    return pid.select("_v", "_cnt", n_smaller.alias("_nsm")), n
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    out_col: str = "pct_rank_ppm",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """(id_cols..., value, pct_rank_ppm) per non-null row: the exact
+    SQL percent_rank of ``value_col`` in ppm (truncating), computed
+    with range-partitioned per-value cumulatives instead of a
+    single-task global sort. A single-row corpus (n == 1) maps to 0
+    by the SQL convention."""
+    base = df.select(
+        *[F.col(c) for c in id_cols],
+        F.col(value_col).alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+
+    rollup = base.groupBy("_v").agg(F.count(F.lit(1)).alias("_cnt"))
+    nsm, n = value_n_smaller(rollup, num_ranges)
     pct = (
         F.when(F.lit(n) <= 1, F.lit(0).cast("long")).otherwise(
             F.call_function(
                 "div",
-                n_smaller.cast("decimal(38,0)")
+                F.col("_nsm").cast("decimal(38,0)")
                 * F.lit(1000000).cast("decimal(38,0)"),
-                F.lit(n - 1).cast("decimal(38,0)"),
+                F.lit(max(n - 1, 1)).cast("decimal(38,0)"),
             ).cast("long")
         )
     )
-    mapping = pid.select(
+    mapping = nsm.select(
         "_v", pct.alias("_pct")
     )
     return base.join(mapping, "_v").select(

@@ -202,6 +202,9 @@ _VARIANT_TAIL = {
     "single_linkage_clusters",
     "benford_orders",
     "events_ewma_daily",
+    "alert_throttle",
+    "dag_layers",
+    "spearman_activity",
 }
 
 
@@ -551,6 +554,15 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: smoothing member of the event-time rollup
         # family
         "events_ewma_daily": "events_hourly",
+        # born-demoted: suppression sibling of the behavioral event
+        # family (the bot_regularity_scores rep)
+        "alert_throttle": "events_funnel",
+        # born-demoted: ninth iterative-graph discipline (topological
+        # layering); in-window iterative-graph rep
+        "dag_layers": "pagerank_centrality",
+        # born-demoted: rank-correlation member of the statistics
+        # family (the corr_features/cohens_kappa rep)
+        "spearman_activity": "quality_decile_stats",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
