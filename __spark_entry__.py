@@ -5381,6 +5381,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spearman_activity"] = _spearman
 
+    def _robots(spark, sf):
+        """Robots-rules admission control (functions/crawlpolicy.
+        robots_filter): RFC 9309 longest-match allow/disallow over a
+        per-host rule table — the policy gate in front of a crawl
+        frontier. The rule table collapses to one array row per host
+        (tiny groupBy) and applies via ONE broadcast equi-join; the
+        per-URL verdict is a row-local array_max over
+        struct(prefix_len, allow, prefix), so the corpus is never
+        shuffled. Planted URLs hit every rule shape (nested
+        allow-inside-disallow, host-conditional rules, the no-match
+        default) so longest-match and the RFC allow tie-break both
+        bite."""
+        from ocr_translation_spark.functions.crawlpolicy import (
+            robots_filter,
+        )
+
+        docs = _read(spark, sf, "documents")
+        d = F.col("doc_id").cast("long")
+        path = (
+            F.when(d % 5 == 0, F.concat(F.lit("/private/p"), d.cast("string")))
+            .when(d % 5 == 1, F.concat(F.lit("/private/open/q"), d.cast("string")))
+            .when(d % 5 == 2, F.concat(F.lit("/tmp/t"), d.cast("string")))
+            .when(d % 5 == 3, F.concat(F.lit("/a/b"), d.cast("string")))
+            .otherwise(F.lit("/"))
+        )
+        urls = docs.select(
+            "doc_id", F.col("source").alias("host"), path.alias("path")
+        )
+        hosts = docs.select(F.col("source").alias("host")).distinct()
+
+        def _rule(prefix: str, allow: bool):
+            return F.struct(
+                F.lit(prefix).alias("prefix"), F.lit(allow).alias("allow")
+            )
+
+        base_rules = F.array(
+            _rule("/", True),
+            _rule("/private/", False),
+            _rule("/private/open/", True),
+            _rule("/tmp/", False),
+        )
+        # single-digit hosts (src0..src9) additionally close /a/ —
+        # the host-conditional rule exercises the broadcast join key
+        rules = hosts.select(
+            "host",
+            F.explode(
+                F.when(
+                    F.length("host") == 4,
+                    F.concat(base_rules, F.array(_rule("/a/", False))),
+                ).otherwise(base_rules)
+            ).alias("r"),
+        ).select(
+            "host",
+            F.col("r.prefix").alias("prefix"),
+            F.col("r.allow").alias("allow"),
+        )
+        return robots_filter(urls, rules)
+
+    q["robots_filter"] = _robots
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -5946,6 +6006,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: rank-correlation member of the statistics
         # family; in-window rep quality_decile_stats
         "spearman_activity",
+        # born-demoted: crawl-policy admission member of the
+        # rule-gating family; in-window rep gopher_quality_rules
+        # (url_canonicalize / frontier_schedule are tail siblings)
+        "robots_filter",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -11760,6 +11824,44 @@ SELECT 'n_events' AS feat_x, 'n_days' AS feat_y, n::BIGINT AS n,
            ::BIGINT
        END AS rho2_signed_ppm
 FROM p
+"""
+
+    # robots_filter twin: the same planted URL/rule corpus; the
+    # longest-match winner is arg_max over the UNIQUE per-host rank
+    # len(prefix)*2 + allow (every planted prefix length is distinct,
+    # so the two arg_max calls pick the same rule; the Spark side's
+    # struct order additionally tie-breaks by prefix for generality).
+    o["robots_filter"] = """
+WITH urls AS (
+  SELECT doc_id, source AS host,
+         CASE doc_id % 5
+           WHEN 0 THEN '/private/p' || doc_id
+           WHEN 1 THEN '/private/open/q' || doc_id
+           WHEN 2 THEN '/tmp/t' || doc_id
+           WHEN 3 THEN '/a/b' || doc_id
+           ELSE '/' END AS path
+  FROM documents
+), hosts AS (SELECT DISTINCT source AS host FROM documents),
+rules AS (
+  SELECT host, prefix, allow
+  FROM hosts, (VALUES ('/', true), ('/private/', false),
+               ('/private/open/', true), ('/tmp/', false))
+       v(prefix, allow)
+  UNION ALL
+  SELECT host, '/a/', false FROM hosts WHERE length(host) = 4
+), m AS (
+  SELECT u.doc_id, r.prefix, r.allow,
+         length(r.prefix) * 2 + r.allow::INT AS rnk
+  FROM urls u JOIN rules r
+    ON r.host = u.host AND starts_with(u.path, r.prefix)
+), best AS (
+  SELECT doc_id, arg_max(prefix, rnk) AS matched_prefix,
+         arg_max(allow, rnk) AS allowed
+  FROM m GROUP BY doc_id
+)
+SELECT u.doc_id, u.host, u.path, b.matched_prefix,
+       coalesce(b.allowed, true) AS allowed
+FROM urls u LEFT JOIN best b USING (doc_id)
 """
 
     return o

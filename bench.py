@@ -381,6 +381,9 @@ def main() -> None:
         "dag_layers",
         # exact tied-average-rank Spearman (rollup cumulatives + 1-row agg)
         "spearman_activity",
+        # RFC 9309 robots longest-match gate (broadcast rules, no
+        # corpus shuffle)
+        "robots_filter",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

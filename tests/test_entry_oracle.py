@@ -205,6 +205,7 @@ _VARIANT_TAIL = {
     "alert_throttle",
     "dag_layers",
     "spearman_activity",
+    "robots_filter",
 }
 
 
@@ -563,6 +564,10 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: rank-correlation member of the statistics
         # family (the corr_features/cohens_kappa rep)
         "spearman_activity": "quality_decile_stats",
+        # born-demoted: crawl-policy admission member of the
+        # rule-gating family (url_canonicalize / frontier_schedule
+        # are tail siblings)
+        "robots_filter": "gopher_quality_rules",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
