@@ -5441,6 +5441,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_filter"] = _robots
 
+    def _cuped(spark, sf):
+        """CUPED variance-reduced A/B effect (functions/experiment.
+        cuped_effect, Deng et al. WSDM'13): each unit's post-period
+        event count adjusted by its pre-period count before the arms
+        difference — theta carried as the exact integer fraction
+        (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), the adjusted effect as one
+        rational (the mean-centering term cancels between arms), and
+        every reported ppm via the mirrored signed truncating
+        division. ONE unit-keyed aggregate + a 2-row arm rollup —
+        the shuffle carries O(units). Pre/post activity genuinely
+        correlates per user, so var_reduction_ppm is load-bearing."""
+        from ocr_translation_spark.functions.experiment import (
+            cuped_effect,
+        )
+
+        return cuped_effect(
+            _read(spark, sf, "events"), cutoff="2024-01-16 00:00:00"
+        )
+
+    q["cuped_effect"] = _cuped
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -6010,6 +6031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rule-gating family; in-window rep gopher_quality_rules
         # (url_canonicalize / frontier_schedule are tail siblings)
         "robots_filter",
+        # born-demoted: variance-reduction member of the experiment
+        # family; in-window rep ab_experiment_report
+        # (ipw_stratified_effect is the tail sibling)
+        "cuped_effect",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -11862,6 +11887,68 @@ rules AS (
 SELECT u.doc_id, u.host, u.path, b.matched_prefix,
        coalesce(b.allowed, true) AS allowed
 FROM urls u LEFT JOIN best b USING (doc_id)
+"""
+
+    # cuped_effect twin: the identical sufficient statistics in
+    # HUGEINT, the identical hash-arm split, and the mirrored signed
+    # truncating divisions (non-negative magnitudes, sign applied
+    # separately, so HUGEINT // floor == Spark div truncation).
+    o["cuped_effect"] = """
+WITH per_unit AS (
+  SELECT user_id AS unit,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END)::HUGEINT AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END)::HUGEINT AS y
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+), armed AS (
+  SELECT (('0x' || substr(sha256('cuped:' || unit::VARCHAR), 1, 15))
+            ::UBIGINT % 2)::BIGINT AS arm, x, y
+  FROM per_unit
+), agg AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::HUGEINT AS n_t,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::HUGEINT AS n_c,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy,
+         sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sx_t,
+         sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS sy_t,
+         sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sx_c,
+         sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sy_c
+  FROM armed
+), p AS (
+  SELECT n, n_t, n_c,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den,
+         n * syy - sy * sy AS deny,
+         sy_t * n_c - sy_c * n_t AS dyc,
+         sx_t * n_c - sx_c * n_t AS dxc,
+         n_t * n_c AS nn
+  FROM agg
+), e AS (
+  SELECT p.*, dyc * den - num * dxc AS eff_num, nn * den AS eff_den
+  FROM p
+)
+SELECT n::BIGINT AS n_units, n_t::BIGINT AS n_treated,
+       n_c::BIGINT AS n_control,
+       num AS theta_num, den AS theta_den,
+       CASE WHEN den <> 0 THEN
+         ((CASE WHEN (num > 0) = (den > 0) THEN 1 ELSE -1 END)
+          * (abs(num) * 1000000 // abs(den)))::BIGINT
+       END AS theta_ppm,
+       CASE WHEN n_t > 0 AND n_c > 0 THEN
+         ((CASE WHEN (dyc > 0) = (nn > 0) THEN 1 ELSE -1 END)
+          * (abs(dyc) * 1000000 // abs(nn)))::BIGINT
+       END AS raw_effect_ppm,
+       CASE WHEN n_t > 0 AND n_c > 0 AND den <> 0 THEN
+         ((CASE WHEN (eff_num > 0) = (eff_den > 0) THEN 1 ELSE -1 END)
+          * (abs(eff_num) * 1000000 // abs(eff_den)))::BIGINT
+       END AS cuped_effect_ppm,
+       CASE WHEN den > 0 AND deny > 0 THEN
+         ((abs(num) * 1000000 // den) * abs(num) // deny)::BIGINT
+       END AS var_reduction_ppm
+FROM e
 """
 
     return o

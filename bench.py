@@ -384,6 +384,8 @@ def main() -> None:
         # RFC 9309 robots longest-match gate (broadcast rules, no
         # corpus shuffle)
         "robots_filter",
+        # CUPED variance-reduced A/B effect (1 unit agg + 2-row rollup)
+        "cuped_effect",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

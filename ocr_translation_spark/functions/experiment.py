@@ -249,3 +249,160 @@ def stratified_effect(
             "contrib_micro",
         )
     )
+
+
+def cuped_effect(
+    events: DataFrame,
+    cutoff: str,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    salt: str = "cuped",
+) -> DataFrame:
+    """CUPED variance-reduced A/B effect (Deng/Xu/Kohavi/Walker,
+    WSDM'13): adjust each unit's post-period metric by its PRE-period
+    metric before differencing arms —
+
+        theta   = cov(x, y) / var(x)      (pooled over all units)
+        y_adj_i = y_i - theta * (x_i - mean(x))
+        effect  = mean(y_adj | treat) - mean(y_adj | control)
+
+    with x = the unit's event count strictly before ``cutoff`` and
+    y = its count at/after. Pre-period behavior is unaffected by
+    treatment, so the adjustment shifts both arms identically in
+    expectation (the estimator stays unbiased) while removing the
+    rho^2 fraction of between-unit variance — the industry-standard
+    sensitivity lever for exactly this exposure->outcome shape.
+
+    Everything is EXACT integer/decimal arithmetic so the DuckDB twin
+    is value-identical: theta is carried as the integer fraction
+    (theta_num, theta_den) = (n*Sxy - Sx*Sy, n*Sxx - Sx^2), and the
+    adjusted effect collapses to one rational
+
+        [ (SyT*nC - SyC*nT) * theta_den
+          - theta_num * (SxT*nC - SxC*nT) ]  /  (nT * nC * theta_den)
+
+    (the mean(x) centering term cancels between arms). Reported ppm
+    values use the repo's mirrored signed truncating division: both
+    engines divide NON-NEGATIVE magnitudes (floor == truncate) and
+    apply the sign separately. ``var_reduction_ppm`` is rho^2(x, y)
+    in ppm via the two-step spearman order
+    ``((|num|*1e6) div den_x) * |num| div den_y``. Zero pre-period
+    variance (theta undefined) yields NULL theta/cuped columns; the
+    raw effect still reports.
+
+    Spark shape (100 TB):
+      1. ONE unit-keyed aggregate (map-side partials; the shuffle
+         carries O(units), not O(events)) builds (unit, x, y).
+      2. Arm assignment is the row-local :func:`assign_arm` hash.
+      3. ONE 2-row arm rollup carrying (n, Sx, Sy, Sxx, Sxy, Syy)
+         per arm; the pooled statistics are conditional sums over
+         those 2 rows — a final single-row aggregate. No joins, no
+         windows, no second scan.
+
+    Overflow: sums go through DECIMAL(38,0); the largest product
+    (cross-term * 1e6) stays under 1e25 for 1e9 units averaging 1e4
+    events each — inside DECIMAL(38,0) headroom.
+    """
+    d38 = "decimal(38,0)"
+    u, t = F.col(unit_col), F.col(ts_col)
+    per_unit = (
+        events.filter(u.isNotNull() & t.isNotNull())
+        .groupBy(u.alias("unit"))
+        .agg(
+            F.sum(F.when(t < F.lit(cutoff).cast("timestamp"), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(t >= F.lit(cutoff).cast("timestamp"), 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    armed = per_unit.select(
+        assign_arm(F.col("unit"), 2, salt).alias("arm"),
+        F.col("x").cast(d38).alias("x"),
+        F.col("y").cast(d38).alias("y"),
+    )
+    per_arm = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+    def _arm(c: str, a: int) -> Column:
+        return F.sum(F.when(F.col("arm") == a, F.col(c)).otherwise(
+            F.lit(0).cast(d38)
+        ))
+
+    pooled = per_arm.agg(
+        (_arm("n", 0) + _arm("n", 1)).alias("n"),
+        _arm("n", 1).alias("n_treated"),
+        _arm("n", 0).alias("n_control"),
+        (_arm("sx", 0) + _arm("sx", 1)).alias("sx"),
+        (_arm("sy", 0) + _arm("sy", 1)).alias("sy"),
+        (_arm("sxx", 0) + _arm("sxx", 1)).alias("sxx"),
+        (_arm("sxy", 0) + _arm("sxy", 1)).alias("sxy"),
+        (_arm("syy", 0) + _arm("syy", 1)).alias("syy"),
+        _arm("sx", 1).alias("sx_t"),
+        _arm("sy", 1).alias("sy_t"),
+        _arm("sx", 0).alias("sx_c"),
+        _arm("sy", 0).alias("sy_c"),
+    )
+
+    def _signed_ppm(num: Column, den: Column) -> Column:
+        """sign(num/den) * (|num| * 1e6) div |den| — NULL when den
+        is 0. Both engines divide non-negative magnitudes."""
+        mag = F.call_function(
+            "div",
+            (F.abs(num) * F.lit(1000000).cast(d38)).cast(d38),
+            F.abs(den),
+        )
+        sign = (
+            F.when((num > 0) == (den > 0), F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+        )
+        return F.when(den != 0, sign * mag.cast("long"))
+
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d38)
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d38)
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(d38)
+    dy_cross = (
+        F.col("sy_t") * F.col("n_control")
+        - F.col("sy_c") * F.col("n_treated")
+    ).cast(d38)
+    dx_cross = (
+        F.col("sx_t") * F.col("n_control")
+        - F.col("sx_c") * F.col("n_treated")
+    ).cast(d38)
+    nn = (F.col("n_treated") * F.col("n_control")).cast(d38)
+    eff_num = (dy_cross * den - num * dx_cross).cast(d38)
+    eff_den = (nn * den).cast(d38)
+
+    # rho^2 ppm, the guaranteed variance-reduction fraction: the
+    # spearman two-step mirrored order over non-negative operands
+    a_step = F.call_function(
+        "div", (F.abs(num) * F.lit(1000000).cast(d38)).cast(d38), den
+    )
+    rho2 = F.call_function(
+        "div", (a_step * F.abs(num)).cast(d38), deny
+    )
+
+    both = (F.col("n_treated") > 0) & (F.col("n_control") > 0)
+    return pooled.select(
+        F.col("n").cast("long").alias("n_units"),
+        F.col("n_treated").cast("long").alias("n_treated"),
+        F.col("n_control").cast("long").alias("n_control"),
+        num.alias("theta_num"),
+        den.alias("theta_den"),
+        _signed_ppm(num, den).alias("theta_ppm"),
+        F.when(both, _signed_ppm(dy_cross, nn)).alias("raw_effect_ppm"),
+        F.when(
+            both & (den != 0), _signed_ppm(eff_num, eff_den)
+        ).alias("cuped_effect_ppm"),
+        F.when(
+            (den > 0) & (deny > 0), rho2.cast("long")
+        ).alias("var_reduction_ppm"),
+    )

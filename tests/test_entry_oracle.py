@@ -206,6 +206,7 @@ _VARIANT_TAIL = {
     "dag_layers",
     "spearman_activity",
     "robots_filter",
+    "cuped_effect",
 }
 
 
@@ -568,6 +569,9 @@ def test_driver_window_covers_every_operator_family():
         # rule-gating family (url_canonicalize / frontier_schedule
         # are tail siblings)
         "robots_filter": "gopher_quality_rules",
+        # born-demoted: variance-reduction member of the experiment
+        # family (ipw_stratified_effect is the tail sibling)
+        "cuped_effect": "ab_experiment_report",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

@@ -244,3 +244,135 @@ def test_stratified_effect_randomized_python_parity(spark):
         assert r["effect_ppm"] == eff
         assert r["weight_ppm"] == 1000000 * len(sub) // N
         assert r["contrib_micro"] == contrib, (stratum, r, contrib)
+
+
+# ---------------------------------------------------------------- CUPED
+
+
+def _cuped_py(unit_xy, salt="cuped"):
+    """Exact-Fraction mirror of cuped_effect over (unit -> (x, y))."""
+    from fractions import Fraction
+
+    def trunc_ppm(num, den):
+        if den == 0:
+            return None
+        sign = 1 if (num > 0) == (den > 0) else -1
+        return sign * (abs(num) * 1000000 // abs(den))
+
+    arms = {u: _arm_py(u, 2, salt) for u in unit_xy}
+    n = len(unit_xy)
+    sx = sum(x for x, _ in unit_xy.values())
+    sy = sum(y for _, y in unit_xy.values())
+    sxx = sum(x * x for x, _ in unit_xy.values())
+    sxy = sum(x * y for x, y in unit_xy.values())
+    syy = sum(y * y for _, y in unit_xy.values())
+    n_t = sum(1 for u in unit_xy if arms[u] == 1)
+    n_c = n - n_t
+    sx_t = sum(x for u, (x, _) in unit_xy.items() if arms[u] == 1)
+    sy_t = sum(y for u, (_, y) in unit_xy.items() if arms[u] == 1)
+    sx_c, sy_c = sx - sx_t, sy - sy_t
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    dyc = sy_t * n_c - sy_c * n_t
+    dxc = sx_t * n_c - sx_c * n_t
+    nn = n_t * n_c
+    out = {
+        "n_units": n, "n_treated": n_t, "n_control": n_c,
+        "theta_num": num, "theta_den": den,
+        "theta_ppm": trunc_ppm(num, den),
+        "raw_effect_ppm": (
+            trunc_ppm(dyc, nn) if n_t > 0 and n_c > 0 else None
+        ),
+        "cuped_effect_ppm": (
+            trunc_ppm(dyc * den - num * dxc, nn * den)
+            if n_t > 0 and n_c > 0 and den != 0 else None
+        ),
+        "var_reduction_ppm": (
+            (abs(num) * 1000000 // den) * abs(num) // deny
+            if den > 0 and deny > 0 else None
+        ),
+    }
+    # cross-check the rational algebra against the float textbook form
+    if den != 0 and n_t and n_c:
+        theta = Fraction(num, den)
+        mean_x = Fraction(sx, n)
+        adj_t = Fraction(sy_t, n_t) - theta * (Fraction(sx_t, n_t) - mean_x)
+        adj_c = Fraction(sy_c, n_c) - theta * (Fraction(sx_c, n_c) - mean_x)
+        eff = adj_t - adj_c
+        got = Fraction(dyc * den - num * dxc, nn * den)
+        assert eff == got, "rational collapse disagrees with textbook CUPED"
+    return out
+
+
+def _run_cuped(spark, rows, cutoff="2024-01-16 00:00:00"):
+    from ocr_translation_spark.functions.experiment import cuped_effect
+
+    df = _events(spark, rows)
+    [r] = cuped_effect(df, cutoff=cutoff).collect()
+    return {k: (int(v) if v is not None else None) for k, v in
+            r.asDict().items()}
+
+
+def _mk_rows(unit_xy):
+    """(unit -> (x, y)) as pre/post event rows around Jan 16."""
+    rows = []
+    for u, (x, y) in unit_xy.items():
+        rows += [
+            (u, _t(2) + datetime.timedelta(seconds=i), "view")
+            for i in range(x)
+        ]
+        rows += [
+            (u, _t(20) + datetime.timedelta(seconds=i), "view")
+            for i in range(y)
+        ]
+    return rows
+
+
+def test_cuped_matches_exact_python_mirror(spark):
+    # a unit exists iff it has >= 1 event, so (0, 0) units are out of
+    # the population on both sides
+    unit_xy = {
+        u: xy
+        for u in range(40)
+        if (xy := ((u * 7) % 13, (u * 7) % 13 + (u % 3))) != (0, 0)
+    }
+    got = _run_cuped(spark, _mk_rows(unit_xy))
+    assert got == _cuped_py(unit_xy)
+
+
+def test_cuped_removes_planted_unit_variance(spark):
+    # y = x exactly (pure unit heterogeneity, zero treatment effect):
+    # theta = 1, CUPED effect exactly 0, raw effect whatever the
+    # random split left over; variance reduction = 1e6 ppm
+    unit_xy = {u: (1 + (u * 13) % 97, 1 + (u * 13) % 97) for u in range(60)}
+    got = _run_cuped(spark, _mk_rows(unit_xy))
+    assert got["theta_ppm"] == 1000000
+    assert got["cuped_effect_ppm"] == 0
+    assert got["var_reduction_ppm"] == 1000000
+    assert got["raw_effect_ppm"] != 0  # the noise CUPED removed
+
+
+def test_cuped_zero_pre_variance_degrades_to_null(spark):
+    # constant x: den == 0 -> theta/cuped NULL, raw effect intact
+    unit_xy = {u: (3, u % 5) for u in range(30)}
+    got = _run_cuped(spark, _mk_rows(unit_xy))
+    assert got["theta_ppm"] is None
+    assert got["cuped_effect_ppm"] is None
+    assert got["raw_effect_ppm"] == _cuped_py(unit_xy)["raw_effect_ppm"]
+
+
+def test_cuped_single_arm_yields_null_effects(spark):
+    # pick units that all hash to the same arm
+    same = [u for u in range(200) if _arm_py(u, 2, "cuped") == 1][:10]
+    unit_xy = {u: (u % 4, u % 7) for u in same}
+    got = _run_cuped(spark, _mk_rows(unit_xy))
+    assert got["n_control"] == 0
+    assert got["raw_effect_ppm"] is None
+    assert got["cuped_effect_ppm"] is None
+
+
+def test_cuped_null_units_and_ts_dropped(spark):
+    unit_xy = {u: (2 + u % 3, 1 + u % 4) for u in range(20)}
+    rows = _mk_rows(unit_xy) + [(None, _t(2), "view"), (5, None, "view")]
+    assert _run_cuped(spark, rows) == _cuped_py(unit_xy)
