@@ -5462,6 +5462,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cuped_effect"] = _cuped
 
+    def _coec(spark, sf):
+        """COEC position-bias click model (functions/clickmodel.
+        coec_position_bias): the examination-bias CTR normalizer —
+        a global position-CTR curve in truncating ppm (quantized
+        identically on both engines, so the statistic is
+        engine-exact) and per-item clicks-over-expected-clicks.
+        One bounded (user, day) window shuffle + a <= max_pos-row
+        curve broadcast + one item-keyed rollup; expected-click sums
+        ride DECIMAL(38,0)."""
+        from ocr_translation_spark.functions.clickmodel import (
+            coec_position_bias,
+        )
+
+        ev = _read(spark, sf, "events")
+        return coec_position_bias(
+            ev, item=(F.col("event_id") % 40).alias("item_id")
+        )
+
+    q["coec_position_bias"] = _coec
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -6035,6 +6055,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family; in-window rep ab_experiment_report
         # (ipw_stratified_effect is the tail sibling)
         "cuped_effect",
+        # born-demoted: position-debiasing member of the behavioral
+        # event family; in-window rep events_funnel (mrr_eval and
+        # rank_normalize are tail siblings)
+        "coec_position_bias",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -11949,6 +11973,37 @@ SELECT n::BIGINT AS n_units, n_t::BIGINT AS n_treated,
          ((abs(num) * 1000000 // den) * abs(num) // deny)::BIGINT
        END AS var_reduction_ppm
 FROM e
+"""
+
+    # coec_position_bias twin: identical (user, day) session
+    # positions (row_number ordered by ts, event_id — a total order),
+    # the identically ppm-quantized position curve, HUGEINT expected
+    # sums, and the same truncating COEC division over non-negative
+    # operands.
+    o["coec_position_bias"] = """
+WITH imp AS (
+  SELECT event_id % 40 AS item_id,
+         (event_type = 'click')::BIGINT AS clk,
+         row_number() OVER (
+           PARTITION BY user_id, ts::DATE ORDER BY ts, event_id
+         ) AS pos
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), capped AS (
+  SELECT * FROM imp WHERE pos <= 10
+), curve AS (
+  SELECT pos, (sum(clk) * 1000000) // count(*) AS ctr_ppm
+  FROM capped GROUP BY pos
+)
+SELECT item_id,
+       count(*)::BIGINT AS n_impressions,
+       sum(i.clk)::BIGINT AS n_clicks,
+       sum(c.ctr_ppm)::BIGINT AS expected_clicks_micro,
+       CASE WHEN sum(c.ctr_ppm) > 0 THEN
+         ((sum(i.clk)::HUGEINT * 1000000000000)
+          // sum(c.ctr_ppm)::HUGEINT)::BIGINT
+       END AS coec_ppm
+FROM capped i JOIN curve c USING (pos)
+GROUP BY item_id
 """
 
     return o

@@ -386,6 +386,8 @@ def main() -> None:
         "robots_filter",
         # CUPED variance-reduced A/B effect (1 unit agg + 2-row rollup)
         "cuped_effect",
+        # COEC position-bias click model (1 window + curve broadcast)
+        "coec_position_bias",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

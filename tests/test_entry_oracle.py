@@ -207,6 +207,7 @@ _VARIANT_TAIL = {
     "spearman_activity",
     "robots_filter",
     "cuped_effect",
+    "coec_position_bias",
 }
 
 
@@ -572,6 +573,9 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: variance-reduction member of the experiment
         # family (ipw_stratified_effect is the tail sibling)
         "cuped_effect": "ab_experiment_report",
+        # born-demoted: position-debiasing member of the behavioral
+        # event family (mrr_eval / rank_normalize are tail siblings)
+        "coec_position_bias": "events_funnel",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
