@@ -388,6 +388,8 @@ def main() -> None:
         "cuped_effect",
         # COEC position-bias click model (1 window + curve broadcast)
         "coec_position_bias",
+        # split-conformal thresholds (rank_for narrowing + audit agg)
+        "conformal_thresholds",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -106,6 +106,7 @@ def group_exact_quantiles(
     limit: int = 4096,
     max_rounds: int = 64,
     weight_col: str | None = None,
+    rank_for=None,
 ) -> DataFrame:
     """One row per (group, q): (grp, q, rank, n, value).
 
@@ -123,6 +124,15 @@ def group_exact_quantiles(
     max_rounds instead of narrowing) — as are rows with NULL or
     non-positive weight. ``limit`` bounds final-selection ROWS per
     state regardless of their weight.
+
+    ``rank_for`` generalizes the target beyond fixed quantiles: a
+    callable ``(label, n) -> rank`` invoked per (group, label) with
+    that group's total weight ``n``, returning the 1-based target
+    rank directly (clamped nowhere — out-of-range ranks raise). The
+    ``qs`` entries are then opaque labels, not parsed as fractions.
+    This is how data-dependent order statistics (e.g. the split-
+    conformal rank ceil((n+1)*(1-alpha)), functions/conformal.py)
+    reuse the narrowing machinery.
     """
     if bins < 2:
         raise ValueError("bins must be >= 2")
@@ -160,10 +170,18 @@ def group_exact_quantiles(
         for row in stats:
             n = row["n"]
             for q in qs:
-                fq = Fraction(q)
-                if not 0 <= fq <= 1:
-                    raise ValueError(f"q out of [0,1]: {q}")
-                rank = max(1, -((-fq.numerator * n) // fq.denominator))
+                if rank_for is not None:
+                    rank = int(rank_for(q, n))
+                    if not 1 <= rank <= n:
+                        raise ValueError(
+                            f"rank_for({q!r}, {n}) = {rank} outside "
+                            f"[1, {n}]"
+                        )
+                else:
+                    fq = Fraction(q)
+                    if not 0 <= fq <= 1:
+                        raise ValueError(f"q out of [0,1]: {q}")
+                    rank = max(1, -((-fq.numerator * n) // fq.denominator))
                 if row["mn"] == row["mx"]:
                     resolved.append((row["grp"], q, rank, n, row["mn"]))
                 else:

@@ -208,6 +208,7 @@ _VARIANT_TAIL = {
     "robots_filter",
     "cuped_effect",
     "coec_position_bias",
+    "conformal_thresholds",
 }
 
 
@@ -576,6 +577,10 @@ def test_driver_window_covers_every_operator_family():
         # born-demoted: position-debiasing member of the behavioral
         # event family (mrr_eval / rank_normalize are tail siblings)
         "coec_position_bias": "events_funnel",
+        # born-demoted: finite-sample-calibration member of the
+        # evaluation family (roc_auc_eval / calibration_bins are
+        # tail siblings)
+        "conformal_thresholds": "quality_decile_stats",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
