@@ -390,6 +390,8 @@ def main() -> None:
         "coec_position_bias",
         # split-conformal thresholds (rank_for narrowing + audit agg)
         "conformal_thresholds",
+        # k-truss edge peel (support recount rounds, prepared-memoized)
+        "ktruss_edges",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -209,6 +209,7 @@ _VARIANT_TAIL = {
     "cuped_effect",
     "coec_position_bias",
     "conformal_thresholds",
+    "ktruss_edges",
 }
 
 
@@ -581,6 +582,10 @@ def test_driver_window_covers_every_operator_family():
         # evaluation family (roc_auc_eval / calibration_bins are
         # tail siblings)
         "conformal_thresholds": "quality_decile_stats",
+        # born-demoted: tenth iterative-graph discipline (edge
+        # peeling with recount; kcore_decomposition and
+        # triangle_counts are the tail siblings)
+        "ktruss_edges": "pagerank_centrality",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
