@@ -12025,15 +12025,21 @@ WITH per_unit AS (
             ::UBIGINT % 2)::BIGINT AS arm, x, y
   FROM per_unit
 ), agg AS (
+  -- coalesce so an empty/filtered-out population reports integer
+  -- zeros exactly like the Spark side's coalesced arm sums
   SELECT count(*)::HUGEINT AS n,
-         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::HUGEINT AS n_t,
-         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::HUGEINT AS n_c,
-         sum(x) AS sx, sum(y) AS sy,
-         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy,
-         sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sx_t,
-         sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS sy_t,
-         sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sx_c,
-         sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sy_c
+         coalesce(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0)
+           ::HUGEINT AS n_t,
+         coalesce(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0)
+           ::HUGEINT AS n_c,
+         coalesce(sum(x), 0) AS sx, coalesce(sum(y), 0) AS sy,
+         coalesce(sum(x * x), 0) AS sxx,
+         coalesce(sum(x * y), 0) AS sxy,
+         coalesce(sum(y * y), 0) AS syy,
+         coalesce(sum(CASE WHEN arm = 1 THEN x ELSE 0 END), 0) AS sx_t,
+         coalesce(sum(CASE WHEN arm = 1 THEN y ELSE 0 END), 0) AS sy_t,
+         coalesce(sum(CASE WHEN arm = 0 THEN x ELSE 0 END), 0) AS sx_c,
+         coalesce(sum(CASE WHEN arm = 0 THEN y ELSE 0 END), 0) AS sy_c
   FROM armed
 ), p AS (
   SELECT n, n_t, n_c,
@@ -12077,7 +12083,7 @@ FROM e
     o["coec_position_bias"] = """
 WITH imp AS (
   SELECT event_id % 40 AS item_id,
-         (event_type = 'click')::BIGINT AS clk,
+         coalesce((event_type = 'click')::BIGINT, 0) AS clk,
          row_number() OVER (
            PARTITION BY user_id, ts::DATE ORDER BY ts, event_id
          ) AS pos
@@ -12136,8 +12142,8 @@ SELECT t.grp, t.n_cal, t.k_rank, t.threshold,
        coalesce(sum((s.score <= t.threshold)::INT), 0)::BIGINT
          AS n_covered,
        CASE WHEN count(s.score) > 0 THEN
-         (coalesce(sum((s.score <= t.threshold)::INT), 0) * 1000000)
-           // count(s.score)
+         ((coalesce(sum((s.score <= t.threshold)::INT), 0) * 1000000)
+           // count(s.score))::BIGINT
        END AS coverage_ppm
 FROM thr t LEFT JOIN tst s ON s.event_type = t.grp
 GROUP BY 1, 2, 3, 4

@@ -65,12 +65,16 @@ def robots_filter(
     ``matched_prefix`` is NULL when no rule matched; ``allowed`` is
     then ``default_allow`` (the protocol default True — pass False
     for a closed-world frontier). NULL-host or NULL-path URLs match
-    nothing. Rules with a NULL host or prefix are dropped.
+    nothing. Rules with a NULL host, prefix, OR verdict are dropped —
+    a NULL-verdict rule that won longest-match would otherwise report
+    its prefix as matched while silently falling back to the default,
+    a self-contradictory row.
     """
     rule_sets = (
         rules.filter(
             F.col(rule_host_col).isNotNull()
             & F.col(prefix_col).isNotNull()
+            & F.col(allow_col).isNotNull()
         )
         .groupBy(F.col(rule_host_col).alias("_rf_host"))
         .agg(

@@ -332,9 +332,16 @@ def cuped_effect(
     )
 
     def _arm(c: str, a: int) -> Column:
-        return F.sum(F.when(F.col("arm") == a, F.col(c)).otherwise(
-            F.lit(0).cast(d38)
-        ))
+        # coalesce so a fully-filtered (empty) input reports integer
+        # zeros like the DuckDB twin, not a row of NULL sums
+        return F.coalesce(
+            F.sum(
+                F.when(F.col("arm") == a, F.col(c)).otherwise(
+                    F.lit(0).cast(d38)
+                )
+            ),
+            F.lit(0).cast(d38),
+        )
 
     pooled = per_arm.agg(
         (_arm("n", 0) + _arm("n", 1)).alias("n"),

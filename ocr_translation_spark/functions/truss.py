@@ -54,8 +54,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-_CHECKPOINT_EVERY = 4
-
 
 def _edge_support(e: DataFrame) -> DataFrame:
     """(u, v, support) for every canonical edge of ``e`` — triangle
@@ -163,10 +161,11 @@ def ktruss_edges(
             if cur is not first:
                 cur.unpersist()
             cur = nxt
-            if n_next == n_edges:
-                # fixpoint: the support just computed IS the support
-                # within the final subgraph; cur is already
-                # checkpoint-backed, so the projection is free
+            if n_next == n_edges or n_next == 0:
+                # fixpoint: unchanged set (the support just computed
+                # IS the support within the final subgraph) or the
+                # empty truss, which is definitionally final — don't
+                # spend a round of max_iters rediscovering emptiness
                 return cur.select("u", "v", "support")
             n_edges = n_next
         raise RuntimeError(

@@ -146,3 +146,38 @@ def test_tiebreak_makes_positions_deterministic(spark):
 def test_validation():
     with pytest.raises(ValueError):
         coec_position_bias(None, item="x", max_pos=0)
+
+
+def test_null_event_type_is_a_non_click_impression(spark):
+    # NULL type must count as an impression with clk = 0, not poison
+    # the curve with NULL ctr (review regression)
+    rows = [(0, 1, _ts(2, 0), None), (1, 1, _ts(2, 1), "click")]
+    got = _run(spark, rows)
+    assert got[0] == (1, 0, 0, None)       # pos 1: ctr 0
+    assert got[1] == (1, 1, 1000000, 1000000)  # pos 2: ctr 1
+    curve = {
+        r["pos"]: (r["n_impressions"], r["n_clicks"], r["ctr_ppm"])
+        for r in position_ctr_curve(_df(spark, rows)).collect()
+    }
+    assert curve == {1: (1, 0, 0), 2: (1, 1, 1000000)}
+
+
+def test_curve_and_coec_share_position_semantics(spark):
+    # both public entry points must derive from the same rollup —
+    # cross-check expected_clicks against the standalone curve
+    rows = []
+    for u in range(5):
+        for k in range(6):
+            rows.append(
+                (u * 40 + k, u, _ts(3, k), "click" if k % 2 else "view")
+            )
+    curve = {
+        r["pos"]: r["ctr_ppm"]
+        for r in position_ctr_curve(_df(spark, rows)).collect()
+    }
+    py = _coec_py(rows)
+    got = _run(spark, rows)
+    assert got == py
+    for item, (n, c, exp, _) in got.items():
+        # every impression of item sits at pos = (item % 40) + 1 here
+        assert exp == n * curve[item % 40 + 1]

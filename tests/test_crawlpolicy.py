@@ -143,3 +143,14 @@ def test_preserves_url_columns_and_extra_attrs(spark):
     ]
     row = out.collect()[0]
     assert row["depth"] == 9 and row["allowed"] is False
+
+
+def test_null_verdict_rule_is_dropped(spark):
+    # a NULL-allow rule must not win longest-match and then silently
+    # fall back to the default (review regression)
+    got = _verdicts(
+        spark,
+        [(1, "h", "/private/deep/x")],
+        RULES + [("h", "/private/deep/", None)],
+    )
+    assert got[1] == ("/private/", False)

@@ -376,3 +376,16 @@ def test_cuped_null_units_and_ts_dropped(spark):
     unit_xy = {u: (2 + u % 3, 1 + u % 4) for u in range(20)}
     rows = _mk_rows(unit_xy) + [(None, _t(2), "view"), (5, None, "view")]
     assert _run_cuped(spark, rows) == _cuped_py(unit_xy)
+
+
+def test_cuped_empty_population_reports_zero_counts(spark):
+    # fully NULL-filtered input: integer zeros + NULL effects, the
+    # same degenerate row the DuckDB twin emits (review regression)
+    rows = [(None, _t(2), "view"), (5, None, "view")]
+    got = _run_cuped(spark, rows)
+    assert got["n_units"] == got["n_treated"] == got["n_control"] == 0
+    assert got["theta_num"] == 0 and got["theta_den"] == 0
+    assert got["theta_ppm"] is None
+    assert got["raw_effect_ppm"] is None
+    assert got["cuped_effect_ppm"] is None
+    assert got["var_reduction_ppm"] is None

@@ -100,3 +100,10 @@ def test_unconverged_peel_raises(spark):
 def test_k_validation(spark):
     with pytest.raises(ValueError):
         ktruss_edges(None, 1)
+
+
+def test_peel_to_empty_is_a_fixpoint_not_a_timeout(spark):
+    # a single triangle at k=5 empties in round 1; max_iters=1 must
+    # return the empty truss, not raise (review regression)
+    got = _run(spark, [(0, 1), (1, 2), (2, 0)], 5, max_iters=1)
+    assert got == {}
