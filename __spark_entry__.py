@@ -1633,6 +1633,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_metadata"] = _media_meta
 
+    def _reading_order(spark, sf):
+        """OCR layout analysis: block/line segmentation + reading-order
+        sort (functions/readingorder.py) — the north-star stage-A
+        operator ("page/block/line segmentation via connected-component
+        + reading-order sort", BASELINE.json north_star; the reference
+        gets ordering free from tesseract's TSV, src/utils/ocr.js:13-17).
+        XY-cut as two gaps-and-islands window passes: blocks = x-interval
+        connected components per page (running max of x1 over previous
+        rows — transitive chains merge), lines = the same on y within
+        (page, block), rank = row_number over (block, line, x0). ONE
+        doc_id exchange total: hashpartitioning(doc_id) satisfies the
+        (doc_id, block_id) window's clustering, so passes 2 and 3 add
+        sorts only (plan-shape test). Input boxes are sha-derived per
+        token: column = h%3 (1000-px stride, 600-px jitter + 200-px
+        width so columns never bridge), line = (h div 16384)%5 (100-px
+        stride, 50+40 < 100 likewise), which plants real multi-block
+        multi-line pages while staying SQL-derivable for the twin."""
+        from ocr_translation_spark.functions.readingorder import (
+            reading_order,
+        )
+        from ocr_translation_spark.functions.sketches import hash60
+
+        toks = (
+            _read(spark, sf, "documents")
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.col("doc_id") % 9 + 7,
+                    )
+                ).alias("token_id"),
+            )
+            .select(
+                "doc_id",
+                "token_id",
+                hash60(
+                    F.concat(
+                        F.lit("ro:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("token_id").cast("string"),
+                    )
+                ).alias("h"),
+            )
+        )
+        boxes = toks.select(
+            "doc_id",
+            "token_id",
+            F.expr("(h % 3) * 1000 + (h div 8) % 600").alias("x0"),
+            F.expr("(h % 3) * 1000 + (h div 8) % 600 + 200").alias("x1"),
+            F.expr(
+                "((h div 16384) % 5) * 100 + (h div 1048576) % 50"
+            ).alias("y0"),
+            F.expr(
+                "((h div 16384) % 5) * 100 + (h div 1048576) % 50 + 40"
+            ).alias("y1"),
+        )
+        return reading_order(boxes)
+
+    q["layout_reading_order"] = _reading_order
+
     # ---- round-5 curation additions: benchmark decontamination,
     # vocabulary/OOV coverage, unigram concentration signals, and
     # deterministic mixture resampling ----
@@ -6153,6 +6215,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pagerank_centrality + dedup_clusters (kcore_decomposition
         # and triangle_counts are the tail siblings)
         "ktruss_edges",
+        # demoted for layout_reading_order (the north-star stage-A
+        # layout operator): training-data-layout family keeps
+        # document_packing in-window (documents_stratified_sample and
+        # weighted_priority_sample are tail siblings)
+        "training_shuffle_order",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -7175,6 +7242,49 @@ SELECT m.media_ref, m.media_kind,
        (coalesce(a.my, 0) + 1)::INTEGER AS height,
        true AS decode_ok
 FROM media m LEFT JOIN agg a USING (media_ref)
+"""
+
+    # layout_reading_order twin: the same sha-derived box geometry,
+    # then the two gaps-and-islands passes spelled directly — both
+    # engines agree on the ROWS UNBOUNDED PRECEDING TO 1 PRECEDING
+    # running-max frame (probed) and on strict-> island starts.
+    o["layout_reading_order"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(generate_series(0, 7 + doc_id % 9)) AS token_id
+  FROM documents
+), hsh AS (
+  SELECT doc_id, token_id,
+         ('0x' || substr(sha256('ro:' || doc_id || ':' || token_id), 1, 15))::UBIGINT AS h
+  FROM toks
+), boxes AS (
+  SELECT doc_id, token_id::BIGINT AS token_id,
+         ((h % 3) * 1000 + (h // 8) % 600)::BIGINT AS x0,
+         ((h % 3) * 1000 + (h // 8) % 600 + 200)::BIGINT AS x1,
+         (((h // 16384) % 5) * 100 + (h // 1048576) % 50)::BIGINT AS y0,
+         (((h // 16384) % 5) * 100 + (h // 1048576) % 50 + 40)::BIGINT AS y1
+  FROM hsh
+), blk AS (
+  SELECT *, sum(CASE WHEN cmx IS NULL OR x0 > cmx THEN 1 ELSE 0 END) OVER (
+      PARTITION BY doc_id ORDER BY x0, token_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS block_id
+  FROM (
+    SELECT *, max(x1) OVER (PARTITION BY doc_id ORDER BY x0, token_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cmx
+    FROM boxes)
+), lin AS (
+  SELECT *, sum(CASE WHEN cmy IS NULL OR y0 > cmy THEN 1 ELSE 0 END) OVER (
+      PARTITION BY doc_id, block_id ORDER BY y0, token_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS line_id
+  FROM (
+    SELECT *, max(y1) OVER (PARTITION BY doc_id, block_id ORDER BY y0, token_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cmy
+    FROM blk)
+)
+SELECT doc_id, token_id, block_id, line_id,
+       row_number() OVER (PARTITION BY doc_id
+         ORDER BY block_id, line_id, x0, token_id)::BIGINT AS reading_rank
+FROM lin
 """
 
     o["ann_cosine_topk"] = """

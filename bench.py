@@ -392,6 +392,9 @@ def main() -> None:
         "conformal_thresholds",
         # k-truss edge peel (support recount rounds, prepared-memoized)
         "ktruss_edges",
+        # XY-cut block/line segmentation + reading-order sort
+        # (1 doc exchange + 3 sorts)
+        "layout_reading_order",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -210,6 +210,7 @@ _VARIANT_TAIL = {
     "coec_position_bias",
     "conformal_thresholds",
     "ktruss_edges",
+    "training_shuffle_order",
 }
 
 
@@ -299,8 +300,9 @@ def test_driver_window_covers_every_operator_family():
         # family rep is heavy_hitters
         "skew_report": "heavy_hitters",
         # born-demoted: partitioned-rank scheduling window; shape rep
-        # is training_shuffle_order
-        "frontier_schedule": "training_shuffle_order",
+        # remapped to the packing layout after training_shuffle_order
+        # (the previous rep) was itself demoted for layout_reading_order
+        "frontier_schedule": "document_packing",
         # subsumed: record_linkage_fs runs the same SNM blocking every
         # call and adds the Fellegi-Sunter classification on top
         "snm_candidate_pairs": "record_linkage_fs",
@@ -586,6 +588,9 @@ def test_driver_window_covers_every_operator_family():
         # peeling with recount; kcore_decomposition and
         # triangle_counts are the tail siblings)
         "ktruss_edges": "pagerank_centrality",
+        # training-data-layout family: deterministic ordering is a
+        # sibling of the packing layout kept in-window
+        "training_shuffle_order": "document_packing",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
