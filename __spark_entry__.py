@@ -5629,6 +5629,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ktruss_edges"] = _ktruss
 
+    def _rolling_wau(spark, sf):
+        """Sliding 7-day distinct actives per calendar day
+        (functions/growth.rolling_active_users): bounded-contribution
+        explode turns the sliding distinct — which is neither a Spark
+        window function (DISTINCT windows refused) nor first-touch
+        linearizable (churn on both edges) — into one W-bounded
+        explode + one distinct aggregate. Twin is the NAIVE correlated
+        windowed-distinct per spine day, an independent formulation."""
+        from ocr_translation_spark.functions.growth import (
+            rolling_active_users,
+        )
+
+        return rolling_active_users(_read(spark, sf, "events"))
+
+    q["rolling_active_users"] = _rolling_wau
+
+    def _srm(spark, sf):
+        """Sample-ratio-mismatch gate (functions/experiment.srm_check):
+        per-experiment Pearson chi-square of observed arm counts vs the
+        designed 1:1 ratio in exact ppm (DECIMAL(38,0) cross-products,
+        subtracted-remainder truncating division — Spark's div returns
+        an overflowing BIGINT). Experiments = event types; units =
+        distinct users per type under the house hash-and-bucket
+        assignment; the 'click' experiment PLANTS a real mismatch by
+        dropping 80% of arm-1 units (user_id % 5 != 0 — a biased
+        logging filter, the canonical SRM root cause), so the flag
+        genuinely fires on that row at sf0.01+ and stays off
+        elsewhere. (At sf0.001 the corpus has 15 users — even a fully
+        missing arm cannot reach alpha=0.001 there, chi2_max = N ppm
+        < crit; the flag staying quiet on samples too small to alarm
+        is itself correct SRM behavior, and the value oracle checks
+        the statistic exactly at every scale regardless.)"""
+        from ocr_translation_spark.functions.experiment import (
+            assign_arm,
+            srm_check,
+        )
+
+        ev = _read(spark, sf, "events").filter(
+            F.col("user_id").isNotNull()
+        )
+        asg = (
+            ev.select(
+                F.col("event_type").alias("experiment"), "user_id"
+            )
+            .distinct()
+            .select(
+                "experiment",
+                "user_id",
+                assign_arm(F.col("user_id"), 2, salt="srm")
+                .cast("string")
+                .alias("arm"),
+            )
+            .filter(
+                ~(
+                    (F.col("experiment") == "click")
+                    & (F.col("arm") == "1")
+                    & (F.col("user_id") % 5 != 0)
+                )
+            )
+        )
+        return srm_check(asg, weights={"0": 1, "1": 1}).select(
+            "experiment",
+            "n_units",
+            # decimal -> long for the value compare: the planted-scale
+            # statistic is far below 2^63 (general callers keep the
+            # DECIMAL(38,0) the function returns)
+            F.col("chi2_ppm").cast("long").alias("chi2_ppm"),
+            "df",
+            "srm_flag",
+        )
+
+    q["srm_check"] = _srm
+
+    def _kfold(spark, sf):
+        """Deterministic stratified k-fold assignment
+        (functions/splitting.stratified_kfold, k=5, strata = lang):
+        fold = (per-stratum rank over the salted sha256 of doc_id - 1)
+        mod k — exact within-stratum balance (sizes differ by <= 1),
+        pure function of (salt, ids). One stratum-keyed window
+        shuffle. The balance property itself is pinned by unit test;
+        the oracle proves the assignment bit-exact."""
+        from ocr_translation_spark.functions.splitting import (
+            stratified_kfold,
+        )
+
+        return stratified_kfold(
+            _read(spark, sf, "documents"), "lang", "doc_id", k=5
+        )
+
+    q["stratified_kfold"] = _kfold
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -6220,6 +6311,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # document_packing in-window (documents_stratified_sample and
         # weighted_priority_sample are tail siblings)
         "training_shuffle_order",
+        # born-demoted: sliding-distinct member of the growth-curve
+        # family; in-window rep user_retention_cohorts
+        # (cumulative_new_users is the tail sibling)
+        "rolling_active_users",
+        # born-demoted: assignment-integrity gate of the experiment
+        # family; in-window rep ab_experiment_report (cuped_effect and
+        # ipw_stratified_effect are tail siblings)
+        "srm_check",
+        # born-demoted: evaluation-split sibling of the leakage-safe
+        # split family; in-window rep cluster_safe_split
+        "stratified_kfold",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -12299,6 +12401,78 @@ e0 AS (
 ),
 {", ".join(_kt_rounds)}
 SELECT u, v, support FROM {_ktprev}
+"""
+
+    # rolling_active_users twin: the NAIVE correlated windowed-distinct
+    # per spine day — an independent formulation of the bounded-
+    # contribution-explode identity, not a re-statement of the plan.
+    o["rolling_active_users"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM pairs),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       (SELECT count(DISTINCT p.user_id) FROM pairs p
+         WHERE p.d = s.day)::BIGINT AS dau,
+       (SELECT count(DISTINCT p.user_id) FROM pairs p
+         WHERE p.d <= s.day AND p.d >= s.day - 6)::BIGINT AS wau
+FROM spine s
+"""
+
+    # srm_check twin: identical assignment + planted logging bias,
+    # Pearson terms in HUGEINT with native truncating // (the Spark
+    # side's subtracted-remainder decimal division equals it for the
+    # non-negative operands here).
+    o["srm_check"] = """
+WITH asg AS (
+  SELECT DISTINCT event_type AS experiment, user_id
+  FROM events WHERE user_id IS NOT NULL
+), armed AS (
+  SELECT experiment, user_id,
+         (('0x' || substr(sha256('srm:' || user_id), 1, 15))::UBIGINT
+          % 2)::VARCHAR AS arm
+  FROM asg
+), kept AS (
+  SELECT * FROM armed
+  WHERE NOT (experiment = 'click' AND arm = '1' AND user_id % 5 <> 0)
+), obs AS (
+  SELECT experiment, arm, count(*)::HUGEINT AS obs
+  FROM kept GROUP BY 1, 2
+), spine AS (
+  SELECT e.experiment, a.arm, a.w
+  FROM (SELECT DISTINCT experiment FROM obs) e,
+       (VALUES ('0', 1), ('1', 1)) a(arm, w)
+), j AS (
+  SELECT s.experiment, s.arm, s.w::HUGEINT AS w,
+         coalesce(o.obs, 0)::HUGEINT AS obs
+  FROM spine s LEFT JOIN obs o USING (experiment, arm)
+), withn AS (
+  SELECT *, sum(obs) OVER (PARTITION BY experiment)::HUGEINT AS n
+  FROM j
+), terms AS (
+  SELECT experiment, n,
+         ((obs * 2 - n * w) * (obs * 2 - n * w) * 1000000)
+           // (2 * n * w) AS term
+  FROM withn WHERE n > 0
+)
+SELECT experiment, max(n)::BIGINT AS n_units,
+       sum(term)::BIGINT AS chi2_ppm,
+       1::INTEGER AS df,
+       (sum(term) > 10827566) AS srm_flag
+FROM terms GROUP BY experiment
+"""
+
+    # stratified_kfold twin: the identical salted-hash rank arithmetic.
+    o["stratified_kfold"] = """
+SELECT doc_id, lang,
+       ((row_number() OVER (PARTITION BY lang ORDER BY
+           ('0x' || substr(sha256('kfold:' || doc_id), 1, 15))::UBIGINT,
+           doc_id) - 1) % 5)::INTEGER AS fold
+FROM documents
 """
 
     return o

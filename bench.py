@@ -395,6 +395,12 @@ def main() -> None:
         # XY-cut block/line segmentation + reading-order sort
         # (1 doc exchange + 3 sorts)
         "layout_reading_order",
+        # sliding 7-day distinct actives (bounded-contribution explode)
+        "rolling_active_users",
+        # sample-ratio-mismatch chi-square gate (exact ppm)
+        "srm_check",
+        # balanced deterministic stratified k-fold (1 stratum window)
+        "stratified_kfold",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

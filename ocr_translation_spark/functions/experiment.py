@@ -413,3 +413,131 @@ def cuped_effect(
             (den > 0) & (deny > 0), rho2.cast("long")
         ).alias("var_reduction_ppm"),
     )
+
+
+# chi-square upper critical values in ppm for the SRM convention
+# alpha = 0.001 (Fabijan et al., "Diagnosing Sample Ratio Mismatch",
+# KDD'19 — SRM alerts use a deliberately tight alpha because the test
+# runs on every experiment every day). Irrational values, pinned as
+# literals to 6 decimals; df = n_arms - 1.
+_CHI2_CRIT_PPM_001 = {
+    1: 10_827_566,
+    2: 13_815_511,
+    3: 16_266_236,
+    4: 18_466_827,
+    5: 20_515_006,
+    6: 22_457_744,
+    7: 24_321_886,
+    8: 26_124_482,
+    9: 27_877_165,
+}
+
+
+def srm_check(
+    assignments: DataFrame,
+    exp_col: str = "experiment",
+    arm_col: str = "arm",
+    weights: dict[str, int] | None = None,
+    crit_ppm: int | None = None,
+) -> DataFrame:
+    """Sample-ratio-mismatch gate: per experiment, Pearson's
+    chi-square of observed per-arm unit counts against the DESIGNED
+    integer ratio, in exact micro-units.
+
+    ``assignments`` is one row per (experiment, unit) with its arm;
+    ``weights`` maps every designed arm name to its integer ratio
+    weight (default 1:1 over the arms present in the data is NOT
+    inferred — SRM is precisely the test that the data no longer
+    reflects the design, so the design must come from the caller).
+
+    With W = sum(weights) and N = units observed in the experiment,
+    the exact per-arm Pearson term is
+
+        (obs*W - N*w)^2 / (W*N*w)
+
+    carried as DECIMAL(38,0) cross-products with ONE truncating
+    division per arm at ppm scale, spelled ``(num - num % den) / den``
+    so the quotient STAYS decimal — Spark's ``div`` operator returns
+    BIGINT and silently overflows past 9.2e18, which a squared
+    38-digit cross-product exceeds (probed); the subtracted-remainder
+    form divides exactly and equals DuckDB's HUGEINT ``//`` for the
+    non-negative operands here. chi2_ppm is engine-identical to the
+    last digit. A designed arm
+    with zero observed units still contributes its term (that is the
+    strongest possible mismatch) via the experiments x arms literal
+    spine. ``srm_flag`` compares against the alpha=0.001 critical
+    value for df = n_arms - 1 (Fabijan et al., KDD'19).
+
+    Scale shape: one (experiment, arm) count aggregate over the
+    assignment table, then everything is O(experiments x arms) — the
+    designed-arm spine is a literal crossJoin on the tiny grouped
+    side, never on units.
+    """
+    if not weights:
+        raise ValueError("weights: designed arm -> integer ratio required")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive: {weights}")
+    df = len(weights) - 1
+    if df < 1:
+        raise ValueError("SRM needs >= 2 designed arms")
+    if crit_ppm is None:
+        if df not in _CHI2_CRIT_PPM_001:
+            raise ValueError(
+                f"no built-in alpha=0.001 critical value for df={df}; "
+                f"pass crit_ppm explicitly"
+            )
+        crit_ppm = _CHI2_CRIT_PPM_001[df]
+    total_w = sum(weights.values())
+
+    obs = assignments.groupBy(exp_col, arm_col).agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    design = F.explode(
+        F.map_from_arrays(
+            F.array(*[F.lit(a) for a in weights]),
+            F.array(*[F.lit(w) for w in weights.values()]),
+        )
+    )
+    spine = (
+        obs.select(exp_col)
+        .distinct()
+        .select(exp_col, design.alias(arm_col, "w"))
+    )
+    dec = "decimal(38,0)"
+    joined = (
+        spine.join(obs, [exp_col, arm_col], "left")
+        .select(
+            exp_col,
+            arm_col,
+            "w",
+            F.coalesce("obs", F.lit(0)).cast("long").alias("obs"),
+        )
+        .withColumn(
+            "n", F.sum("obs").over(Window.partitionBy(exp_col))
+        )
+    )
+    num = (
+        f"((cast(obs as {dec}) * {total_w} - cast(n as {dec}) * w)"
+        f" * (cast(obs as {dec}) * {total_w} - cast(n as {dec}) * w)"
+        f" * 1000000)"
+    )
+    den = f"(cast({total_w} as {dec}) * n * w)"
+    term = F.expr(
+        f"cast(({num} - {num} % {den}) / {den} as {dec})"
+    )
+    return (
+        joined.filter(F.col("n") > 0)
+        .select(exp_col, "n", term.alias("term"))
+        .groupBy(exp_col)
+        .agg(
+            F.max("n").alias("n_units"),
+            F.sum("term").cast("decimal(38,0)").alias("chi2_ppm"),
+        )
+        .select(
+            exp_col,
+            F.col("n_units").cast("long"),
+            "chi2_ppm",
+            F.lit(df).cast("integer").alias("df"),
+            (F.col("chi2_ppm") > F.lit(crit_ppm)).alias("srm_flag"),
+        )
+    )

@@ -27,7 +27,7 @@ dedup_clusters stage the pipeline already ran.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _bucket(cluster_id: Column, total: int) -> Column:
@@ -76,4 +76,56 @@ def cluster_safe_split(
     )
     return clusters.select(
         F.col(id_col), F.col("cluster_id"), expr.alias("split")
+    )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    k: int = 5,
+    salt: str = "kfold",
+) -> DataFrame:
+    """(id, stratum, fold): deterministic stratified k-fold assignment
+    with EXACT balance — within every stratum the fold sizes differ by
+    at most 1, which a pure hash-mod split cannot promise (binomial
+    fluctuation makes small-stratum folds arbitrarily lopsided, and
+    cross-validation variance grows with that imbalance).
+
+    fold = (row_number within stratum, ordered by the salted 60-bit
+    sha256 of the id with the id as tiebreak, minus 1) mod k — the
+    hash provides the shuffle (ordering by raw id would fold
+    correlated neighbors together), the rank provides the balance,
+    and both are pure functions of (salt, ids): re-running on a grown
+    corpus never depends on row order, and the DuckDB twin spells the
+    identical arithmetic.
+
+    Scale shape: ONE hash-partitioned window shuffle on the stratum
+    key; per-stratum state is a row counter. Skewed strata are a
+    sort, not a memory risk. NULL strata are kept as their own
+    stratum (NULL-keyed windows are one partition on both engines).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(salt + ":"), F.col(id_col).cast("string")
+                ),
+                256,
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(stratum_col).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return df.select(
+        id_col,
+        stratum_col,
+        ((F.row_number().over(w) - 1) % k).cast("integer").alias("fold"),
     )

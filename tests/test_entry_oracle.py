@@ -211,6 +211,9 @@ _VARIANT_TAIL = {
     "conformal_thresholds",
     "ktruss_edges",
     "training_shuffle_order",
+    "rolling_active_users",
+    "srm_check",
+    "stratified_kfold",
 }
 
 
@@ -591,6 +594,12 @@ def test_driver_window_covers_every_operator_family():
         # training-data-layout family: deterministic ordering is a
         # sibling of the packing layout kept in-window
         "training_shuffle_order": "document_packing",
+        # born-demoted: sliding-distinct growth curve
+        "rolling_active_users": "user_retention_cohorts",
+        # born-demoted: experiment assignment-integrity gate
+        "srm_check": "ab_experiment_report",
+        # born-demoted: evaluation-split sibling
+        "stratified_kfold": "cluster_safe_split",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
