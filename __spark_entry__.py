@@ -5720,6 +5720,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_kfold"] = _kfold
 
+    def _set_cover(spark, sf):
+        """Greedy maximum-coverage selection (functions/cover.py,
+        k=8) — the (1-1/e) submodular-max greedy over document BIGRAM
+        sets (the unigram vocabulary of the synthetic corpus is 31
+        tokens and its largest document carries all of them — unigram
+        cover would degenerate to one round; the ~900-bigram universe
+        keeps all 8 rounds load-bearing at every scale, verified by
+        simulation). Each round one scan of the persisted (id,
+        distinct-items) projection computes every candidate's marginal
+        gain against the BROADCAST covered-set literal (bounded by the
+        selection, never the corpus), then TakeOrdered(1). Ties by
+        doc_id; stops when the best gain hits 0 (submodularity: gains
+        are non-increasing, so the twin's WHERE nc > 0 over 8 unrolled
+        rounds is the same stop rule). Result is driver-sized (<= k
+        rows) by construction and memoized via prepared()."""
+        from ocr_translation_spark.functions._lsh_common import (
+            prepared,
+        )
+        from ocr_translation_spark.functions.cover import (
+            greedy_set_cover,
+        )
+        from ocr_translation_spark.functions.text import (
+            tokens,
+            word_grams,
+        )
+
+        docs = _read(spark, sf, "documents").select(
+            "doc_id",
+            word_grams(tokens(F.col("text")), 2).alias("items"),
+        )
+        return prepared(
+            "entry:greedy_set_cover",
+            (docs,),
+            (8,),
+            lambda: greedy_set_cover(docs, "doc_id", "items", k=8),
+        )
+
+    q["greedy_set_cover"] = _set_cover
+
+    def _gfeat(spark, sf):
+        """Bounded-hop neighbor feature aggregation
+        (functions/graph.neighbor_feature_agg, 2 rounds) — the
+        GraphSAGE mean aggregator in exact integers over the shared
+        sha-derived link graph: h_r(v) = (h_{r-1}(v) + sum of
+        in-neighbor h_{r-1}) div (1 + indeg), truncated mean, two
+        sha-derived non-negative features. Per round one src equi-join
+        + one dst partial-agg + one id rejoin; fixed depth, no
+        checkpoint needed. Twin unrolls both rounds over the _pr_tgt
+        edge derivation."""
+        from ocr_translation_spark.functions._lsh_common import (
+            prepared,
+        )
+        from ocr_translation_spark.functions.graph import (
+            neighbor_feature_agg,
+        )
+        from ocr_translation_spark.functions.sketches import hash60
+
+        docs = _read(spark, sf, "documents")
+        n_docs = docs.count()
+
+        def _feat(k: int):
+            return (
+                hash60(
+                    F.concat(
+                        F.lit(f"gf{k}:"), F.col("doc_id").cast("string")
+                    )
+                )
+                % 1000003
+            ).alias(f"f{k}")
+
+        def _build():
+            edges = _sha_link_edges(docs, n_docs)
+            verts = docs.select("doc_id", _feat(1), _feat(2))
+            return neighbor_feature_agg(
+                verts, edges, ["f1", "f2"], id_col="doc_id"
+            )
+
+        return prepared(
+            "entry:graph_feature_agg", (docs,), (n_docs,), _build
+        )
+
+    q["graph_feature_agg"] = _gfeat
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -6322,6 +6405,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: evaluation-split sibling of the leakage-safe
         # split family; in-window rep cluster_safe_split
         "stratified_kfold",
+        # born-demoted: coverage-objective member of the data-selection
+        # family; in-window rep mixture_resample (dsir_select,
+        # mmr_diverse_topk, kcenter_coreset are tail siblings)
+        "greedy_set_cover",
+        # born-demoted: bounded-hop propagation member of the
+        # iterative-graph family; in-window rep pagerank_centrality
+        # (label_propagation is the tail sibling)
+        "graph_feature_agg",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -12473,6 +12564,106 @@ SELECT doc_id, lang,
            ('0x' || substr(sha256('kfold:' || doc_id), 1, 15))::UBIGINT,
            doc_id) - 1) % 5)::INTEGER AS fold
 FROM documents
+"""
+
+    # greedy_set_cover twin: 8 unrolled greedy rounds (the
+    # kcore/pagerank unroll technique). Each round picks the
+    # not-yet-selected doc with the largest still-uncovered token
+    # count (ties by doc_id) and folds its tokens into the covered
+    # set; WHERE nc > 0 at the end is the Spark side's early stop —
+    # greedy marginal gains are non-increasing (submodularity), so
+    # once a round gains 0 every later round does too.
+    _sc_rounds = []
+    _sc_sel = ["SELECT 1 AS round, doc_id, nc FROM s1"]
+    for _i in range(2, 9):
+        _p = _i - 1
+        _sc_rounds.append(
+            f"c{_p} AS MATERIALIZED (\n"
+            + (
+                "  SELECT its AS cov FROM s1\n"
+                if _p == 1
+                else f"  SELECT list_distinct(list_concat(\n"
+                f"    (SELECT cov FROM c{_p - 1}),\n"
+                f"    (SELECT its FROM s{_p}))) AS cov\n"
+            )
+            + f"), s{_i} AS MATERIALIZED (\n"
+            f"  -- cov joined in as a column: DuckDB rejects scalar\n"
+            f"  -- subqueries INSIDE lambda bodies\n"
+            f"  SELECT doc_id, its,\n"
+            f"         len(list_filter(its, t -> NOT list_contains(\n"
+            f"           cov, t)))::BIGINT AS nc\n"
+            f"  FROM base, c{_p}\n"
+            f"  WHERE doc_id NOT IN ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id FROM s{_j}" for _j in range(1, _i)
+            )
+            + ")\n"
+            f"  ORDER BY nc DESC, doc_id LIMIT 1\n"
+            f")"
+        )
+        _sc_sel.append(f"SELECT {_i}, doc_id, nc FROM s{_i}")
+    o["greedy_set_cover"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, len(tk) - 1),
+    i -> tk[i] || ' ' || tk[i + 1])) AS its
+  FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+),
+s1 AS MATERIALIZED (
+  SELECT doc_id, its, len(its)::BIGINT AS nc FROM base
+  ORDER BY nc DESC, doc_id LIMIT 1
+),
+{", ".join(_sc_rounds)},
+sel AS ({" UNION ALL ".join(_sc_sel)})
+SELECT round::INTEGER AS round, doc_id, nc AS newly_covered,
+       (sum(nc) OVER (ORDER BY round))::BIGINT AS covered_total
+FROM sel WHERE nc > 0
+"""
+
+    # graph_feature_agg twin: 2 unrolled mean-pooling rounds over the
+    # shared _pr_tgt link derivation; // on the non-negative BIGINTs
+    # here equals Spark's truncating div.
+    _gf_feat = (
+        "(('0x' || substr(sha256('gf{k}:' || doc_id), 1, 15))"
+        "::UBIGINT % 1000003)::BIGINT"
+    )
+    _gf_steps = []
+    _gfprev = "h0"
+    for _i in (1, 2):
+        _gf_steps.append(
+            f"m{_i} AS (\n"
+            f"  SELECT e.dst AS id, sum(h.f1)::BIGINT AS s1,\n"
+            f"         sum(h.f2)::BIGINT AS s2\n"
+            f"  FROM e JOIN {_gfprev} h ON h.id = e.src GROUP BY e.dst\n"
+            f"), h{_i} AS (\n"
+            f"  SELECT {_gfprev}.id,\n"
+            f"         (({_gfprev}.f1 + coalesce(m{_i}.s1, 0))\n"
+            f"           // (1 + coalesce(deg.d, 0)))::BIGINT AS f1,\n"
+            f"         (({_gfprev}.f2 + coalesce(m{_i}.s2, 0))\n"
+            f"           // (1 + coalesce(deg.d, 0)))::BIGINT AS f2\n"
+            f"  FROM {_gfprev} LEFT JOIN m{_i} USING (id)\n"
+            f"  LEFT JOIN deg USING (id)\n"
+            f")"
+        )
+        _gfprev = f"h{_i}"
+    o["graph_feature_agg"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tg AS (
+  SELECT doc_id, list_distinct(list_filter(
+    [{_pr_tgt.format(k=1)},
+     {_pr_tgt.format(k=2)},
+     {_pr_tgt.format(k=3)}], t -> t <> doc_id)) AS ts
+  FROM documents, nn
+),
+e AS (SELECT doc_id AS src, unnest(ts) AS dst FROM tg),
+deg AS (SELECT dst AS id, count(*)::BIGINT AS d FROM e GROUP BY dst),
+h0 AS (
+  SELECT doc_id AS id, {_gf_feat.format(k=1)} AS f1,
+         {_gf_feat.format(k=2)} AS f2
+  FROM documents
+),
+{", ".join(_gf_steps)}
+SELECT id AS doc_id, f1, f2 FROM {_gfprev}
 """
 
     return o

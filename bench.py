@@ -401,6 +401,10 @@ def main() -> None:
         "srm_check",
         # balanced deterministic stratified k-fold (1 stratum window)
         "stratified_kfold",
+        # greedy max-coverage selection (8 scans + TakeOrdered(1))
+        "greedy_set_cover",
+        # 2-round mean-pooling neighbor aggregation (exact div)
+        "graph_feature_agg",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -1539,3 +1539,77 @@ def harmonic_centrality(
             F.count("*").alias("n_reached"),
         )
     )
+
+
+def neighbor_feature_agg(
+    vertices: DataFrame,
+    edges: DataFrame,
+    feat_cols: list[str],
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """GraphSAGE-style mean-pooling message passing (Hamilton et al.,
+    NeurIPS'17 — the "mean" aggregator) in EXACT integer arithmetic:
+    per round, every vertex's feature vector becomes
+
+        h_r(v) = (h_{r-1}(v) + sum over in-neighbors h_{r-1}(u))
+                   div (1 + indeg(v))
+
+    i.e. the truncated mean over the vertex and its in-neighborhood —
+    the standard self-loop-augmented mean aggregation, with ``div``
+    (never ``/``) so every engine reproduces the result bit-exactly.
+    Graph-feature pipelines use this to propagate quality/spam/topic
+    scores a bounded number of hops (fixed ``rounds``, no fixpoint).
+
+    EXACTNESS CONTRACT: features must be NON-NEGATIVE integers
+    (micro-unit encode signed scores as offsets) — truncating and
+    flooring division agree only on non-negative operands, so the
+    cross-engine guarantee holds there. Magnitudes are self-bounded:
+    a truncated mean never exceeds max(|feat|), so the per-group sum
+    is bounded by max_feat x (1 + max_indeg) — BIGINT-safe for any
+    realistic feature scale (1e6) times in-degree (<= 9e12).
+
+    Scale shape: per round ONE src-keyed equi-join (messages) + ONE
+    dst-keyed partial-agg sum + ONE id-keyed rejoin — all
+    hash-partitioned on vertex ids, no iteration-dependent state; the
+    in-degree table is computed once. ``rounds`` is a small constant
+    (receptive field), so the plan depth is fixed and needs no
+    checkpoint laundering.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if not feat_cols:
+        raise ValueError("feat_cols must be non-empty")
+    deg = edges.groupBy(F.col(dst).alias("_id")).agg(
+        F.count(F.lit(1)).alias("_indeg")
+    )
+    cur = vertices.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).cast("long").alias(c) for c in feat_cols],
+    )
+    for _ in range(rounds):
+        msgs = (
+            edges.select(
+                F.col(src).alias("_mid"), F.col(dst).alias("_id")
+            )
+            .join(cur.withColumnRenamed("_id", "_mid"), "_mid")
+            .groupBy("_id")
+            .agg(*[F.sum(c).alias(f"{c}_s") for c in feat_cols])
+        )
+        cur = (
+            cur.join(msgs, "_id", "left")
+            .join(deg, "_id", "left")
+            .select(
+                "_id",
+                *[
+                    F.expr(
+                        f"({c} + coalesce({c}_s, 0L))"
+                        f" div (1 + coalesce(_indeg, 0L))"
+                    ).alias(c)
+                    for c in feat_cols
+                ],
+            )
+        )
+    return cur.select(F.col("_id").alias(id_col), *feat_cols)

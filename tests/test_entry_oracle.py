@@ -214,6 +214,8 @@ _VARIANT_TAIL = {
     "rolling_active_users",
     "srm_check",
     "stratified_kfold",
+    "greedy_set_cover",
+    "graph_feature_agg",
 }
 
 
@@ -600,6 +602,10 @@ def test_driver_window_covers_every_operator_family():
         "srm_check": "ab_experiment_report",
         # born-demoted: evaluation-split sibling
         "stratified_kfold": "cluster_safe_split",
+        # born-demoted: coverage-objective data selection
+        "greedy_set_cover": "mixture_resample",
+        # born-demoted: bounded-hop graph propagation
+        "graph_feature_agg": "pagerank_centrality",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
