@@ -5803,6 +5803,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_feature_agg"] = _gfeat
 
+    def _loo_enc(spark, sf):
+        """Leakage-safe leave-one-out target encoding
+        (functions/encoding.py): per-row category mean of the label
+        EXCLUDING the row itself — (sum_cat - y_i) div (n_cat - 1) in
+        exact micro-units, singleton categories falling back to the
+        leave-one-out GLOBAL mean. One category aggregate joined back
+        (AQE broadcast) + one 1-row global; the exclude-self is
+        algebra, not a second pass. Labels = n_chars per source."""
+        from ocr_translation_spark.functions.encoding import (
+            loo_target_encoding,
+        )
+
+        return loo_target_encoding(
+            _read(spark, sf, "documents"), "source", "n_chars"
+        )
+
+    q["loo_target_encoding"] = _loo_enc
+
+    def _prox(spark, sf):
+        """Minimal cover-window proximity ranking
+        (functions/proximity.py; Clarke et al., IPM'00): smallest
+        token window containing all of ('scan', 'merge', 'data') per
+        doc via the O(n) last-occurrence sweep as ONE F.aggregate fold
+        (tokens evaluated once — nested-transform cartesians re-inline
+        the tokenization per lambda level, the word_cooccurrence
+        lesson), then TakeOrdered top-10. The twin runs the
+        brute-force nested-transform cartesian minimum — an
+        INDEPENDENT formulation."""
+        from ocr_translation_spark.functions.proximity import (
+            proximity_topk,
+        )
+
+        return proximity_topk(
+            _read(spark, sf, "documents"),
+            ["scan", "merge", "data"],
+            k=10,
+        )
+
+    q["proximity_topk"] = _prox
+
+    def _ari(spark, sf):
+        """Clustering-agreement evaluation
+        (functions/clusteval.adjusted_rand_index; Hubert-Arabie '85):
+        exact chance-corrected pair-counting agreement between the
+        gold lang partition and a planted perturbation (every 7th doc
+        reassigned to a 'mix' cluster), in signed truncating ppm over
+        DECIMAL(38,0) doubled binomials. One contingency aggregate;
+        everything after is O(k_gold x k_pred)."""
+        from ocr_translation_spark.functions.clusteval import (
+            adjusted_rand_index,
+        )
+
+        lab = _read(spark, sf, "documents").select(
+            F.col("lang").alias("gold"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("mix"))
+            .otherwise(F.col("lang"))
+            .alias("pred"),
+        )
+        return adjusted_rand_index(lab)
+
+    q["adjusted_rand_index"] = _ari
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -6413,6 +6475,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative-graph family; in-window rep pagerank_centrality
         # (label_propagation is the tail sibling)
         "graph_feature_agg",
+        # born-demoted: leakage-safe-feature sibling of the
+        # classifier/feature family; in-window rep
+        # hashed_classifier_score
+        "loo_target_encoding",
+        # born-demoted: positional member of the ranked-retrieval
+        # family; in-window rep bm25_topk
+        "proximity_topk",
+        # born-demoted: partition-agreement member of the evaluation
+        # family; in-window rep ann_recall_eval
+        "adjusted_rand_index",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -12664,6 +12736,90 @@ h0 AS (
 ),
 {", ".join(_gf_steps)}
 SELECT id AS doc_id, f1, f2 FROM {_gfprev}
+"""
+
+    # loo_target_encoding twin: identical algebra, HUGEINT //.
+    o["loo_target_encoding"] = """
+WITH cat AS (
+  SELECT source, sum(n_chars)::HUGEINT AS cs,
+         count(*)::HUGEINT AS cn
+  FROM documents GROUP BY source
+), g AS (
+  SELECT sum(n_chars)::HUGEINT AS gs, count(*)::HUGEINT AS gn
+  FROM documents
+)
+SELECT d.doc_id, d.source, cn::BIGINT AS n_cat,
+       (CASE WHEN cn > 1
+             THEN ((cs - d.n_chars) * 1000000) // (cn - 1)
+             WHEN gn > 1
+             THEN ((gs - d.n_chars) * 1000000) // (gn - 1)
+        END)::BIGINT AS loo_ppm
+FROM documents d JOIN cat USING (source), g
+"""
+
+    # proximity_topk twin: brute-force nested-transform cartesian
+    # minimum over the per-term position lists — an independent
+    # formulation of the Spark side's O(n) last-occurrence sweep.
+    o["proximity_topk"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+), pos AS (
+  SELECT doc_id,
+    list_filter(generate_series(1, len(tk)), i -> tk[i] = 'scan') AS p1,
+    list_filter(generate_series(1, len(tk)), i -> tk[i] = 'merge') AS p2,
+    list_filter(generate_series(1, len(tk)), i -> tk[i] = 'data') AS p3
+  FROM base
+), w AS (
+  SELECT doc_id,
+    list_min(flatten(flatten(list_transform(p1, a ->
+      list_transform(p2, b -> list_transform(p3, c ->
+        greatest(a, b, c) - least(a, b, c) + 1))))))::BIGINT
+      AS window_len
+  FROM pos WHERE len(p1) > 0 AND len(p2) > 0 AND len(p3) > 0
+)
+SELECT doc_id, window_len,
+       (1000000 // window_len)::BIGINT AS prox_ppm,
+       (row_number() OVER (ORDER BY window_len, doc_id))::INTEGER
+         AS rank
+FROM w ORDER BY window_len, doc_id LIMIT 10
+"""
+
+    # adjusted_rand_index twin: contingency + the Hubert-Arabie
+    # formula in HUGEINT doubled binomials, sign-split //.
+    o["adjusted_rand_index"] = """
+WITH lab AS (
+  SELECT lang AS gold,
+         CASE WHEN doc_id % 7 = 0 THEN 'mix' ELSE lang END AS pred
+  FROM documents
+), cells AS (
+  SELECT gold, pred, count(*)::HUGEINT AS nij FROM lab GROUP BY 1, 2
+), s AS (
+  SELECT sum(nij)::HUGEINT AS n,
+         sum(nij * (nij - 1))::HUGEINT AS s2x
+  FROM cells
+), a AS (
+  SELECT sum(x * (x - 1))::HUGEINT AS a2x
+  FROM (SELECT sum(nij) AS x FROM cells GROUP BY gold)
+), b AS (
+  SELECT sum(x * (x - 1))::HUGEINT AS b2x
+  FROM (SELECT sum(nij) AS x FROM cells GROUP BY pred)
+), f AS (
+  SELECT n, s2x, a2x, b2x, (n * (n - 1))::HUGEINT AS t2x
+  FROM s, a, b
+)
+SELECT n::BIGINT AS n_items,
+       (s2x // 2)::BIGINT AS sum_comb_cells,
+       (a2x // 2)::BIGINT AS sum_comb_gold,
+       (b2x // 2)::BIGINT AS sum_comb_pred,
+       (CASE WHEN n >= 2 AND (t2x * (a2x + b2x) - 2 * a2x * b2x) <> 0
+             THEN (CASE WHEN (2 * t2x * s2x - 2 * a2x * b2x) >= 0
+                        THEN 1 ELSE -1 END)
+                * (CASE WHEN (t2x * (a2x + b2x) - 2 * a2x * b2x) >= 0
+                        THEN 1 ELSE -1 END)
+                * ((abs(2 * t2x * s2x - 2 * a2x * b2x) * 1000000)
+                   // abs(t2x * (a2x + b2x) - 2 * a2x * b2x))
+        END)::BIGINT AS ari_ppm
+FROM f
 """
 
     return o

@@ -405,6 +405,12 @@ def main() -> None:
         "greedy_set_cover",
         # 2-round mean-pooling neighbor aggregation (exact div)
         "graph_feature_agg",
+        # leave-one-out target encoding (1 category agg + rejoin)
+        "loo_target_encoding",
+        # minimal cover-window proximity top-k (O(n) sweep, 0 shuffles)
+        "proximity_topk",
+        # adjusted Rand index (1 contingency agg, exact signed ppm)
+        "adjusted_rand_index",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

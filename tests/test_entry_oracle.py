@@ -216,6 +216,9 @@ _VARIANT_TAIL = {
     "stratified_kfold",
     "greedy_set_cover",
     "graph_feature_agg",
+    "loo_target_encoding",
+    "proximity_topk",
+    "adjusted_rand_index",
 }
 
 
@@ -606,6 +609,12 @@ def test_driver_window_covers_every_operator_family():
         "greedy_set_cover": "mixture_resample",
         # born-demoted: bounded-hop graph propagation
         "graph_feature_agg": "pagerank_centrality",
+        # born-demoted: leakage-safe feature encoding
+        "loo_target_encoding": "hashed_classifier_score",
+        # born-demoted: positional ranked retrieval
+        "proximity_topk": "bm25_topk",
+        # born-demoted: partition-agreement evaluation
+        "adjusted_rand_index": "ann_recall_eval",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
