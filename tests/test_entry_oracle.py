@@ -31,15 +31,26 @@ def ddb():
 
 
 def _normalize(rows, cols):
+    import decimal
+
     out = []
     for r in rows:
         vals = []
         for c in cols:
             v = r[c]
+            # canonicalize numeric REPRESENTATIONS before the repr
+            # compare: Spark DECIMAL(38,0) fetches as Decimal while
+            # DuckDB HUGEINT fetches as float64 — equal values must
+            # not fail on type (check_oracles compares with
+            # check_dtype=False for the same reason)
+            if isinstance(v, decimal.Decimal):
+                v = int(v) if v == v.to_integral_value() else float(v)
             if isinstance(v, float):
                 v = round(v, 6)
                 if v == -0.0:
                     v = 0.0
+                if v.is_integer():
+                    v = int(v)
             vals.append((c, v))
         out.append(tuple(vals))
     out.sort(key=repr)
