@@ -5865,6 +5865,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["adjusted_rand_index"] = _ari
 
+    def _ivm(spark, sf):
+        """Incremental JOIN-view maintenance (functions/ivm.py;
+        Blakeley et al., SIGMOD'86 delta rule): the orders x customer
+        view refreshed under planted insert deltas (orders with
+        o_orderkey % 13 == 7 and customers with c_custkey % 11 == 3
+        arrive "late") as V_old UNION dA|xB U A|xdB U dA|xdB — every
+        join probes a DELTA; V_old is only unioned. The twin computes
+        the FULL join of the complete tables: value equality IS the
+        delta-rule theorem (the cc_incremental convention)."""
+        from ocr_translation_spark.functions.ivm import (
+            refresh_join_view,
+        )
+
+        orders = (
+            _read(spark, sf, "orders")
+            .withColumnRenamed("o_custkey", "custkey")
+            .select("custkey", "o_orderkey", "o_orderpriority")
+        )
+        cust = (
+            _read(spark, sf, "customer")
+            .withColumnRenamed("c_custkey", "custkey")
+            .select("custkey", "c_mktsegment")
+        )
+        da = orders.where(F.col("o_orderkey") % 13 == 7)
+        ao = orders.where(F.col("o_orderkey") % 13 != 7)
+        db = cust.where(F.col("custkey") % 11 == 3)
+        bo = cust.where(F.col("custkey") % 11 != 3)
+        view_old = ao.join(bo, "custkey")
+        return refresh_join_view(view_old, ao, da, bo, db, "custkey")
+
+    q["join_view_incremental"] = _ivm
+
+    def _tiling(spark, sf):
+        """Lexical-cohesion topic segmentation
+        (functions/segmentation.py; Hearst, CL'97 TextTiling):
+        per-gap block-overlap similarity in exact integers, valley
+        depth against prefix/suffix running maxima, boundaries at
+        depth >= 6 (w=10). Gaps exploded row-locally (the explode's
+        child projection materializes the token array once per doc —
+        nested array lambdas would re-inline the tokenization per
+        gap); ONE doc-keyed window shuffle total."""
+        from ocr_translation_spark.functions.segmentation import (
+            texttiling_boundaries,
+        )
+
+        return texttiling_boundaries(
+            _read(spark, sf, "documents"), w=10, depth_threshold=6
+        )
+
+    q["texttiling_boundaries"] = _tiling
+
+    def _shapley(spark, sf):
+        """Shapley-value channel attribution
+        (functions/shapley.py; Shapley '53): exact truncating-ppm
+        cooperative-game credit over the four non-purchase event
+        channels, v(S) = conversion rate of users exposed to exactly
+        channel set S. Exposure = >= 12 events of that type and
+        conversion = >= 14 purchases (the medians split the dense
+        synthetic log into 9-16 DISTINCT masks and ~46% converters at
+        every scale — raw presence gives every user every channel and
+        a degenerate symmetric game, probed before choosing). ONE
+        unit-keyed bit_or aggregate folds the corpus to <= 16 subset
+        rows; factorial weights and the n! division are exact integer
+        literals (sign-split truncation). Complements the positional
+        (multi_touch_attribution) and Markov (markov_transitions)
+        attribution disciplines with the axiomatic one."""
+        from ocr_translation_spark.functions.shapley import (
+            shapley_attribution,
+        )
+
+        ev = _read(spark, sf, "events").filter(
+            F.col("user_id").isNotNull()
+        )
+        expo = (
+            ev.where(
+                F.col("event_type").isin(
+                    "view", "click", "signup", "error"
+                )
+            )
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") >= 12)
+            .select(
+                F.col("user_id").alias("unit"),
+                F.col("event_type").alias("channel"),
+            )
+        )
+        conv = (
+            ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") >= 14)
+            .select(F.col("user_id").alias("unit"))
+        )
+        return shapley_attribution(
+            expo,
+            conv,
+            ["view", "click", "signup", "error"],
+            # every active user — unexposed non-converters must count
+            # in the empty-set baseline, and under the thresholds they
+            # appear in neither input
+            universe=ev.select(F.col("user_id").alias("unit")),
+        )
+
+    q["shapley_attribution"] = _shapley
+
     # ------------------------------------------------------------------
     # Driver-window ordering: the round driver records correctness rows
     # for the FIRST 50 registry entries only (CORRECTNESS_r04 held
@@ -6485,6 +6591,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted: partition-agreement member of the evaluation
         # family; in-window rep ann_recall_eval
         "adjusted_rand_index",
+        # born-demoted: JOIN-view member of the view-maintenance
+        # family; in-window rep rollup_incremental (cc_incremental and
+        # snapshot_diff are tail siblings)
+        "join_view_incremental",
+        # born-demoted: topic-boundary member of the text-analysis
+        # family; in-window rep document_packing (document_chunks is
+        # the tail sibling)
+        "texttiling_boundaries",
+        # born-demoted: axiomatic member of the attribution family;
+        # in-window rep purchase_attribution_asof
+        # (multi_touch_attribution and markov_transitions are tail
+        # siblings)
+        "shapley_attribution",
     )
     for _k in _DEMOTED_VARIANTS:
         q[_k] = q.pop(_k)  # move to the end, preserving all entries
@@ -12820,6 +12939,101 @@ SELECT n::BIGINT AS n_items,
                    // abs(t2x * (a2x + b2x) - 2 * a2x * b2x))
         END)::BIGINT AS ari_ppm
 FROM f
+"""
+
+    # join_view_incremental twin: the FULL recompute over the complete
+    # tables — equality with the Spark side's V_old U three-delta-join
+    # union IS the Blakeley delta-rule theorem.
+    o["join_view_incremental"] = """
+SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_orderpriority,
+       c.c_mktsegment
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+    # texttiling_boundaries twin: identical block-overlap + valley
+    # arithmetic (DuckDB list slices are 1-based inclusive; both
+    # engines' set-intersections are distinct-element counts).
+    o["texttiling_boundaries"] = """
+WITH base AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+), gaps AS (
+  SELECT doc_id, tk, unnest(generate_series(10, len(tk) - 10)) AS pos
+  FROM base WHERE len(tk) >= 20
+), scored AS (
+  SELECT doc_id, pos,
+         len(list_intersect(tk[pos - 9:pos],
+                            tk[pos + 1:pos + 10]))::BIGINT AS sim
+  FROM gaps
+), d AS (
+  SELECT doc_id, pos, sim,
+         (max(sim) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          + max(sim) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          - 2 * sim)::BIGINT AS depth
+  FROM scored
+)
+SELECT doc_id, pos::BIGINT AS pos, sim, depth
+FROM d WHERE depth >= 6
+"""
+
+    # shapley_attribution twin: identical bitmask game in plain
+    # integer arithmetic (n = 4: weights k!(3-k)! = [6,2,2,6],
+    # n! = 24; popcount spelled as four bit extracts).
+    o["shapley_attribution"] = """
+WITH expo AS (
+  SELECT user_id AS u, event_type AS ch FROM events
+  WHERE user_id IS NOT NULL
+    AND event_type IN ('view', 'click', 'signup', 'error')
+  GROUP BY 1, 2 HAVING count(*) >= 12
+), conv AS (
+  SELECT user_id AS u FROM events
+  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+  GROUP BY 1 HAVING count(*) >= 14
+), masks AS (
+  SELECT u, sum(CASE ch WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                        WHEN 'signup' THEN 4 ELSE 8 END)::BIGINT
+           AS mask
+  FROM expo GROUP BY u
+), pop AS (
+  SELECT DISTINCT user_id AS u FROM events WHERE user_id IS NOT NULL
+), units AS (
+  SELECT coalesce(m.mask, 0) AS mask,
+         CASE WHEN c.u IS NOT NULL THEN 1 ELSE 0 END AS conv
+  FROM pop p
+  LEFT JOIN masks m USING (u)
+  LEFT JOIN conv c USING (u)
+), rates AS (
+  SELECT mask, count(*)::BIGINT AS m, sum(conv)::BIGINT AS c
+  FROM units GROUP BY mask
+), spine AS (SELECT unnest(range(0, 16))::BIGINT AS s),
+v AS (
+  SELECT s, coalesce(
+    (SELECT (c * 1000000) // m FROM rates WHERE mask = s),
+    0)::BIGINT AS v_ppm
+  FROM spine
+), pairs AS (
+  SELECT s, ch.i, ch.name, s + ch.bit AS s_with,
+         (CASE (s // 1) % 2 + (s // 2) % 2 + (s // 4) % 2
+               + (s // 8) % 2
+          WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+           ::BIGINT AS w
+  FROM spine,
+       (VALUES (0, 'view', 1), (1, 'click', 2), (2, 'signup', 4),
+               (3, 'error', 8)) ch(i, name, bit)
+  WHERE (s // ch.bit) % 2 = 0
+), terms AS (
+  SELECT p.name AS channel,
+         sum(p.w * (vw.v_ppm - vs.v_ppm))::BIGINT AS num
+  FROM pairs p
+  JOIN v vs ON vs.s = p.s
+  JOIN v vw ON vw.s = p.s_with
+  GROUP BY p.name
+)
+SELECT channel,
+       ((CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+        * (abs(num) // 24))::BIGINT AS shapley_ppm
+FROM terms
 """
 
     return o

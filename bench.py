@@ -411,6 +411,12 @@ def main() -> None:
         "proximity_topk",
         # adjusted Rand index (1 contingency agg, exact signed ppm)
         "adjusted_rand_index",
+        # join-view IVM refresh (three delta joins + union)
+        "join_view_incremental",
+        # TextTiling topic boundaries (1 doc window shuffle)
+        "texttiling_boundaries",
+        # Shapley channel attribution (1 bitmask agg + 16-row game)
+        "shapley_attribution",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -230,6 +230,9 @@ _VARIANT_TAIL = {
     "loo_target_encoding",
     "proximity_topk",
     "adjusted_rand_index",
+    "join_view_incremental",
+    "texttiling_boundaries",
+    "shapley_attribution",
 }
 
 
@@ -626,6 +629,12 @@ def test_driver_window_covers_every_operator_family():
         "proximity_topk": "bm25_topk",
         # born-demoted: partition-agreement evaluation
         "adjusted_rand_index": "ann_recall_eval",
+        # born-demoted: JOIN-view maintenance
+        "join_view_incremental": "rollup_incremental",
+        # born-demoted: topic-boundary segmentation
+        "texttiling_boundaries": "document_packing",
+        # born-demoted: axiomatic attribution
+        "shapley_attribution": "purchase_attribution_asof",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (
