@@ -5692,6 +5692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return srm_check(asg, weights={"0": 1, "1": 1}).select(
             "experiment",
             "n_units",
+            "n_undesigned",
             # decimal -> long for the value compare: the planted-scale
             # statistic is far below 2^63 (general callers keep the
             # DECIMAL(38,0) the function returns)
@@ -12742,6 +12743,7 @@ WITH asg AS (
   FROM withn WHERE n > 0
 )
 SELECT experiment, max(n)::BIGINT AS n_units,
+       0::BIGINT AS n_undesigned,
        sum(term)::BIGINT AS chi2_ppm,
        1::INTEGER AS df,
        (sum(term) > 10827566) AS srm_flag
@@ -12873,7 +12875,8 @@ SELECT d.doc_id, d.source, cn::BIGINT AS n_cat,
              WHEN gn > 1
              THEN ((gs - d.n_chars) * 1000000) // (gn - 1)
         END)::BIGINT AS loo_ppm
-FROM documents d JOIN cat USING (source), g
+FROM documents d
+JOIN cat ON d.source IS NOT DISTINCT FROM cat.source, g
 """
 
     # proximity_topk twin: brute-force nested-transform cartesian

@@ -41,13 +41,24 @@ def _c2x(c: str) -> str:
 
 
 def adjusted_rand_index(
-    df: DataFrame, gold_col: str = "gold", pred_col: str = "pred"
+    df: DataFrame,
+    gold_col: str = "gold",
+    pred_col: str = "pred",
+    max_items: int = 200_000_000,
 ) -> DataFrame:
     """One row: (n_items, sum_comb_cells, sum_comb_gold,
     sum_comb_pred, ari_ppm). Combination sums are the true C(.,2)
     values (longs); ari_ppm is the exact chance-corrected index in
     signed truncating ppm, NULL when undefined (n < 2, or both
-    clusterings trivial so the denominator is 0)."""
+    clusterings trivial so the denominator is 0).
+
+    RANGE GUARD: the cross-products are ~n^4 and the ppm scaling adds
+    1e6, so DECIMAL(38,0) is exact only to n ~ 2.4e8 items — beyond
+    that Spark's non-ANSI arithmetic would return NULL, which is
+    indistinguishable from the legitimate degenerate cases. n >
+    ``max_items`` therefore raises IN-PLAN instead of silently
+    NULLing (compute per-shard ARIs or subsample above the bound;
+    the parameter exists so the guard itself is unit-testable)."""
     cells = (
         df.groupBy(gold_col, pred_col)
         .agg(F.count(F.lit(1)).alias("nij"))
@@ -103,7 +114,13 @@ def adjusted_rand_index(
         .alias("den2"),
     )
     signed_ppm = F.expr(
-        f"""CASE WHEN n >= 2 AND den2 <> 0 THEN cast(
+        f"""CASE
+          WHEN n > {int(max_items)} THEN cast(raise_error(
+            'adjusted_rand_index: n_items exceeds the exact '
+            || 'DECIMAL(38,0) range of the ~n^4 cross-products '
+            || '(max_items={int(max_items)}); compute per-shard '
+            || 'or subsample') as long)
+          WHEN n >= 2 AND den2 <> 0 THEN cast(
           (CASE WHEN num2 >= 0 THEN 1 ELSE -1 END)
           * (CASE WHEN den2 >= 0 THEN 1 ELSE -1 END)
           * ((abs(num2) * 1000000

@@ -74,7 +74,15 @@ def greedy_set_cover(
                 .limit(1)
                 .collect()
             )
-            if not best or best[0]["nc"] == 0:
+            # nc can be -1 (size(NULL) under non-ANSI) or NULL for
+            # NULL items arrays — any non-positive best gain means no
+            # candidate adds coverage (NULL-items rows sort last and
+            # must not crash the covered.update below)
+            if (
+                not best
+                or best[0]["nc"] is None
+                or best[0]["nc"] <= 0
+            ):
                 break
             b = best[0]
             covered.update(b["its"])

@@ -41,7 +41,9 @@ def loo_target_encoding(
     mean of ``y_col`` (non-negative integer micro-units) per row, at
     ``scale`` fixed-point, truncating division. Singleton categories
     fall back to the leave-one-out global mean; a 1-row corpus
-    degenerates to NULL (no peer data exists at all)."""
+    degenerates to NULL (no peer data exists at all). NULL categories
+    are a stratum of their own (null-safe join — a plain equi-join
+    would silently DROP them, violating the every-row contract)."""
     id_cols = id_cols or ["doc_id"]
     cat = (
         df.groupBy(cat_col)
@@ -49,10 +51,15 @@ def loo_target_encoding(
             F.sum(y_col).cast("long").alias("_csum"),
             F.count(F.lit(1)).alias("_cn"),
         )
+        # two consumers (the rejoin and the global rollup): persist so
+        # the corpus aggregate runs once per action — and the global
+        # (sum, count) is exactly derivable from the category table,
+        # never a second corpus scan
+        .persist()
     )
-    glob = df.agg(
-        F.sum(y_col).cast("long").alias("_gsum"),
-        F.count(F.lit(1)).alias("_gn"),
+    glob = cat.agg(
+        F.sum("_csum").cast("long").alias("_gsum"),
+        F.sum("_cn").cast("long").alias("_gn"),
     )
     num_cat = f"(cast(_csum as {_D38}) - {y_col}) * {scale}"
     num_glob = f"(cast(_gsum as {_D38}) - {y_col}) * {scale}"
@@ -69,8 +76,12 @@ def loo_target_encoding(
     # cat is |categories| rows — AQE broadcasts it when small and
     # falls back to a key-partitioned join for genuinely
     # high-cardinality encoders; the 1-row global is always broadcast
+    cat_j = cat.withColumnRenamed(cat_col, "_catk")
     return (
-        df.join(cat, cat_col)
+        df.join(
+            cat_j, F.col(cat_col).eqNullSafe(F.col("_catk"))
+        )
+        .drop("_catk")
         .join(F.broadcast(glob))
         .select(
             *id_cols,

@@ -465,8 +465,14 @@ def srm_check(
     last digit. A designed arm
     with zero observed units still contributes its term (that is the
     strongest possible mismatch) via the experiments x arms literal
-    spine. ``srm_flag`` compares against the alpha=0.001 critical
-    value for df = n_arms - 1 (Fabijan et al., KDD'19).
+    spine, and units observed in arms the design does NOT know are
+    counted per experiment as ``n_undesigned`` and flag
+    unconditionally — corrupted assignment logging is itself a
+    mismatch and must not silently fall out of N (chi2 stays over
+    the designed arms; NULL if an experiment has no designed units).
+    ``srm_flag`` is (chi2 > crit) OR n_undesigned > 0, with the
+    alpha=0.001 critical value for df = n_arms - 1 (Fabijan et al.,
+    KDD'19).
 
     Scale shape: one (experiment, arm) count aggregate over the
     assignment table, then everything is O(experiments x arms) — the
@@ -489,12 +495,26 @@ def srm_check(
         crit_ppm = _CHI2_CRIT_PPM_001[df]
     total_w = sum(weights.values())
 
-    obs = assignments.groupBy(exp_col, arm_col).agg(
-        F.count(F.lit(1)).alias("obs")
+    obs = (
+        assignments.groupBy(exp_col, arm_col)
+        .agg(F.count(F.lit(1)).alias("obs"))
+        # three consumers (experiment spine, designed join, rogue-arm
+        # rollup): persist so the corpus aggregate runs once per
+        # action; the mark is O(experiments x arms)
+        .persist()
+    )
+    designed_lits = [F.lit(a) for a in weights]
+    # units in arms the DESIGN does not know are themselves a
+    # sample-ratio mismatch (corrupted assignment logging) — they must
+    # flag, not silently fall out of N
+    rogue = (
+        obs.where(~F.col(arm_col).isin(*designed_lits))
+        .groupBy(exp_col)
+        .agg(F.sum("obs").cast("long").alias("n_undesigned"))
     )
     design = F.explode(
         F.map_from_arrays(
-            F.array(*[F.lit(a) for a in weights]),
+            F.array(*designed_lits),
             F.array(*[F.lit(w) for w in weights.values()]),
         )
     )
@@ -522,22 +542,37 @@ def srm_check(
         f" * 1000000)"
     )
     den = f"(cast({total_w} as {dec}) * n * w)"
+    # n = 0 (an experiment whose every unit sits in an undesigned
+    # arm) must not reach the remainder: DECIMAL % 0 throws even
+    # under non-ANSI arithmetic
     term = F.expr(
-        f"cast(({num} - {num} % {den}) / {den} as {dec})"
+        f"CASE WHEN n > 0 THEN"
+        f" cast(({num} - {num} % {den}) / {den} as {dec}) END"
     )
-    return (
-        joined.filter(F.col("n") > 0)
-        .select(exp_col, "n", term.alias("term"))
+    per_exp = (
+        joined.select(exp_col, "n", term.alias("term"))
         .groupBy(exp_col)
         .agg(
             F.max("n").alias("n_units"),
-            F.sum("term").cast("decimal(38,0)").alias("chi2_ppm"),
+            # chi2 NULL when the experiment has no designed units at
+            # all (n = 0 -> every term NULL); the rogue count still
+            # fires the flag below
+            F.when(
+                F.max("n") > 0, F.sum("term").cast("decimal(38,0)")
+            ).alias("chi2_ppm"),
         )
-        .select(
-            exp_col,
-            F.col("n_units").cast("long"),
-            "chi2_ppm",
-            F.lit(df).cast("integer").alias("df"),
-            (F.col("chi2_ppm") > F.lit(crit_ppm)).alias("srm_flag"),
-        )
+    )
+    return per_exp.join(rogue, exp_col, "full").select(
+        exp_col,
+        F.coalesce(F.col("n_units"), F.lit(0))
+        .cast("long")
+        .alias("n_units"),
+        F.coalesce("n_undesigned", F.lit(0)).alias("n_undesigned"),
+        "chi2_ppm",
+        F.lit(df).cast("integer").alias("df"),
+        F.coalesce(
+            (F.col("chi2_ppm") > F.lit(crit_ppm))
+            | (F.coalesce("n_undesigned", F.lit(0)) > 0),
+            F.lit(False),
+        ).alias("srm_flag"),
     )

@@ -1582,12 +1582,21 @@ def neighbor_feature_agg(
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     if not feat_cols:
         raise ValueError("feat_cols must be non-empty")
-    deg = edges.groupBy(F.col(dst).alias("_id")).agg(
-        F.count(F.lit(1)).alias("_indeg")
-    )
     cur = vertices.select(
         F.col(id_col).alias("_id"),
         *[F.col(c).cast("long").alias(c) for c in feat_cols],
+    )
+    # edges whose src has no vertex row carry no message but WOULD
+    # count in the divisor — a dangling src would deflate its
+    # target's mean every round. One semi-join (outside the loop)
+    # restricts both the messages and the degree to the same edge set.
+    edges = edges.join(
+        cur.select(F.col("_id").alias("_vid")),
+        F.col(src) == F.col("_vid"),
+        "left_semi",
+    )
+    deg = edges.groupBy(F.col(dst).alias("_id")).agg(
+        F.count(F.lit(1)).alias("_indeg")
     )
     for _ in range(rounds):
         msgs = (

@@ -105,22 +105,13 @@ def stratified_kfold(
     sort, not a memory risk. NULL strata are kept as their own
     stratum (NULL-keyed windows are one partition on both engines).
     """
+    from ocr_translation_spark.functions.sketches import hash60
+
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    h = F.conv(
-        F.substring(
-            F.sha2(
-                F.concat(
-                    F.lit(salt + ":"), F.col(id_col).cast("string")
-                ),
-                256,
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = hash60(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
     w = Window.partitionBy(stratum_col).orderBy(
         h.asc(), F.col(id_col).asc()
     )

@@ -161,3 +161,25 @@ def test_gnn_validation(spark):
         neighbor_feature_agg(v, e, ["f1"], rounds=0)
     with pytest.raises(ValueError):
         neighbor_feature_agg(v, e, [], rounds=1)
+
+
+def test_cover_null_items_rows_never_crash(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, None)],
+        "doc_id long, items array<string>",
+    )
+    got = [
+        (r["round"], r.doc_id, r.newly_covered)
+        for r in greedy_set_cover(df, k=3).collect()
+    ]
+    # doc 2's NULL items sort last (size -1) and stop the loop
+    assert got == [(1, 1, 2)]
+
+
+def test_gnn_dangling_src_does_not_deflate_mean(spark):
+    # edge 2->1 where src 2 has no vertex row: no message arrives, so
+    # it must not count in the divisor either
+    v = spark.createDataFrame([(1, 100, 10)], "id long, f1 long, f2 long")
+    e = spark.createDataFrame([(2, 1)], "src long, dst long")
+    got = neighbor_feature_agg(v, e, ["f1", "f2"], rounds=2).collect()
+    assert [(r.id, r.f1, r.f2) for r in got] == [(1, 100, 10)]

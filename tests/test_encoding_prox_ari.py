@@ -196,3 +196,32 @@ def test_ari_random_matches_fraction_mirror(spark):
     ]
     r = _ari(spark, pairs)
     assert r.ari_ppm == _py_ari_ppm(pairs)
+
+
+def test_loo_null_category_is_own_stratum(spark):
+    # a plain equi-join would silently DROP NULL-category rows; the
+    # null-safe join keeps them as their own stratum
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 30), (3, "a", 7)],
+        "doc_id long, source string, n_chars long",
+    )
+    got = {
+        r.doc_id: (r.n_cat, r.loo_ppm)
+        for r in loo_target_encoding(df, "source", "n_chars").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (2, 30 * 1_000_000)
+    assert got[2] == (2, 10 * 1_000_000)
+    # singleton 'a' falls back to the global LOO mean over ALL rows
+    assert got[3] == (1, (10 + 30) * 1_000_000 // 2)
+
+
+def test_ari_range_guard_raises(spark):
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [("a", "x")] * 20, "gold string, pred string"
+    )
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)):
+        adjusted_rand_index(df, max_items=10).collect()

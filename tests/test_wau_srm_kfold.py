@@ -222,3 +222,35 @@ def test_kfold_salt_changes_assignment(spark):
 def test_kfold_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         stratified_kfold(_docs(spark, {"en": 3}), "lang", k=1)
+
+
+def test_srm_rogue_arm_flags(spark):
+    # units logged to an arm the design does not know are themselves a
+    # mismatch: they must flag and be counted, not fall out of N
+    out = srm_check(
+        _asg(spark, {("e", "A"): 500, ("e", "B"): 500, ("e", "C"): 300}),
+        arm_col="arm", weights={"A": 1, "B": 1},
+    ).collect()
+    (r,) = out
+    assert r.n_undesigned == 300
+    assert r.n_units == 1000  # designed-arm units only
+    assert int(r.chi2_ppm) == 0  # designed arms are balanced
+    assert r.srm_flag  # flagged by the rogue count alone
+
+
+def test_srm_all_units_undesigned_still_reported(spark):
+    out = srm_check(
+        _asg(spark, {("e", "X"): 40}), arm_col="arm",
+        weights={"A": 1, "B": 1},
+    ).collect()
+    (r,) = out
+    assert r.n_undesigned == 40 and r.n_units == 0
+    assert r.chi2_ppm is None and r.srm_flag
+
+
+def test_srm_clean_experiment_has_zero_undesigned(spark):
+    out = srm_check(
+        _asg(spark, {("e", "A"): 10, ("e", "B"): 10}),
+        arm_col="arm", weights={"A": 1, "B": 1},
+    ).collect()
+    assert out[0].n_undesigned == 0 and not out[0].srm_flag
