@@ -417,6 +417,8 @@ def main() -> None:
         "texttiling_boundaries",
         # Shapley channel attribution (1 bitmask agg + 16-row game)
         "shapley_attribution",
+        # point-in-time feature join + leak audit (1 key exchange)
+        "pit_feature_join",
     ):
         if want(name):
             timed(name, lambda n=name: _force(queries[n](spark, SF_DIR)))

@@ -233,6 +233,7 @@ _VARIANT_TAIL = {
     "join_view_incremental",
     "texttiling_boundaries",
     "shapley_attribution",
+    "pit_feature_join",
 }
 
 
@@ -635,6 +636,8 @@ def test_driver_window_covers_every_operator_family():
         "texttiling_boundaries": "document_packing",
         # born-demoted: axiomatic attribution
         "shapley_attribution": "purchase_attribution_asof",
+        # born-demoted: embargoed feature-store as-of
+        "pit_feature_join": "purchase_attribution_asof",
     }
     for variant in tail:
         assert family_rep[variant] in windowed, (

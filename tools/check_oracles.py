@@ -49,6 +49,14 @@ def main() -> int:
             print(f"{n}: SCHEMA MISMATCH {cols} vs {sorted(odf.columns)}")
             ok = False
             continue
+        # normalize datetime resolutions first: Spark fetches ns,
+        # DuckDB us, and pandas' assert_frame_equal treats NaT != NaT
+        # ACROSS resolutions (probed) — equal nullable-timestamp
+        # columns would false-mismatch
+        for df_ in (sdf, odf):
+            for c in df_.columns:
+                if str(df_[c].dtype).startswith("datetime64"):
+                    df_[c] = df_[c].astype("datetime64[us]")
         a = sdf[cols].sort_values(cols).reset_index(drop=True)
         b = odf[cols].sort_values(cols).reset_index(drop=True)
         if len(a) != len(b):
