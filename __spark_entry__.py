@@ -3546,8 +3546,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         of the percentile scale story: percentile() is exact but
         buffers whole groups; the sampled variant bounds state but
         answers for a sample; this is exact AND O(groups x bins) per
-        round. bins/limit are set low enough that the narrowing loop
-        genuinely runs (>= 1 histogram round) at sf0.01."""
+        round. `limit` (the final-selection row bound per state) is
+        the rounds-vs-state knob: each narrowing round is a full
+        driver-coordinated collect job, so it is sized to resolve
+        bench-scale groups in ZERO rounds while 100 TB groups still
+        narrow in O(log_bins(n/limit)); the loop itself is pinned by
+        tests/test_selection.py at forced-tiny limits, and the result
+        is the exact discrete quantile at ANY limit."""
         from ocr_translation_spark.functions.selection import (
             group_exact_quantiles,
         )
@@ -3555,7 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _read(spark, sf, "events")
         return group_exact_quantiles(
             ev, "event_type", "value",
-            qs=("0.5", "0.9", "0.99"), bins=16, limit=256,
+            qs=("0.5", "0.9", "0.99"), bins=16, limit=131072,
         )
 
     q["exact_group_quantiles"] = _exact_q
@@ -3565,7 +3570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         weight reaches ceil(q*W)) — the token-weighted-percentile
         shape over lineitem: price quantiles weighted by quantity,
         per return flag. Same bounded-state narrowing loop with
-        weight-mass histograms; limit bounds final-selection rows."""
+        weight-mass histograms; limit bounds final-selection rows
+        (sized so bench-scale groups take at most one narrowing
+        round — every round is a full collect job — while huge groups
+        still narrow; the result is limit-invariant)."""
         from ocr_translation_spark.functions.selection import (
             group_exact_quantiles,
         )
@@ -3573,7 +3581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = _read(spark, sf, "lineitem")
         return group_exact_quantiles(
             li, "l_returnflag", "l_extendedprice",
-            qs=("0.5", "0.9", "0.99"), bins=16, limit=256,
+            qs=("0.5", "0.9", "0.99"), bins=16, limit=131072,
             weight_col="l_quantity",
         )
 
@@ -3779,8 +3787,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         ev = _read(spark, sf, "events")
+        # limit sized so bench-scale groups resolve in zero narrowing
+        # rounds (each round is a full collect job); the loop is
+        # pinned by tests at forced-tiny limits and the cutoffs are
+        # limit-invariant (exact discrete quantiles)
         return winsorized_stats(
-            ev, "event_type", "value", bins=16, limit=256,
+            ev, "event_type", "value", bins=16, limit=131072,
         )
 
     q["winsorized_stats"] = _winsor

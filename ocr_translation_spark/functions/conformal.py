@@ -58,7 +58,7 @@ def conformal_thresholds(
     alpha_num: int = 1,
     alpha_den: int = 10,
     bins: int = 128,
-    limit: int = 4096,
+    limit: int = 131072,
 ) -> DataFrame:
     """Per-group conformal threshold + held-out coverage audit:
     (grp, n_cal, k_rank, threshold, n_test, n_covered, coverage_ppm).

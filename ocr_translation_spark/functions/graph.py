@@ -34,7 +34,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _CHECKPOINT_EVERY = 4
 
@@ -732,8 +732,21 @@ def kcore_decomposition(
     )
     cur = und
     n_edges = cur.count()
+    # Peel rounds UNROLLED in blocks: each driver-coordinated count
+    # job (plus its AQE stage barriers) costs a fixed latency, so
+    # checking the fixpoint after EVERY round pays that latency
+    # O(rounds) times. Folding `unroll` peels into one lazy plan per
+    # count cuts the job count ~unroll-fold; the fixpoint test stays
+    # sound because the edge set only shrinks — an unchanged count
+    # across a block proves every sub-round (in particular the first)
+    # peeled nothing, i.e. the fixpoint was already reached at block
+    # entry, and extra peels past the fixpoint are exact no-ops. The
+    # worst case does <= unroll-1 no-op rounds of (tiny, post-peel)
+    # extra plan depth; each block is lineage-checkpointed.
+    unroll = 3
+    rounds_done = 0
     try:
-        for it in range(max_iters):
+        while True:
             if n_edges == 0:
                 # empty: no vertex survives any k >= 1 core; eager
                 # checkpoint (trivial) so the plan outlives unpersist
@@ -741,22 +754,40 @@ def kcore_decomposition(
                     F.col("u").alias("node"),
                     F.lit(0).cast("long").alias("core_degree"),
                 ).localCheckpoint(eager=True)
-            survivors = (
-                cur.groupBy("u")
-                .agg(F.count(F.lit(1)).alias("_d"))
-                .filter(F.col("_d") >= k)
-                .select("u")
-            )
-            nxt = cur.join(survivors, "u", "left_semi").join(
-                survivors.select(F.col("u").alias("v")),
-                "v",
-                "left_semi",
-            )
-            if (it + 1) % _CHECKPOINT_EVERY == 0:
-                # truncate lineage: round k must not replay 1..k-1
-                nxt = nxt.localCheckpoint(eager=False)
+            if rounds_done >= max_iters:
+                break
+            nxt = cur
+            for _ in range(min(unroll, max_iters - rounds_done)):
+                # one peel as WINDOW counts: the edge table carries
+                # both directions, so count() over partitionBy(u)
+                # [resp. v] IS the remaining undirected degree of
+                # that endpoint, and the row survives iff both reach
+                # k. Crucially this references `nxt` exactly ONCE per
+                # round — the groupBy + two-semi-join formulation
+                # references it three times, so unrolling it lazily
+                # triples the plan per round (measured 3^rounds
+                # blow-up); the window chain stays LINEAR in rounds.
+                # Per-partition state is one endpoint's edge rows
+                # (bounded by max degree; spills via the sort buffer
+                # for pathological hubs — same task-state bound as
+                # the window dedup survivor pass).
+                wu = Window.partitionBy("u")
+                wv = Window.partitionBy("v")
+                nxt = (
+                    nxt.withColumn(
+                        "_du", F.count(F.lit(1)).over(wu)
+                    )
+                    .withColumn("_dv", F.count(F.lit(1)).over(wv))
+                    .filter(
+                        (F.col("_du") >= k) & (F.col("_dv") >= k)
+                    )
+                    .drop("_du", "_dv")
+                )
+                rounds_done += 1
+            # truncate lineage: a block must not replay prior blocks
+            nxt = nxt.localCheckpoint(eager=False)
             nxt = nxt.persist()
-            n_next = nxt.count()  # the round's one job
+            n_next = nxt.count()  # the block's one job
             if cur is not und:
                 cur.unpersist()
             cur = nxt

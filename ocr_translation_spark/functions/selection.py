@@ -103,7 +103,7 @@ def group_exact_quantiles(
     value_col: str,
     qs: tuple[str, ...] = ("0.5", "0.9", "0.99"),
     bins: int = 128,
-    limit: int = 4096,
+    limit: int = 131072,
     max_rounds: int = 64,
     weight_col: str | None = None,
     rank_for=None,
@@ -142,20 +142,22 @@ def group_exact_quantiles(
         if weight_col is not None
         else F.lit(1).cast("long")
     )
-    base = (
-        df.select(
-            F.col(group_col).cast("string").alias("grp"),
-            F.col(value_col).cast("double").alias("v"),
-            w_expr.alias("w"),
-        )
-        .filter(
-            F.col("v").isNotNull()
-            & F.col("grp").isNotNull()
-            & F.col("w").isNotNull()
-            & (F.col("w") > 0)
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    base = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+        w_expr.alias("w"),
+    ).filter(
+        F.col("v").isNotNull()
+        & F.col("grp").isNotNull()
+        & F.col("w").isNotNull()
+        & (F.col("w") > 0)
     )
+    # persist lazily: only a narrowing round re-scans `base`; when
+    # every state resolves within `limit` (the common case once groups
+    # fit the final-selection bound) the cache materialization pass is
+    # pure overhead — the stats agg and the final selection each scan
+    # the source once either way.
+    persisted = False
     try:
         stats = base.groupBy("grp").agg(
             F.sum("w").alias("n"),
@@ -196,6 +198,9 @@ def group_exact_quantiles(
 
         rounds = 0
         while any(s["cnt"] > limit for s in open_states.values()):
+            if not persisted:
+                base = base.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted = True
             rounds += 1
             if rounds > max_rounds:
                 raise RuntimeError(
@@ -320,4 +325,5 @@ def group_exact_quantiles(
         # outlives the unpersist of the loop-scanned base
         return out.localCheckpoint(eager=True)
     finally:
-        base.unpersist()
+        if persisted:
+            base.unpersist()

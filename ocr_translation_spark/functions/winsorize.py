@@ -48,7 +48,7 @@ def winsorized_stats(
     q_low: str = "0.05",
     q_high: str = "0.95",
     bins: int = 128,
-    limit: int = 4096,
+    limit: int = 131072,
 ) -> DataFrame:
     """(grp, n, n_low, n_high, lo_micro, hi_micro, sum_micro,
     mean_micro) — aggregates of value clamped into [p(q_low),
