@@ -50,8 +50,31 @@ from ocr_translation_spark.functions.text import (
 from ocr_translation_spark.pipeline import extract
 
 
+# Per-session memo of the LAZY scan relations. Every
+# ``spark.read.parquet`` call re-lists the directory and re-reads a
+# parquet footer for the schema (~70-80 ms of driver-side work per
+# call); with a few hundred reads per bench pass that is tens of
+# seconds of pure metadata latency. Reusing the analyzed relation is
+# exactly what registering the test tables in a catalog once per
+# session would give (catalog tables share one FileIndex): the DATA
+# path is unchanged — every execution still scans the parquet files —
+# only the file listing + schema read are reused. WeakKeyDictionary so
+# a stopped session's entries are dropped with the session object.
+import weakref
+
+_READ_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    per_session = _READ_MEMO.setdefault(spark, {})
+    df = per_session.get(path)
+    if df is None:
+        df = spark.read.parquet(path)
+        per_session[path] = df
+    return df
 
 
 def _planted_mst_graph(spark: SparkSession, sf: str):
@@ -1576,8 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the DuckDB twin decodes, reading-order-sorts, strips, and
         translates ENTIRELY in SQL (oracle_sql()["extract_synthetic_e2e"])."""
         fx = _fixture_dir()
-        docs = spark.read.parquet(os.path.join(fx, "documents.parquet"))
-        media = spark.read.parquet(os.path.join(fx, "media.parquet"))
+        docs = _read(spark, fx, "documents")
+        media = _read(spark, fx, "media")
         res = extract(spark, docs, media).result
         return res.select(
             "doc_id", F.posexplode("spans").alias("ord", "s")
@@ -1626,9 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extract_media_metadata,
         )
 
-        media = spark.read.parquet(
-            os.path.join(_fixture_dir(), "media.parquet")
-        )
+        media = _read(spark, _fixture_dir(), "media")
         return extract_media_metadata(media)
 
     q["media_metadata"] = _media_meta
@@ -3649,9 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_ref ending in 0 or 8 (same rule in the oracle)."""
         from ocr_translation_spark.functions.phash import phash_near_dup
 
-        media = spark.read.parquet(
-            os.path.join(_fixture_dir(), "media.parquet")
-        ).select("media_ref", "media_bytes")
+        media = _read(spark, _fixture_dir(), "media").select("media_ref", "media_bytes")
         ls = F.split(F.decode(F.col("media_bytes"), "ISO-8859-1"), "\n")
         pert = (
             media.filter(F.substring(F.col("media_ref"), -1, 1)

@@ -70,9 +70,12 @@ def span_eval(
       the harmonic mean — no floats anywhere). A side with zero spans
       yields NULL for its undefined metric, never a silent drop.
 
-    Shape: two (id, triple) hash aggregates + one equi-join for tp,
-    one (id, ord) equi-join for position agreement, one final id
-    aggregate — every join keyed, no window over the corpus."""
+    Shape: two (id, triple) hash aggregates, ONE full-outer equi-join
+    of the triple tables (reusing their partitioning) whose id rollup
+    yields tp and both side totals at once, plus one (id, ord)
+    equi-join for position agreement — every join keyed, no window
+    over the corpus, and the exploded span inputs are scanned exactly
+    once per side."""
     cols = ["kind", "text", "media_ref"]
     # NULL fields (media spans carry NULL text; text spans NULL
     # media_ref) would silently fall out of the triple equi-join —
@@ -100,15 +103,29 @@ def span_eval(
 
     pc = _triples(p, "p", "c_p")
     gc = _triples(g, "g", "c_g")
-    tp = (
-        pc.join(gc, ["id"] + cols)
+    # ONE full-outer join of the two triple tables + ONE id rollup
+    # yields tp AND both side totals (n_pred = sum of pred multiset
+    # counts, likewise n_gold) — the former separate tp equi-join plus
+    # two full-relation count aggregates re-scanned the exploded span
+    # inputs twice more for numbers the triples already carry. The
+    # join keys equal both groupBys' keys, so it reuses their
+    # partitioning (no extra exchange before the id rollup).
+    counts = (
+        pc.join(gc, ["id"] + cols, "full_outer")
         .groupBy("id")
         .agg(
-            F.sum(F.least("c_p", "c_g")).cast("long").alias("tp")
+            F.sum(
+                F.when(
+                    F.col("c_p").isNotNull() & F.col("c_g").isNotNull(),
+                    F.least("c_p", "c_g"),
+                )
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum("c_p").cast("long").alias("n_pred"),
+            F.sum("c_g").cast("long").alias("n_gold"),
         )
     )
-    n_p = p.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
-    n_g = g.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_gold"))
     pos = (
         p.join(g, ["id", "ord"])
         .where(
@@ -121,9 +138,7 @@ def span_eval(
     )
     z = F.lit(0).cast("long")
     out = (
-        n_g.join(n_p, "id", "full")
-        .join(tp, "id", "left")
-        .join(pos, "id", "left")
+        counts.join(pos, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("n_pred", z).alias("n_pred"),
