@@ -574,6 +574,29 @@ WITH mrr_base AS (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # REGISTRATION ORDER IS LOAD-BEARING. The driver samples a
+    # 50-query correctness window from this dict's insertion order
+    # (CORRECTNESS_r05.json shows the r5 window), deliberately
+    # spanning distinct operator families: extraction/pipeline
+    # (extract_flagship, extract_rendered_text, extract_synthetic_e2e,
+    # curation_e2e), dedup (exact/minhash/simhash/clusters,
+    # edit_distance_pairs, setsim_join_exact), ANN/similarity
+    # (ivf_ann_topk, embedding_neardup_lsh, ann_recall_eval), text
+    # quality (lang_id, repetition_signals, gopher_quality_rules,
+    # pii_scrub, canonical_fingerprint, hashed_classifier_score),
+    # retrieval (tfidf_top_terms, bm25_topk, pmi_collocations),
+    # chunking/packing (document_packing), sampling
+    # (mixture_resample, cluster_safe_split), sketches
+    # (heavy_hitters, kmv_distinct, bloom_prefilter_decontaminate),
+    # analytics/SQL (tpch_*, events_*, rollup_incremental,
+    # table_profile, user_retention_cohorts, ab_experiment_report),
+    # graph (pagerank_centrality, dedup_clusters), linkage
+    # (record_linkage_fs), geo/IP (ip_lpm_enrich, geo_grid_join),
+    # multimodal (media_metadata, layout_reading_order), CDC
+    # (snapshot_diff), funnels (events_funnel, filter_funnel_report).
+    # Do NOT reorder existing entries or insert new ones before them —
+    # that silently evicts a family from the driver's gate; append new
+    # operators at the END.
     q: dict[str, Callable] = {}
 
     q["extract_flagship"] = _flagship_df

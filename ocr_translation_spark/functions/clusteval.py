@@ -44,7 +44,7 @@ def adjusted_rand_index(
     df: DataFrame,
     gold_col: str = "gold",
     pred_col: str = "pred",
-    max_items: int = 200_000_000,
+    max_items: int = 110_000_000,
 ) -> DataFrame:
     """One row: (n_items, sum_comb_cells, sum_comb_gold,
     sum_comb_pred, ari_ppm). Combination sums are the true C(.,2)
@@ -53,10 +53,15 @@ def adjusted_rand_index(
     clusterings trivial so the denominator is 0).
 
     RANGE GUARD: the cross-products are ~n^4 and the ppm scaling adds
-    1e6, so DECIMAL(38,0) is exact only to n ~ 2.4e8 items — beyond
-    that Spark's non-ANSI arithmetic would return NULL, which is
-    indistinguishable from the legitimate degenerate cases. n >
-    ``max_items`` therefore raises IN-PLAN instead of silently
+    1e6. The worst committed case (balanced two-cluster agreement:
+    gold == pred, two clusters of n/2) gives |num2| ~ n^4/2, so
+    |num2| * 1e6 <= 10^38 - 1 requires n <= (2 * 10^32)^(1/4) ~
+    1.19e8 — NOT the earlier ~2.4e8 claim, which ignored the
+    balanced-agreement constant. Beyond the bound Spark's non-ANSI
+    arithmetic would return NULL, indistinguishable from the
+    legitimate degenerate cases (and DuckDB's HUGEINT overflows near
+    the same point, so the engines can even diverge error-vs-NULL).
+    n > ``max_items`` therefore raises IN-PLAN instead of silently
     NULLing (compute per-shard ARIs or subsample above the bound;
     the parameter exists so the guard itself is unit-testable)."""
     cells = (

@@ -43,7 +43,16 @@ def loo_target_encoding(
     fall back to the leave-one-out global mean; a 1-row corpus
     degenerates to NULL (no peer data exists at all). NULL categories
     are a stratum of their own (null-safe join — a plain equi-join
-    would silently DROP them, violating the every-row contract)."""
+    would silently DROP them, violating the every-row contract).
+
+    CONTRACT: ``y_col`` must be NON-NULL on every row. A NULL label
+    is counted by ``_cn`` (count(*)) but not by ``_csum`` (sum skips
+    NULL), so same-category peers would divide by an inflated
+    n_cat - 1 (biased LOO mean) and the NULL-label row itself gets
+    NULL loo_ppm — the DuckDB twin mirrors the same arithmetic, so
+    the oracle cannot catch it. Filter or impute labels upstream;
+    the "every row gets a well-defined exact value" promise above
+    holds for labeled rows only."""
     id_cols = id_cols or ["doc_id"]
     cat = (
         df.groupBy(cat_col)

@@ -299,9 +299,20 @@ def cuped_effect(
          those 2 rows — a final single-row aggregate. No joins, no
          windows, no second scan.
 
-    Overflow: sums go through DECIMAL(38,0); the largest product
-    (cross-term * 1e6) stays under 1e25 for 1e9 units averaging 1e4
-    events each — inside DECIMAL(38,0) headroom.
+    Overflow: sums go through DECIMAL(38,0), but the adjusted-effect
+    rational is the tight spot — ``eff_num = dy_cross*den -
+    num*dx_cross`` scales ~n^4 * mean(y) * var(x) (NOT the earlier
+    "under 1e25 at 1e9 units" claim, which ignored the n^4 growth:
+    at 1e9 units averaging 1e4 events it is ~1e46+), and
+    ``_signed_ppm`` multiplies by 1e6 again, so DECIMAL(38,0) can
+    overflow from roughly 1e7-1e8 units at 1e4-event means. Under
+    non-ANSI arithmetic that would silently NULL
+    ``cuped_effect_ppm`` while theta/raw still report — so the
+    select GUARDS in-plan: an overflow-minted NULL in the
+    eff_num/eff_den/ppm chain (inputs are non-null by construction,
+    so NULL there can only mean overflow) raises with a shard-or-
+    subsample remedy instead of reporting a hole (the
+    adjusted_rand_index convention).
     """
     d38 = "decimal(38,0)"
     u, t = F.col(unit_col), F.col(ts_col)
@@ -407,7 +418,26 @@ def cuped_effect(
         _signed_ppm(num, den).alias("theta_ppm"),
         F.when(both, _signed_ppm(dy_cross, nn)).alias("raw_effect_ppm"),
         F.when(
-            both & (den != 0), _signed_ppm(eff_num, eff_den)
+            both & (den != 0),
+            # overflow guard: every input to the adjusted-effect
+            # rational is non-null by construction (coalesced sums),
+            # so a NULL in eff_num/eff_den or in the ppm quotient can
+            # only be DECIMAL(38,0) overflow of the ~n^4 cross-terms
+            # — raise in-plan instead of silently NULLing the one
+            # column this operator exists to produce
+            F.when(
+                eff_num.isNull()
+                | eff_den.isNull()
+                | ((eff_den != 0)
+                   & _signed_ppm(eff_num, eff_den).isNull()),
+                F.raise_error(
+                    F.lit(
+                        "cuped_effect: adjusted-effect rational "
+                        "overflows DECIMAL(38,0) (~n^4 cross-terms); "
+                        "compute per-shard or subsample units"
+                    )
+                ).cast("long"),
+            ).otherwise(_signed_ppm(eff_num, eff_den)),
         ).alias("cuped_effect_ppm"),
         F.when(
             (den > 0) & (deny > 0), rho2.cast("long")

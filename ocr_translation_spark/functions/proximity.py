@@ -117,7 +117,14 @@ def proximity_topk(
             F.expr("1000000 div window_len").alias("prox_ppm"),
         )
     )
-    w = Window.orderBy(F.asc("window_len"), F.asc(id_col))
+    # rank runs AFTER limit(k), so the window moves only k rows — but
+    # an EMPTY partition spec trips Spark's "No Partition Defined"
+    # WindowExec warning on every run. A constant partition key is the
+    # same single k-row partition (rank over all k rows, identical
+    # result) without the per-run warning noise.
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.asc("window_len"), F.asc(id_col)
+    )
     return (
         scored.orderBy(F.asc("window_len"), F.asc(id_col))
         .limit(k)
