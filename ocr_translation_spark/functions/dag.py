@@ -85,44 +85,64 @@ def longest_path_layers(
             verts.select("node", F.lit(0).cast("long").alias("layer"))
         )
 
+    # ZERO-INCREMENT SELF-LOOPS make each relaxation round a
+    # single-reference plan: layer(v) = max(layer(v) + 0, layer(u) + 1
+    # over in-edges) is one join + one max-aggregate with the labels
+    # frame referenced ONCE — the old union-retention branch
+    # referenced it twice, forcing an eager persist + count EVERY
+    # round. Single-reference rounds chain lazily, so `unroll` rounds
+    # share one checkpoint + one convergence job: layers are
+    # monotone non-decreasing, so an unchanged sum(layer) across a
+    # block proves no round in it grew anything (the first round was
+    # already the fixed point; extra rounds past it are exact
+    # no-ops). A cycle still grows some layer every block and hits
+    # max_iters — the error contract is unchanged.
+    ew = (
+        e.select("u", "v", F.lit(1).cast("long").alias("w"))
+        .unionByName(
+            verts.select(
+                F.col("node").alias("u"),
+                F.col("node").alias("v"),
+                F.lit(0).cast("long").alias("w"),
+            )
+        )
+        # pre-partition on the join key: every round joins on u, so
+        # the cached layout satisfies the join's distribution
+        # requirement round after round
+        .repartition("u")
+        .persist()
+    )
+    unroll = 4
+    rounds = 0
+    prev_sum = 0  # all layers start at 0
     try:
-        for it in range(max_iters):
-            # edge (u, v) proposes layer(u) + 1 to v; v's own previous
-            # layer rides along as `old` so the convergence count is
-            # read off the SAME aggregate (the CC one-job-per-round
-            # shape)
-            proposals = e.join(
-                labels.select(F.col("node").alias("u"), "layer"), "u"
-            ).select(
-                F.col("v").alias("node"),
-                (F.col("layer") + 1).alias("layer"),
-                F.lit(None).cast("long").alias("old"),
-            )
-            new_labels = (
-                labels.select(
-                    "node", "layer", F.col("layer").alias("old")
+        while rounds < max_iters:
+            new = labels
+            for _ in range(min(unroll, max_iters - rounds)):
+                new = (
+                    new.select(F.col("node").alias("u"), "layer")
+                    .join(ew, "u")
+                    .select(
+                        F.col("v").alias("node"),
+                        (F.col("layer") + F.col("w")).alias("layer"),
+                    )
+                    .groupBy("node")
+                    .agg(F.max("layer").alias("layer"))
                 )
-                .unionByName(proposals)
-                .groupBy("node")
-                .agg(
-                    F.max("layer").alias("layer"),
-                    F.max("old").alias("old"),
-                )
-            )
-            if (it + 1) % _CHECKPOINT_EVERY == 0:
-                new_labels = new_labels.localCheckpoint(eager=False)
-            new_labels = new_labels.persist()
-            changed = new_labels.filter(
-                F.col("layer") != F.col("old")
-            ).count()  # the round's ONLY job
+                rounds += 1
+            new = new.localCheckpoint(eager=False).persist()
+            cur_sum = new.agg(
+                F.coalesce(F.sum("layer"), F.lit(0)).alias("s")
+            ).collect()[0]["s"]
             labels.unpersist()
-            labels = new_labels
-            if changed == 0:
+            labels = new
+            if cur_sum == prev_sum:
                 return _with_isolated(
                     labels.select("node", "layer").localCheckpoint(
                         eager=True
                     )
                 )
+            prev_sum = cur_sum
         raise RuntimeError(
             f"longest_path_layers: not converged after {max_iters} "
             "rounds — cyclic input or a longer-than-expected critical "
@@ -130,6 +150,7 @@ def longest_path_layers(
         )
     finally:
         labels.unpersist()
+        ew.unpersist()
         e.unpersist()
 
 

@@ -48,6 +48,41 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .ivf import training_set
 from .similarity import _dot
 
+__all_dot = _dot  # kept imported: the rerank's exact pass uses it
+
+
+def _lit_arr_sql(vec: list[float]) -> str:
+    """A double-array literal as SQL text. One ``F.lit(list)`` plus
+    the per-element Column ops costs dozens of py4j round trips; with
+    m * n_codes codeword literals per expression that adds SECONDS of
+    driver-side build time per call site (measured 4.2 s per training
+    iteration). A single SQL string is one py4j call and parses
+    JVM-side. ``repr`` round-trips doubles exactly; the ``D`` suffix
+    forces DOUBLE (a bare ``1.5`` parses as DECIMAL in Spark SQL)."""
+    return "array(" + ",".join(repr(float(x)) + "D" for x in vec) + ")"
+
+
+def _dot_sql(arr_sql: str, vec: list[float]) -> str:
+    """SQL text for ``similarity._dot(arr, lit(vec))`` — the SAME
+    aggregate(zip_with(...)) Catalyst expression (identical fold
+    order, so bit-identical doubles), just parsed instead of built
+    op-by-op over py4j."""
+    return (
+        f"aggregate(zip_with({arr_sql}, {_lit_arr_sql(vec)}, "
+        "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _assign_sql(arr_sql: str, book: list[tuple[int, list[float]]]) -> str:
+    """SQL text for the codeword assignment: smallest (-dot, code)
+    struct — identical semantics to the Column-built form."""
+    structs = ",".join(
+        f"named_struct('d', -({_dot_sql(arr_sql, vec)}),"
+        f" 'code', cast({int(code)} as int))"
+        for code, vec in book
+    )
+    return f"element_at(array_sort(array({structs})), 1).code"
+
 
 def pq_codebooks(
     emb: DataFrame,
@@ -82,46 +117,81 @@ def pq_codebooks(
     # times (at 100 TB the sample rule is a full-corpus filter/top-k —
     # the training rows themselves are tiny)
     t = t.localCheckpoint(eager=True)
-    books: list[list[tuple[int, list[float]]]] = []
-    for s in range(m):
-        e_s = t.select(
-            "_id", F.slice(F.col("v"), s * sd + 1, sd).alias("sv")
+    # ALL m subspaces train in ONE job per phase (the driver-loop
+    # batching the per-round tiny jobs otherwise cost ~3m collect
+    # actions of fixed scheduling latency each — the dominant cold
+    # cost, not data volume):
+    #   init   — the n_codes smallest-id training rows are the SAME
+    #            rows for every subspace, so one collect of the full
+    #            vectors serves all m (sliced driver-side);
+    #   iter   — the sample explodes to (s, sv) pairs once, each row
+    #            assigns against its own subspace's centroid literals
+    #            (element_at on an array-of-arrays literal indexed by
+    #            s), and one (s, code, dim) median aggregate updates
+    #            every codebook in a single collect.
+    # Per-subspace semantics are unchanged: same init rows, same
+    # (-dot, code) tie order, same per-dim medians, empty codes keep
+    # their previous entry.
+    init_rows = t.orderBy("_id").limit(n_codes).collect()
+    cents_by_s: list[list[tuple[int, list[float]]]] = [
+        [
+            (i, list(r["v"][s * sd : (s + 1) * sd]))
+            for i, r in enumerate(init_rows)
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        sub_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    F.slice(F.col("v"), s * sd + 1, sd).alias("sv"),
+                )
+                for s in range(m)
+            ]
         )
-        init = e_s.orderBy("_id").limit(n_codes).collect()
-        cents = [(i, list(r["sv"])) for i, r in enumerate(init)]
-        for _ in range(iters):
-            cands = F.array(
-                *[
-                    F.struct(
-                        (-_dot(F.col("sv"), F.lit(vec))).alias("d"),
-                        F.lit(code).cast("int").alias("code"),
-                    )
-                    for code, vec in cents
-                ]
+        es_all = t.select(F.explode(sub_structs).alias("e")).select(
+            "e.s", "e.sv"
+        )
+        per_s_arrays = ",".join(
+            "array("
+            + ",".join(
+                f"named_struct('d', -({_dot_sql('sv', vec)}),"
+                f" 'code', cast({int(code)} as int))"
+                for code, vec in cents_by_s[s]
             )
-            assigned = e_s.select(
-                "sv",
-                F.element_at(F.array_sort(cands), 1)["code"].alias("code"),
+            + ")"
+            for s in range(m)
+        )
+        assigned = es_all.select(
+            "s",
+            "sv",
+            F.expr(
+                "element_at(array_sort(element_at("
+                f"array({per_s_arrays}), s + 1)), 1).code"
+            ).alias("code"),
+        )
+        med = (
+            assigned.select(
+                "s", "code", F.posexplode("sv").alias("dim", "val")
             )
-            med = (
-                assigned.select(
-                    "code", F.posexplode("sv").alias("dim", "val")
-                )
-                .groupBy("code", "dim")
-                .agg(F.expr("percentile(val, 0.5)").alias("md"))
-                .groupBy("code")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("dim", "md"))),
-                        lambda x: x["md"],
-                    ).alias("cvec")
-                )
-                .collect()
+            .groupBy("s", "code", "dim")
+            .agg(F.expr("percentile(val, 0.5)").alias("md"))
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "md"))),
+                    lambda x: x["md"],
+                ).alias("cvec")
             )
-            updated = {r["code"]: list(r["cvec"]) for r in med}
-            cents = [(c, updated.get(c, vec)) for c, vec in cents]
-        books.append(cents)
-    return books
+            .collect()
+        )
+        updated = {(r["s"], r["code"]): list(r["cvec"]) for r in med}
+        cents_by_s = [
+            [(c, updated.get((s, c), vec)) for c, vec in cents_by_s[s]]
+            for s in range(m)
+        ]
+    return cents_by_s
 
 
 def pq_topk(
@@ -151,43 +221,36 @@ def pq_topk(
         train_cap=train_cap,
     )
 
-    def _sub(s):
-        return F.slice(F.col("v"), s * sd + 1, sd)
+    def _sub_sql(s):
+        return f"slice(v, {s * sd + 1}, {sd})"
 
-    def _code_for(s):
-        cands = F.array(
-            *[
-                F.struct(
-                    (-_dot(_sub(s), F.lit(vec))).alias("d"),
-                    F.lit(code).cast("int").alias("code"),
-                )
-                for code, vec in books[s]
-            ]
-        )
-        return F.element_at(F.array_sort(cands), 1)["code"]
-
+    # codes / dtab as single SQL strings: the Column-built forms cost
+    # O(m * n_codes) py4j round trips per literal codeword (seconds of
+    # driver time for m=8, n_codes=16); semantics identical
+    codes_sql = (
+        "array("
+        + ",".join(_assign_sql(_sub_sql(s), books[s]) for s in range(m))
+        + ")"
+    )
     enc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).select(
-        "neighbor_id",
-        F.array(*[_code_for(s) for s in range(m)]).alias("codes"),
-    )
+    ).select("neighbor_id", F.expr(codes_sql).alias("codes"))
 
+    dtab_sql = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(_dot_sql(_sub_sql(s), vec) for _, vec in books[s])
+            + ")"
+            for s in range(m)
+        )
+        + ")"
+    )
     qd = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).select(
-        "query_id",
-        F.array(
-            *[
-                F.array(
-                    *[_dot(_sub(s), F.lit(vec)) for _, vec in books[s]]
-                )
-                for s in range(m)
-            ]
-        ).alias("dtab"),
-    )
+    ).select("query_id", F.expr(dtab_sql).alias("dtab"))
 
     adc = F.aggregate(
         F.zip_with(
@@ -253,44 +316,36 @@ def pq_rerank_topk(
         train_cap=train_cap,
     )
 
-    def _sub(s):
-        return F.slice(F.col("v"), s * sd + 1, sd)
+    def _sub_sql(s):
+        return f"slice(v, {s * sd + 1}, {sd})"
 
-    def _code_for(s):
-        cands = F.array(
-            *[
-                F.struct(
-                    (-_dot(_sub(s), F.lit(vec))).alias("d"),
-                    F.lit(code).cast("int").alias("code"),
-                )
-                for code, vec in books[s]
-            ]
-        )
-        return F.element_at(F.array_sort(cands), 1)["code"]
-
+    # single-SQL-string codes/dtab (see pq_topk): one py4j call each
+    # instead of O(m * n_codes) literal-building round trips
+    codes_sql = (
+        "array("
+        + ",".join(_assign_sql(_sub_sql(s), books[s]) for s in range(m))
+        + ")"
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    enc = c.select(
-        "neighbor_id",
-        F.array(*[_code_for(s) for s in range(m)]).alias("codes"),
-    )
+    enc = c.select("neighbor_id", F.expr(codes_sql).alias("codes"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    qd = q.select(
-        "query_id",
-        F.array(
-            *[
-                F.array(
-                    *[_dot(_sub(s), F.lit(vec)) for _, vec in books[s]]
-                )
-                for s in range(m)
-            ]
-        ).alias("dtab"),
+    dtab_sql = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(_dot_sql(_sub_sql(s), vec) for _, vec in books[s])
+            + ")"
+            for s in range(m)
+        )
+        + ")"
     )
+    qd = q.select("query_id", F.expr(dtab_sql).alias("dtab"))
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"),
