@@ -110,38 +110,9 @@ def connected_components(
                 "label",
                 F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
             )
-            # PATH-HALVING shortcut: u also considers label(label(u)).
-            # label(u) is always an id REACHABLE from u (it arrived via
-            # neighbor propagation), so label(label(u)) is reachable
-            # too — taking its min is sound, monotone, and bounded by
-            # the true min-reachable id, i.e. the fixpoint is the SAME
-            # (at it, label(label(u)) == label(u)). What changes is
-            # convergence: plain flooding needs O(diameter) rounds (a
-            # 16-vertex chain = 15 rounds of driver-coordinated jobs),
-            # flooding + halving needs O(log diameter). One extra
-            # equi-join of the PERSISTED labels per round — labels is
-            # materialized, so the double reference reads cache.
-            shortcut = (
-                labels.alias("a")
-                .join(
-                    labels.select(
-                        F.col("node").alias("label"),
-                        F.col("label").alias("gl"),
-                    ),
-                    "label",
-                )
-                .select(
-                    "node",
-                    F.col("gl").alias("label"),
-                    F.lit(None)
-                    .cast(labels.schema["label"].dataType)
-                    .alias("old"),
-                )
-            )
             new_labels = (
                 labels.select("node", "label", F.col("label").alias("old"))
                 .unionByName(proposals)
-                .unionByName(shortcut)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             )
