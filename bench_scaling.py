@@ -31,7 +31,9 @@ Method notes (this environment is noisy — see BENCH/BASELINE.md):
 * the whole process tree is pinned with taskset so local[N]'s
   auxiliary threads cannot spill beyond N CPUs.
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/SCALING_LATEST.md and prints one JSON line (merge into
+BENCH/BASELINE.md by hand — it leads with the curated binding-evidence
+table).
 
 Env: SPARK_GRAFT_SCALE_N (default 8), SPARK_GRAFT_SCALE_DOCS (default
 1600000), SPARK_GRAFT_SCALE_REPS (default 4), SPARK_GRAFT_SCALE_SKIP_PLAIN.
@@ -199,7 +201,11 @@ def main() -> None:
     )
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # write the run report to its own file: BASELINE.md now leads with
+    # the binding-evidence table (VERDICT r5 ask #3) and is curated by
+    # hand — a fresh measurement is merged into it deliberately, not
+    # by overwrite
+    with open(os.path.join(REPO, "BENCH", "SCALING_LATEST.md"), "w") as f:
         f.write(
             f"""# BENCH — scaling-efficiency evidence
 
