@@ -257,16 +257,19 @@ def cms_estimates(
     est - true >= 0`` is the per-key witness. The estimate join is
     ``depth`` broadcast lookups against the <= depth*width cell
     table."""
-    cells = cms_cells(df, key_col, depth, width)
     keys = (
         df.groupBy(F.col(key_col).alias("key"))
         .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
     )
-    # ONE probe join: explode each key into its depth (row, bucket)
-    # coordinates and hit the broadcast cell table once — a per-row
-    # chain of joins would re-derive the corpus cell aggregate once
-    # per reference (Spark plans are trees, not DAGs)
-    probes = keys.select(
+    # The estimates audit needs the per-key rollup anyway, and a cell's
+    # count is BY DEFINITION the sum of observations of every key
+    # hashing there — so the cell table is derived from `keys`
+    # (sum(true_count) per (row, bucket)), value-identical to
+    # cms_cells' own corpus pass while scanning the corpus ONCE
+    # instead of twice (and hashing each distinct key depth times
+    # instead of every row). cms_cells stands unchanged for the
+    # pure sketch-build path, where no per-key table may exist.
+    kb = keys.select(
         "key",
         "true_count",
         F.explode(
@@ -288,6 +291,10 @@ def cms_estimates(
         F.col("rb.row").alias("row"),
         F.col("rb.bucket").alias("bucket"),
     )
+    cells = kb.groupBy("row", "bucket").agg(
+        F.sum("true_count").cast("long").alias("cell_count")
+    )
+    probes = kb
     return (
         probes.join(F.broadcast(cells), ["row", "bucket"])
         .groupBy("key", "true_count")
